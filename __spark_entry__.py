@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship feature-generation query at sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 + extensions).
+``oracle_sql()`` — DuckDB ANSI-SQL twins generated from the SAME spec objects.
 """
 
 from __future__ import annotations
@@ -13,26 +11,66 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from feature_generation_benchmark_spark.plans import (
+    compile_bucket_rollup,
+    compile_case_when,
+    compile_grouped_map,
+)
+from feature_generation_benchmark_spark.plans.oracle import oracle_sql_for_spec
+from feature_generation_benchmark_spark.sources.testdata import (
+    EVENT_TYPES,
+    events_transactions,
+    events_transactions_from_sql,
+)
+from feature_generation_benchmark_spark.spec import FeatureSpec, Grouping
+
+# ---------------------------------------------------------------------------
+# Flagship spec: the reference task family instantiated on the driver's
+# `events` table (user_id × event_type × trailing windows × 5 aggs = 100
+# features). round_decimals pins double summation order differences.
+# ---------------------------------------------------------------------------
+
+EVENTS_SPEC = FeatureSpec(
+    key="user_id",
+    time_col="t_minus",
+    measure="value_cents",  # exact integer-valued doubles → deterministic aggs
+    windows=(7, 14, 21, 30),
+    groupings=(Grouping(cols=("event_type",), domains=(EVENT_TYPES,)),),
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: bucket+exact-rollup feature generation on sf0.001 events."""
+    trx = events_transactions(spark, "/root/testdata/sf0.001")
+    return compile_bucket_rollup(EVENTS_SPEC, trx)
+
+
+def _feat_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return compile_case_when(EVENTS_SPEC, events_transactions(spark, sf_dir))
+
+
+def _feat_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return compile_bucket_rollup(EVENTS_SPEC, events_transactions(spark, sf_dir))
+
+
+def _feat_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return compile_grouped_map(EVENTS_SPEC, events_transactions(spark, sf_dir))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "feat_case_when": _feat_case_when,
+        "feat_bucket_rollup": _feat_bucket_rollup,
+        "feat_grouped_map": _feat_grouped_map,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    feat_oracle = oracle_sql_for_spec(
+        EVENTS_SPEC, events_transactions_from_sql()
+    )
+    return {
+        "feat_case_when": feat_oracle,
+        "feat_bucket_rollup": feat_oracle,
+        "feat_grouped_map": feat_oracle,
+    }

@@ -1,0 +1,62 @@
+"""Benchmark harness — one JSON line for the driver (BENCH_r{N}.json).
+
+Runs the headline queries end-to-end (parquet read → compute → parquet
+write, matching the reference's timing protocol,
+``python/data_generation/helpers.py:24-44``) at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    import __spark_entry__ as entrymod
+    from feature_generation_benchmark_spark.session import get_spark
+
+    spark = get_spark("fgb-bench")
+    out_root = tempfile.mkdtemp(prefix="fgb_bench_")
+    queries = entrymod.queries()
+
+    # warm the JVM + parquet footer caches once so per-query numbers measure
+    # the plan, not first-touch session costs
+    spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name, fn in queries.items():
+        out = os.path.join(out_root, name)
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").parquet(out)
+        timings[name] = round(time.time() - t0, 3)
+
+    shutil.rmtree(out_root, ignore_errors=True)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

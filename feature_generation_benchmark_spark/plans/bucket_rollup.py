@@ -1,0 +1,101 @@
+"""Physical strategy A2+A3′ — disjoint-bucket partial aggregation + EXACT
+cumulative roll-up.
+
+The reference's fastest at-scale plan (455 s vs 17,653 s at 1.7B rows —
+``results/results_medium.json``) buckets rows into disjoint smallest-window
+buckets, aggregates once per (key, categories, bucket), then derives each
+cumulative window arithmetically (``impl/pyspark-pivot.py:49-98,113-134``).
+Its published form has two exactness defects (SURVEY §2.7.2-3): cumulative
+avg as unweighted mean-of-bucket-means, and NULL-poisoning when a bucket is
+empty. This implementation keeps the algorithmic win and fixes both:
+
+- partial aggregates carry only the DECOMPOSABLE stats
+  ``{count, sum, min, max}``; ``avg`` is derived as ``Σsum / Σcount``;
+- cumulative combination ignores empty buckets (aggregating over partial
+  rows, not adding NULLs).
+
+Physical shape (two hash aggregations, input scanned ONCE):
+
+    Parquet scan (pruned + ``time_col <= max(window)`` pushed down)
+      → project: bucket := smallest enclosing window    -- P5, codegen'd
+      → HashAggregate partial+final over
+          (key, all category cols, bucket)              -- shuffle #1 (big)
+      → HashAggregate partial+final over (key)          -- shuffle #2 (tiny)
+          with per-feature conditional re-aggregation
+
+Why this wins at 100 TB: shuffle #1 reduces each input row to at most one
+partial row per (key × category-combo × bucket) — for the reference task
+≤ 416 rows/key regardless of input size, so shuffle #2 moves ~3 orders of
+magnitude less data than the input. The per-row work in the big pass is a
+handful of comparisons, not |features| CASE WHENs — plan size no longer
+multiplies the scan cost. Unlike the reference (which runs one aggregation
+*per grouping scheme* and joins the halves, ``impl/pyspark-pivot.py:189``),
+we aggregate over the union of all grouping columns in one pass and derive
+each scheme by conditional re-aggregation — no join, no second scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from feature_generation_benchmark_spark.functions.exprs import (
+    combo_predicate,
+    smallest_window_bucket,
+)
+from feature_generation_benchmark_spark.spec import Agg, FeatureSpec
+
+_BUCKET = "__bucket"
+_CNT = "__cnt"
+_SUM = "__sum"
+_MIN = "__min"
+_MAX = "__max"
+
+
+def _rollup_expr(spec: FeatureSpec, feat) -> Column:
+    """Re-aggregate partial rows into one cumulative feature cell, with
+    semantics identical to the case-when strategy (count=0 / sum=0.0 /
+    avg,min,max=NULL on empty)."""
+    cond = (F.col(_BUCKET) <= F.lit(feat.window)) & combo_predicate(
+        feat.grouping.cols, feat.combo
+    )
+    if feat.agg is Agg.COUNT:
+        return F.coalesce(F.sum(F.when(cond, F.col(_CNT))), F.lit(0)).cast(
+            "long"
+        ).alias(feat.name)
+    if feat.agg is Agg.SUM:
+        expr = F.coalesce(F.sum(F.when(cond, F.col(_SUM))), F.lit(0.0))
+    elif feat.agg is Agg.AVG:
+        total = F.sum(F.when(cond, F.col(_SUM)))
+        n = F.sum(F.when(cond, F.col(_CNT)))
+        expr = F.when(n > F.lit(0), total / n)  # exact Σsum/Σcount (§2.7.2 fix)
+    elif feat.agg is Agg.MIN:
+        expr = F.min(F.when(cond, F.col(_MIN)))
+    elif feat.agg is Agg.MAX:
+        expr = F.max(F.when(cond, F.col(_MAX)))
+    else:  # pragma: no cover
+        raise ValueError(f"unknown agg {feat.agg}")
+    if spec.round_decimals is not None:
+        expr = F.round(expr, spec.round_decimals)
+    return expr.alias(feat.name)
+
+
+def compile_bucket_rollup(spec: FeatureSpec, df: DataFrame) -> DataFrame:
+    """Compile ``spec`` into the bucket + exact-rollup plan."""
+    category_cols = sorted({c for g in spec.groupings for c in g.cols})
+
+    pruned = df.select(*spec.input_columns())
+    in_scope = pruned.filter(F.col(spec.time_col) <= F.lit(max(spec.windows)))
+    bucketed = in_scope.withColumn(
+        _BUCKET, smallest_window_bucket(spec.time_col, spec.windows)
+    )
+
+    partial = bucketed.groupBy(spec.key, *category_cols, _BUCKET).agg(
+        F.count(F.col(spec.measure)).alias(_CNT),
+        F.sum(F.col(spec.measure)).alias(_SUM),
+        F.min(F.col(spec.measure)).alias(_MIN),
+        F.max(F.col(spec.measure)).alias(_MAX),
+    )
+
+    exprs = [_rollup_expr(spec, feat) for feat in spec.features()]
+    return partial.groupBy(spec.key).agg(*exprs)

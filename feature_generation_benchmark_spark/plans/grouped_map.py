@@ -1,0 +1,106 @@
+"""Physical strategy A4 — grouped-map (Arrow-batched pandas) fallback.
+
+The reference ships each entity's rows to a Python worker and recomputes the
+features with pandas (``impl/pyspark-pandas-udf.py:49-81,150``; Spark-4
+Arrow/Polars twin ``impl/pyspark4-polars-udf.py:80-107,176``). It is 10-13×
+slower than the native plans at scale (BASELINE.md) — we keep it as the
+escape hatch for features that genuinely cannot be expressed as Catalyst
+expressions, and as an independent implementation for cross-strategy
+correctness testing.
+
+Physical shape: Exchange(hashpartition key) → group sort →
+FlatMapGroupsInPandas (Arrow IPC to Python worker and back).
+
+Scale posture: one entity's in-scope rows must fit in a worker's memory;
+Arrow batches amortize the JVM↔Python boundary. Never the default strategy.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from feature_generation_benchmark_spark.spec import Agg, FeatureSpec
+
+
+def output_schema(spec: FeatureSpec, df: DataFrame) -> T.StructType:
+    """The 1+N-column output contract (reference builds the same explicit
+    StructType, ``impl/pyspark-pandas-udf.py:98-118``): key keeps its input
+    type; count → long; other aggs → double."""
+    key_field = df.schema[spec.key]
+    fields = [T.StructField(spec.key, key_field.dataType, False)]
+    for feat in spec.features():
+        dtype = T.LongType() if feat.agg is Agg.COUNT else T.DoubleType()
+        fields.append(T.StructField(feat.name, dtype, True))
+    return T.StructType(fields)
+
+
+def _make_group_fn(spec: FeatureSpec):
+    features = spec.features()
+    key = spec.key
+    time_col = spec.time_col
+    measure = spec.measure
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        out: dict[str, object] = {key: pdf[key].iloc[0]}
+        t = pdf[time_col].to_numpy()
+        m = pdf[measure].to_numpy()
+        # cache combo masks: grouping cols repeat across windows/aggs
+        combo_masks: dict[tuple, object] = {}
+        for feat in features:
+            ckey = (feat.grouping.cols, feat.combo)
+            if ckey not in combo_masks:
+                mask = None
+                for c, v in zip(feat.grouping.cols, feat.combo):
+                    eq = pdf[c].to_numpy() == v
+                    mask = eq if mask is None else (mask & eq)
+                combo_masks[ckey] = mask
+            mask = combo_masks[ckey] & (t <= feat.window)
+            vals = m[mask]
+            if feat.agg is Agg.COUNT:
+                out[feat.name] = int(vals.size)
+                continue
+            if vals.size == 0:
+                out[feat.name] = 0.0 if feat.agg is Agg.SUM else None
+                continue
+            if feat.agg is Agg.SUM:
+                val = float(vals.sum())
+            elif feat.agg is Agg.AVG:
+                val = float(vals.sum()) / vals.size
+            elif feat.agg is Agg.MIN:
+                val = float(vals.min())
+            else:
+                val = float(vals.max())
+            out[feat.name] = val
+
+        row: dict[str, object] = {}
+        for name, value in out.items():
+            row[name] = pd.array([value], dtype="Float64") if isinstance(
+                value, (float, type(None))
+            ) and name != key else [value]
+        return pd.DataFrame(row)
+
+    return compute
+
+
+def compile_grouped_map(spec: FeatureSpec, df: DataFrame) -> DataFrame:
+    """Compile ``spec`` into the grouped-map (applyInPandas) plan."""
+    pruned = df.select(*spec.input_columns())
+    in_scope = pruned.filter(F.col(spec.time_col) <= F.lit(max(spec.windows)))
+    schema = output_schema(spec, df)
+    wide = in_scope.groupBy(spec.key).applyInPandas(_make_group_fn(spec), schema)
+    if spec.round_decimals is not None:
+        # Round JVM-side with F.round so all strategies share one rounding
+        # rule (Python's round() is banker's rounding — would diverge).
+        wide = wide.select(
+            spec.key,
+            *[
+                F.round(F.col(f.name), spec.round_decimals).alias(f.name)
+                if f.agg is not Agg.COUNT
+                else F.col(f.name)
+                for f in spec.features()
+            ],
+        )
+    return wide

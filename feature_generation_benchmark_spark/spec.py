@@ -1,0 +1,201 @@
+"""Declarative feature specification — the engine's logical plan.
+
+The reference benchmark defines one parameterized query family: per-entity
+trailing-window conditional aggregations producing a wide feature store
+(reference ``docs/index.md:120-151``; canonical expression shape
+``impl/pyspark-case-when.py:46-56``). This module captures that family as a
+first-class, engine-agnostic spec object. Physical strategies in
+``plans/`` compile a :class:`FeatureSpec` into a Spark DataFrame plan; the
+oracle generator in ``plans/oracle.py`` compiles the *same* object into
+ANSI SQL, so Spark plans and correctness oracles cannot drift.
+
+Canonical semantics (SURVEY §2.7, resolving the reference's divergences):
+
+- time windows are **cumulative** trailing windows ``time_col <= K``
+  (inclusive), not disjoint buckets;
+- empty-group encoding: ``count = 0``, ``sum = 0.0``,
+  ``avg/min/max = NULL``;
+- rows with ``time_col`` beyond the largest window contribute to no feature;
+- feature naming: ``{cat_value...}_{window}d_{agg}`` (reference
+  ``impl/pyspark-case-when.py:113,126``), values joined by ``_``.
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field
+from enum import Enum
+
+
+class Agg(str, Enum):
+    """Aggregations the engine supports per feature cell.
+
+    ``count``/``sum``/``min``/``max`` are decomposable (reaggregatable from
+    partials), which is what makes the bucket+rollup strategy exact; ``avg``
+    is derived as ``sum/count`` (fixing the reference's mean-of-means defect,
+    SURVEY §2.7.2, ``impl/pyspark-pivot.py:97-98``).
+    """
+
+    COUNT = "count"
+    SUM = "sum"
+    AVG = "avg"
+    MIN = "min"
+    MAX = "max"
+
+
+CANONICAL_AGGS: tuple[Agg, ...] = (Agg.COUNT, Agg.AVG, Agg.SUM, Agg.MIN, Agg.MAX)
+
+
+@dataclass(frozen=True)
+class Grouping:
+    """One grouping scheme: a tuple of category columns with *known* value
+    domains (cartesian product).
+
+    Known domains are a core design decision inherited from the reference's
+    fastest plans (``impl/pyspark-pivot.py:106-110``,
+    ``impl/duckdb_pivot-known-values.py:98-115``): compiling the domain into
+    the plan avoids a values-discovery scan and keeps the plan static — at
+    100 TB a DISTINCT discovery pass is a full extra scan.
+    """
+
+    cols: tuple[str, ...]
+    domains: tuple[tuple[str, ...], ...]
+
+    def __post_init__(self) -> None:
+        if len(self.cols) != len(self.domains):
+            raise ValueError("one value domain per grouping column required")
+        for col, dom in zip(self.cols, self.domains):
+            if len(set(dom)) != len(dom):
+                raise ValueError(f"duplicate values in domain of {col!r}")
+
+    def combos(self) -> list[tuple[str, ...]]:
+        """All category-value combinations, in domain order."""
+        return list(itertools.product(*self.domains))
+
+
+@dataclass(frozen=True)
+class Feature:
+    """A single fully-resolved output column."""
+
+    name: str
+    grouping: Grouping
+    combo: tuple[str, ...]
+    window: int
+    agg: Agg
+
+
+@dataclass(frozen=True)
+class FeatureSpec:
+    """The logical feature-generation query.
+
+    Parameters mirror the reference task definition
+    (``docs/index.md:120-151``): aggregate ``measure`` per ``key`` ×
+    (grouping-combo) × trailing window over ``time_col``.
+
+    ``round_decimals``: when set, double-typed outputs (sum/avg/min/max) are
+    rounded — used by oracle-checked queries so double summation order
+    (Spark partial-agg tree vs DuckDB) cannot flip a value hash.
+    """
+
+    key: str
+    time_col: str
+    measure: str
+    windows: tuple[int, ...]
+    groupings: tuple[Grouping, ...]
+    aggs: tuple[Agg, ...] = CANONICAL_AGGS
+    round_decimals: int | None = None
+
+    def __post_init__(self) -> None:
+        if not self.windows:
+            raise ValueError("at least one window required")
+        if list(self.windows) != sorted(set(self.windows)):
+            raise ValueError("windows must be strictly increasing")
+        if any(w <= 0 for w in self.windows):
+            raise ValueError("windows must be positive day offsets")
+        if not self.groupings:
+            raise ValueError("at least one grouping required")
+        if not self.aggs:
+            raise ValueError("at least one agg required")
+
+    # ---- naming ---------------------------------------------------------
+
+    @staticmethod
+    def feature_name(combo: tuple[str, ...], window: int, agg: Agg) -> str:
+        return f"{'_'.join(combo)}_{window}d_{agg.value}"
+
+    def features(self) -> list[Feature]:
+        """All output features, in canonical order:
+        grouping → combo → window → agg (reference loop order,
+        ``impl/pyspark-case-when.py:102-128``)."""
+        out: list[Feature] = []
+        for grouping in self.groupings:
+            for combo in grouping.combos():
+                for window in self.windows:
+                    for agg in self.aggs:
+                        out.append(
+                            Feature(
+                                name=self.feature_name(combo, window, agg),
+                                grouping=grouping,
+                                combo=combo,
+                                window=window,
+                                agg=agg,
+                            )
+                        )
+        names = [f.name for f in out]
+        if len(set(names)) != len(names):
+            raise ValueError("feature names collide across groupings")
+        return out
+
+    def input_columns(self) -> list[str]:
+        """Minimal input projection (drives column pruning)."""
+        cols = {self.key, self.time_col, self.measure}
+        for g in self.groupings:
+            cols.update(g.cols)
+        return sorted(cols)
+
+    @property
+    def n_features(self) -> int:
+        return sum(
+            len(g.combos()) * len(self.windows) * len(self.aggs)
+            for g in self.groupings
+        )
+
+
+# ---------------------------------------------------------------------------
+# The reference's exact task instance (for parity runs on generated data).
+# Domains from the Rust generator, ``src/lib.rs:28,33-47,51``.
+# ---------------------------------------------------------------------------
+
+TRX_TYPES: tuple[str, ...] = (
+    "food-and-household",
+    "home",
+    "uncategorized",
+    "leisure-and-lifestyle",
+    "health-and-beauty",
+    "shopping-and-services",
+    "children",
+    "vacation-and-travel",
+    "education",
+    "insurance",
+    "investments-and-savings",
+    "expenses-and-other",
+    "cars-and-transportation",
+)
+CARD_TYPES: tuple[str, ...] = ("DC", "CC")
+CHANNELS: tuple[str, ...] = ("mobile", "web")
+REFERENCE_WINDOWS: tuple[int, ...] = (7, 14, 21, 30, 90, 180, 360, 720)
+
+
+def reference_spec(round_decimals: int | None = None) -> FeatureSpec:
+    """The full 2,080-feature reference task (``docs/index.md:120-151``)."""
+    return FeatureSpec(
+        key="customer_id",
+        time_col="t_minus",
+        measure="trx_amnt",
+        windows=REFERENCE_WINDOWS,
+        groupings=(
+            Grouping(cols=("card_type", "trx_type"), domains=(CARD_TYPES, TRX_TYPES)),
+            Grouping(cols=("channel", "trx_type"), domains=(CHANNELS, TRX_TYPES)),
+        ),
+        round_decimals=round_decimals,
+    )

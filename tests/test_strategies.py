@@ -1,0 +1,122 @@
+"""Cross-strategy invariant: every physical strategy produces identical
+feature tables — the property the reference implies but never checks
+(SURVEY §5), and actively violates in its pivot family (§2.7.1-3).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from feature_generation_benchmark_spark.plans import (
+    compile_bucket_rollup,
+    compile_case_when,
+    compile_grouped_map,
+    compile_features,
+)
+from feature_generation_benchmark_spark.plans.planner import choose_strategy
+from feature_generation_benchmark_spark.spec import (
+    CARD_TYPES,
+    CHANNELS,
+    FeatureSpec,
+    Grouping,
+    reference_spec,
+)
+
+SMALL_SPEC = FeatureSpec(
+    key="customer_id",
+    time_col="t_minus",
+    measure="trx_amnt",
+    windows=(7, 14, 30, 720),
+    groupings=(
+        Grouping(
+            cols=("card_type", "trx_type"),
+            domains=(CARD_TYPES, ("food-and-household", "home", "education")),
+        ),
+        Grouping(cols=("channel",), domains=(CHANNELS,)),
+    ),
+)
+
+
+def rows_by_key(df, key):
+    cols = sorted(df.columns)
+    out = {}
+    for r in df.collect():
+        d = r.asDict()
+        out[d[key]] = tuple(d[c] for c in cols)
+    return out, cols
+
+
+def assert_frames_equal(a, b, key):
+    ra, ca = rows_by_key(a, key)
+    rb, cb = rows_by_key(b, key)
+    assert ca == cb
+    assert ra.keys() == rb.keys()
+    for k in ra:
+        for c, va, vb in zip(ca, ra[k], rb[k]):
+            if isinstance(va, float) and isinstance(vb, float):
+                assert math.isclose(va, vb, rel_tol=1e-9, abs_tol=1e-9), (
+                    k, c, va, vb)
+            else:
+                assert va == vb, (k, c, va, vb)
+
+
+@pytest.fixture(scope="module")
+def results(spark, tiny_transactions):
+    return {
+        "case_when": compile_case_when(SMALL_SPEC, tiny_transactions),
+        "bucket_rollup": compile_bucket_rollup(SMALL_SPEC, tiny_transactions),
+        "grouped_map": compile_grouped_map(SMALL_SPEC, tiny_transactions),
+    }
+
+
+def test_case_when_vs_bucket_rollup(spark, results):
+    assert_frames_equal(results["case_when"], results["bucket_rollup"],
+                        "customer_id")
+
+
+def test_case_when_vs_grouped_map(spark, results):
+    assert_frames_equal(results["case_when"], results["grouped_map"],
+                        "customer_id")
+
+
+def test_boundary_semantics(spark, results):
+    """Inclusive windows; empty-group count=0/sum=0/avg,min,max=NULL;
+    out-of-scope-only keys absent (FIXTURES.md F1)."""
+    df = results["case_when"]
+    rows = {r["customer_id"]: r.asDict() for r in df.collect()}
+    assert set(rows) == {1, 2}  # customer 3 only has t_minus=721
+    c1 = rows[1]
+    # t_minus=7 row IS inside the 7d window (inclusive <=)
+    assert c1["DC_food-and-household_7d_count"] == 2
+    assert c1["DC_food-and-household_7d_sum"] == 300.0
+    # t_minus=8 row joins at 14d
+    assert c1["DC_food-and-household_14d_count"] == 3
+    # 720 boundary included, 721 excluded
+    assert c1["DC_home_720d_sum"] == 75.0
+    # empty combo for customer 1
+    assert c1["CC_education_720d_count"] == 0
+    assert c1["CC_education_720d_sum"] == 0.0
+    assert c1["CC_education_720d_avg"] is None
+    assert c1["CC_education_720d_min"] is None
+    # second grouping scheme aggregates across card types
+    assert c1["web_14d_count"] == 2  # t_minus 8 and 14 rows are web
+    assert c1["web_14d_sum"] == 450.0
+    c2 = rows[2]
+    assert c2["CC_education_30d_count"] == 1
+    assert c2["CC_education_7d_count"] == 0
+
+
+def test_planner_choice():
+    assert choose_strategy(reference_spec()) == "bucket_rollup"
+    tiny = FeatureSpec(
+        "k", "t", "m", (7,),
+        (Grouping(cols=("c",), domains=(("a", "b"),)),),
+    )
+    assert choose_strategy(tiny) == "case_when"
+
+
+def test_compile_features_dispatch(spark, tiny_transactions):
+    df = compile_features(SMALL_SPEC, tiny_transactions, strategy="auto")
+    assert df.count() == 2
