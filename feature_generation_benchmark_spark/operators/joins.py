@@ -1,0 +1,84 @@
+"""Join operators beyond plain equi-joins.
+
+The reference's join surface is only 1-row-per-key equi-joins (SURVEY §2.4);
+these are the additional join shapes a large-scale feature pipeline needs,
+each expressed as a composition of built-in DataFrame ops (no UDFs), so
+Catalyst/AQE keep optimizing them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_SIDE = "__is_right"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach ``value_cols`` from
+    the latest right row with the same key(s) and
+    ``right_time <= left_time`` (inclusive).
+
+    Spark-first physical design — NOT a range join: both sides are unioned
+    into one stream tagged by side, then a single hash-partitioned window
+    (`partitionBy keys ORDER BY time, side`) carries the last-seen right
+    values forward with ``last(..., ignorenulls=True)``. One shuffle, no
+    O(|L|×|R|) expansion, skew-safe under AQE — this is the shape that
+    survives 100 TB, unlike the naive ``left.join(right, cond).rowNumber``
+    range-join formulation.
+
+    Ties: a right row at exactly ``left_time`` IS visible (side ordering);
+    multiple right rows at the same (key, time) resolve to the one latest in
+    ``right_time, monotonic id`` order — pre-aggregate the right side if you
+    need a different rule.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+
+    lhs = left.withColumn(_SIDE, F.lit(0)).withColumn("__t", F.col(left_time))
+    rhs_cols = keys + [F.col(right_time).alias("__t")] + [
+        F.col(c) for c in value_cols
+    ]
+    rhs = right.select(*rhs_cols).withColumn(_SIDE, F.lit(1))
+
+    for c in left.columns:
+        if c not in keys and c != "__t":
+            rhs = rhs.withColumn(c, F.lit(None))
+    for c in value_cols:
+        lhs = lhs.withColumn(c, F.lit(None))
+
+    unioned = lhs.unionByName(rhs.select(*lhs.columns))
+    # right rows sort BEFORE left rows at equal time → inclusive semantics
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t").asc(), F.col(_SIDE).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *[c for c in unioned.columns if c not in value_cols],
+        *[
+            F.last(F.when(F.col(_SIDE) == 1, F.col(c)), ignorenulls=True)
+            .over(w)
+            .alias(c + suffix)
+            for c in value_cols
+        ],
+    )
+    return carried.filter(F.col(_SIDE) == 0).drop(_SIDE, "__t")
+
+
+def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """Keep left rows with at least one key match on the right."""
+    return left.join(right, on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """Keep left rows with NO key match on the right."""
+    return left.join(right, on=on, how="left_anti")

@@ -1,0 +1,61 @@
+"""Workload registry — named (Spark query, SQL oracle) pairs.
+
+Each workload module contributes :class:`QueryDef` entries; the driver
+contract (``__spark_entry__.py``) is assembled from this registry so adding
+an operator is one list append.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    """One verifiable query: ``fn(spark, sf_dir) -> DataFrame`` plus an
+    optional DuckDB oracle SQL twin (None → driver records a weaker
+    rows-only check), plus a benchmark flag."""
+
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    description: str = ""
+    bench: bool = True
+
+
+def registry() -> dict[str, QueryDef]:
+    from feature_generation_benchmark_spark.workloads import (
+        events_features,
+        relational,
+    )
+
+    mods = [events_features, relational]
+    try:  # extension workloads land incrementally
+        from feature_generation_benchmark_spark.workloads import dedup as _d
+
+        mods.append(_d)
+    except ImportError:
+        pass
+    try:
+        from feature_generation_benchmark_spark.workloads import similarity as _s
+
+        mods.append(_s)
+    except ImportError:
+        pass
+    try:
+        from feature_generation_benchmark_spark.workloads import text as _t
+
+        mods.append(_t)
+    except ImportError:
+        pass
+
+    out: dict[str, QueryDef] = {}
+    for mod in mods:
+        for q in mod.QUERIES:
+            if q.name in out:
+                raise ValueError(f"duplicate query name {q.name}")
+            out[q.name] = q
+    return out

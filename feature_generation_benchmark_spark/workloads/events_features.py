@@ -1,0 +1,65 @@
+"""Flagship feature-generation workload on the ``events`` table — the
+reference task family (SURVEY §2.3) instantiated on driver testdata, in all
+three physical strategies, sharing ONE spec and ONE generated oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from feature_generation_benchmark_spark.plans import (
+    compile_bucket_rollup,
+    compile_case_when,
+    compile_grouped_map,
+)
+from feature_generation_benchmark_spark.plans.oracle import oracle_sql_for_spec
+from feature_generation_benchmark_spark.sources.testdata import (
+    EVENT_TYPES,
+    events_transactions,
+    events_transactions_from_sql,
+)
+from feature_generation_benchmark_spark.spec import FeatureSpec, Grouping
+from feature_generation_benchmark_spark.workloads import QueryDef
+
+EVENTS_SPEC = FeatureSpec(
+    key="user_id",
+    time_col="t_minus",
+    measure="value_cents",  # exact integer-valued doubles → deterministic aggs
+    windows=(7, 14, 21, 30),
+    groupings=(Grouping(cols=("event_type",), domains=(EVENT_TYPES,)),),
+)
+
+_ORACLE = oracle_sql_for_spec(EVENTS_SPEC, events_transactions_from_sql())
+
+
+def _case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return compile_case_when(EVENTS_SPEC, events_transactions(spark, sf_dir))
+
+
+def _bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return compile_bucket_rollup(EVENTS_SPEC, events_transactions(spark, sf_dir))
+
+
+def _grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return compile_grouped_map(EVENTS_SPEC, events_transactions(spark, sf_dir))
+
+
+QUERIES = [
+    QueryDef(
+        "feat_case_when",
+        _case_when,
+        _ORACLE,
+        "single-pass conditional aggregation (strategy A1)",
+    ),
+    QueryDef(
+        "feat_bucket_rollup",
+        _bucket_rollup,
+        _ORACLE,
+        "bucket + exact cumulative rollup (strategy A2+A3')",
+    ),
+    QueryDef(
+        "feat_grouped_map",
+        _grouped_map,
+        _ORACLE,
+        "grouped-map applyInPandas fallback (strategy A4)",
+    ),
+]

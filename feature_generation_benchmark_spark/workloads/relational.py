@@ -1,0 +1,513 @@
+"""Relational operator coverage on the TPC-H-ish driver tables.
+
+Each query exercises one operator family from the inventory (SURVEY §2 +
+engine extensions): filtered grouped aggregation, multi-way broadcast
+joins, known-values pivot, OVER-clause windows, rollup, distinct
+aggregation, semi/anti joins, set ops, as-of join, sessionization. Every
+query has a DuckDB oracle twin.
+
+Numeric discipline: monetary doubles are exactly 2-decimal in the testdata,
+so all money flows through **integer-valued doubles** (cents, or
+cents×pct units ``_e4``/``_e6``) — sums are then order-independent and
+bit-equal across engines. Event timestamps flow as int64 MICROseconds (``ts div 1000`` on the raw
+nanos) — µs is the finest granularity DuckDB's TIMESTAMP agrees on exactly —
+so time arithmetic is exact integer math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from feature_generation_benchmark_spark.operators.joins import anti_join, asof_join
+from feature_generation_benchmark_spark.operators.sessionization import (
+    session_stats,
+)
+from feature_generation_benchmark_spark.sources.testdata import load_table
+from feature_generation_benchmark_spark.workloads import QueryDef
+
+MKT_SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+def _ts_ntz(date_str: str) -> Column:
+    """Naive (no-zone) timestamp literal — lineitem/orders timestamps read
+    as TIMESTAMP_NTZ (ms-precision parquet), matching DuckDB's naive
+    TIMESTAMP; comparisons on the raw column push down to the scan."""
+    return F.lit(date_str).cast("timestamp_ntz")
+
+
+def _cents(col: str) -> Column:
+    return F.round(F.col(col) * F.lit(100), 0)
+
+
+def _pct(col: str) -> Column:
+    return F.round(F.col(col) * F.lit(100), 0)
+
+
+# --------------------------------------------------------------------------
+# q1 — pricing summary: filtered grouped aggregation (TPC-H Q1 shape)
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.filter(F.col("l_shipdate") < _ts_ntz("1998-09-03")).select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").alias("qty"),
+        _cents("l_extendedprice").alias("price_cents"),
+        _pct("l_discount").alias("disc_pct"),
+        _pct("l_tax").alias("tax_pct"),
+    )
+    return d.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qty").alias("sum_qty"),
+        F.sum("price_cents").alias("sum_base_price_cents"),
+        F.sum(F.col("price_cents") * (F.lit(100) - F.col("disc_pct"))).alias(
+            "sum_disc_price_e4"
+        ),
+        F.sum(
+            F.col("price_cents")
+            * (F.lit(100) - F.col("disc_pct"))
+            * (F.lit(100) + F.col("tax_pct"))
+        ).alias("sum_charge_e6"),
+        F.avg("qty").alias("avg_qty"),
+        F.avg("price_cents").alias("avg_price_cents"),
+        F.avg("disc_pct").alias("avg_disc_pct"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+_Q1_ORACLE = """
+WITH d AS (
+  SELECT l_returnflag, l_linestatus, l_quantity AS qty,
+         round(l_extendedprice*100) AS price_cents,
+         round(l_discount*100) AS disc_pct,
+         round(l_tax*100) AS tax_pct
+  FROM lineitem
+  WHERE l_shipdate < TIMESTAMP '1998-09-03'
+)
+SELECT l_returnflag, l_linestatus,
+  sum(qty) AS sum_qty,
+  sum(price_cents) AS sum_base_price_cents,
+  sum(price_cents*(100-disc_pct)) AS sum_disc_price_e4,
+  sum(price_cents*(100-disc_pct)*(100+tax_pct)) AS sum_charge_e6,
+  avg(qty) AS avg_qty,
+  avg(price_cents) AS avg_price_cents,
+  avg(disc_pct) AS avg_disc_pct,
+  CAST(count(*) AS BIGINT) AS count_order
+FROM d GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# q3 — top unshipped orders: 3-way join + agg + deterministic top-k
+# --------------------------------------------------------------------------
+
+def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = _ts_ntz("1998-01-01")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < cutoff
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > cutoff
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "l_orderkey",
+            (_cents("l_extendedprice") * (F.lit(100) - _pct("l_discount"))).alias(
+                "rev_e4"
+            ),
+        )
+    )
+    rev = joined.groupBy("l_orderkey").agg(F.sum("rev_e4").alias("revenue_e4"))
+    return rev.orderBy(F.col("revenue_e4").desc(), F.col("l_orderkey")).limit(10)
+
+
+_Q3_ORACLE = """
+SELECT l_orderkey, sum(round(l_extendedprice*100)*(100-round(l_discount*100)))
+       AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey
+ORDER BY revenue_e4 DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# q5 — revenue by customer region: 5-table join chain, dims broadcast
+# --------------------------------------------------------------------------
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy("r_name").agg(
+        F.sum(
+            _cents("l_extendedprice") * (F.lit(100) - _pct("l_discount"))
+        ).alias("revenue_e4"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+_Q5_ORACLE = """
+SELECT r_name,
+  sum(round(l_extendedprice*100)*(100-round(l_discount*100))) AS revenue_e4,
+  CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# --------------------------------------------------------------------------
+# pivot — known-values pivot (operator A2/A7): nation × market segment
+# --------------------------------------------------------------------------
+
+def pivot_segments_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    base = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select("n_name", "c_mktsegment", _cents("c_acctbal").alias("bal_cents"))
+    pivoted = (
+        base.groupBy("n_name")
+        .pivot("c_mktsegment", list(MKT_SEGMENTS))  # explicit values: no
+        # discovery scan (reference impl/duckdb_pivot-known-values.py:98-115)
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("bal_cents").alias("bal_cents"),
+        )
+    )
+    # canonical empty-cell semantics: count→0, sum→NULL
+    return pivoted.select(
+        "n_name",
+        *[
+            e
+            for seg in MKT_SEGMENTS
+            for e in (
+                F.coalesce(F.col(f"{seg}_cnt"), F.lit(0))
+                .cast("long")
+                .alias(f"{seg}_cnt"),
+                F.col(f"{seg}_bal_cents"),
+            )
+        ],
+    )
+
+
+def _pivot_oracle() -> str:
+    cells = []
+    for seg in MKT_SEGMENTS:
+        cells.append(
+            f"CAST(count(*) FILTER (WHERE c_mktsegment = '{seg}') AS BIGINT)"
+            f' AS "{seg}_cnt"'
+        )
+        cells.append(
+            f"sum(round(c_acctbal*100)) FILTER (WHERE c_mktsegment = '{seg}')"
+            f' AS "{seg}_bal_cents"'
+        )
+    cols = ",\n  ".join(cells)
+    return (
+        "SELECT n_name,\n  " + cols + "\n"
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey\n"
+        "GROUP BY n_name"
+    )
+
+
+# --------------------------------------------------------------------------
+# window functions — top-2 orders per customer (row_number over partition)
+# --------------------------------------------------------------------------
+
+def window_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", _cents("o_totalprice").alias("price_cents")
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("price_cents").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "price_cents", F.col("rn").cast("long"))
+    )
+
+
+_WINDOW_ORACLE = """
+SELECT o_custkey, o_orderkey, price_cents, CAST(rn AS BIGINT) AS rn FROM (
+  SELECT o_custkey, o_orderkey, round(o_totalprice*100) AS price_cents,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY round(o_totalprice*100) DESC, o_orderkey)
+         AS rn
+  FROM orders
+) WHERE rn <= 2
+"""
+
+
+# --------------------------------------------------------------------------
+# rollup — hierarchical totals (SQL ROLLUP; reference only hand-builds
+# cumulative rollups — this is the general operator)
+# --------------------------------------------------------------------------
+
+def rollup_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    base = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", "o_orderpriority", _cents("o_totalprice").alias("pc"))
+    )
+    return base.rollup("n_name", "o_orderpriority").agg(
+        F.sum("pc").alias("total_price_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT n_name, o_orderpriority,
+       sum(round(o_totalprice*100)) AS total_price_cents,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, o_orderpriority)
+"""
+
+
+# --------------------------------------------------------------------------
+# distinct aggregation (absent from the reference — SURVEY §2.3 "not present")
+# --------------------------------------------------------------------------
+
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_cents("value")).alias("value_cents_total"),
+    )
+
+
+_DISTINCT_ORACLE = """
+SELECT event_type,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(count(*) AS BIGINT) AS n_events,
+  sum(round(value*100)) AS value_cents_total
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# anti join — customers with no orders
+# --------------------------------------------------------------------------
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return anti_join(cust, orders, on=[cust.c_custkey == orders.o_custkey]).select(
+        "c_custkey", "c_name", _cents("c_acctbal").alias("acctbal_cents")
+    )
+
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name, round(c_acctbal*100) AS acctbal_cents
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# set ops — EXCEPT / INTERSECT (absent from the reference)
+# --------------------------------------------------------------------------
+
+def users_error_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select("user_id")
+    buy = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return err.subtract(buy)  # EXCEPT (distinct) semantics
+
+
+_EXCEPT_ORACLE = """
+SELECT user_id FROM events WHERE event_type = 'error'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+def users_error_and_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select("user_id")
+    buy = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return err.intersect(buy)
+
+
+_INTERSECT_ORACLE = """
+SELECT user_id FROM events WHERE event_type = 'error'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+# --------------------------------------------------------------------------
+# sessionization — gap-based sessions over the event stream (extension op)
+# --------------------------------------------------------------------------
+
+_GAP_US = 30 * 60 * 10**6  # 30 minutes in microseconds
+
+# NOTE: time flows in integer MICROseconds ("ts div 1000" on the raw nanos
+# int64) — DuckDB stores TIMESTAMP at µs precision, so µs is the finest
+# granularity both engines agree on exactly.
+
+
+def sessionization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000").alias("ts_us"), "event_id"
+    )
+    return session_stats(
+        ev,
+        key="user_id",
+        ts_col="ts_us",
+        gap=_GAP_US,
+        order_cols=["event_id"],
+        numeric_time=True,
+    )
+
+
+_SESSION_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts_us,
+    CASE WHEN lag(ts_us) OVER w IS NULL
+           OR ts_us - lag(ts_us) OVER w > {_GAP_US}
+         THEN 1 ELSE 0 END AS is_new
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sessioned AS (
+  SELECT user_id, ts_us,
+    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    AS session_id
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         max(ts_us) - min(ts_us) AS duration
+  FROM sessioned GROUP BY user_id, session_id
+)
+SELECT user_id,
+  CAST(count(*) AS BIGINT) AS n_sessions,
+  CAST(sum(n_events) AS BIGINT) AS total_events,
+  avg(n_events) AS avg_events_per_session,
+  avg(duration) AS avg_session_duration
+FROM per_session GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# as-of join — purchase→latest-preceding-click attribution (extension op)
+# --------------------------------------------------------------------------
+
+def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        _cents("value").alias("value_cents"),
+        F.expr("ts div 1000").alias("ts_us"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("value_cents").alias("purchase_value_cents"),
+        "ts_us",
+    )
+    # deterministic tie rule: at equal ts, keep the click with max event_id
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts_us")
+        .agg(F.expr("max_by(value_cents, event_id)").alias("click_value_cents"))
+        .withColumn("click_ts_us", F.col("ts_us"))
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="ts_us",
+        right_time="ts_us",
+        value_cols=["click_value_cents", "click_ts_us"],
+        suffix="",
+    )
+
+
+_ASOF_ORACLE = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, round(value*100) AS value_cents,
+         epoch_us(ts) AS ts_us
+  FROM events
+),
+p AS (
+  SELECT event_id, user_id, value_cents AS purchase_value_cents, ts_us
+  FROM ev WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts_us, max_by(value_cents, event_id) AS click_value_cents
+  FROM ev WHERE event_type = 'click' GROUP BY user_id, ts_us
+)
+SELECT p.event_id, p.user_id, p.purchase_value_cents, p.ts_us,
+       l.click_value_cents, l.click_ts_us
+FROM p LEFT JOIN LATERAL (
+  SELECT c.click_value_cents, c.ts_us AS click_ts_us
+  FROM c
+  WHERE c.user_id = p.user_id AND c.ts_us <= p.ts_us
+  ORDER BY c.ts_us DESC LIMIT 1
+) l ON true
+"""
+
+
+QUERIES = [
+    QueryDef("q1_pricing_summary", q1_pricing_summary, _Q1_ORACLE,
+             "filtered grouped aggregation (TPC-H Q1 shape)"),
+    QueryDef("q3_top_unshipped", q3_top_unshipped, _Q3_ORACLE,
+             "3-way join + agg + deterministic top-k"),
+    QueryDef("q5_region_revenue", q5_region_revenue, _Q5_ORACLE,
+             "5-table join chain with broadcast dims"),
+    QueryDef("pivot_segments_by_nation", pivot_segments_by_nation,
+             _pivot_oracle(), "known-values pivot, 2 aggs"),
+    QueryDef("window_top2_orders", window_top2_orders, _WINDOW_ORACLE,
+             "row_number window, per-key top-k"),
+    QueryDef("rollup_order_totals", rollup_order_totals, _ROLLUP_ORACLE,
+             "SQL ROLLUP hierarchical totals"),
+    QueryDef("distinct_users_per_type", distinct_users_per_type,
+             _DISTINCT_ORACLE, "distinct aggregation"),
+    QueryDef("customers_without_orders", customers_without_orders,
+             _ANTI_ORACLE, "anti join"),
+    QueryDef("users_error_no_purchase", users_error_no_purchase,
+             _EXCEPT_ORACLE, "EXCEPT set op"),
+    QueryDef("users_error_and_purchase", users_error_and_purchase,
+             _INTERSECT_ORACLE, "INTERSECT set op"),
+    QueryDef("sessionization_stats", sessionization_stats, _SESSION_ORACLE,
+             "gap-based sessionization via window functions"),
+    QueryDef("asof_click_attribution", asof_click_attribution, _ASOF_ORACLE,
+             "as-of (backward) join via union+window"),
+]
