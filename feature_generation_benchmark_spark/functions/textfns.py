@@ -1,0 +1,104 @@
+"""Text-analysis column expressions — language ID, quality scoring, token
+counting, fingerprinting (north-star extensions, SURVEY §7.2-M8).
+
+Everything here is a pure Catalyst ``Column`` tree (built-in string/array
+higher-order functions) — JVM-side, codegen-friendly, no Python at run
+time. Each builder has an ANSI-SQL twin used by the DuckDB oracles; the
+canonical tokenization rule is shared by both:
+``lowercase → split on [^a-z0-9]+ → drop empties``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+#: "BPE-ish" token pattern: runs of letters, runs of digits, or single
+#: punctuation marks — a cheap proxy for subword tokenizer unit counts.
+BPE_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+#: Tiny per-language function-word lists for the n-gram/stopword language
+#: heuristic (ordered dict: deterministic tie-break = first max in order).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "ein", "auf", "zu"),
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "on"),
+    "es": ("el", "los", "las", "y", "un", "una", "es", "para", "que", "por"),
+    "fr": ("le", "les", "et", "une", "est", "pour", "dans", "que", "qui", "au"),
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Canonical tokenization (see module docstring)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda x: x != F.lit(""))
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Count of BPE-ish units (letters-run | digits-run | punct char)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
+def char_class_count(text: Column | str, pattern: str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0)))
+
+
+def stopword_hits(toks: Column, lang: str) -> Column:
+    """Number of token INSTANCES that are stopwords of ``lang``."""
+    vocab = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(vocab, t)))
+
+
+def lang_scores(toks: Column) -> dict[str, Column]:
+    return {lang: stopword_hits(toks, lang) for lang in LANG_STOPWORDS}
+
+
+def lang_predict(toks: Column, unknown: str = "und") -> Column:
+    """Argmax language by stopword hits; ties resolve to the first language
+    in ``LANG_STOPWORDS`` order; all-zero scores → ``unknown``."""
+    scores = lang_scores(toks)
+    best = F.greatest(*scores.values())
+    expr = F.lit(unknown)
+    # build backwards so earlier langs win ties
+    for lang in reversed(list(scores)):
+        expr = F.when(
+            (scores[lang] == best) & (best > F.lit(0)), F.lit(lang)
+        ).otherwise(expr)
+    return expr
+
+
+def word_ngrams(toks: Column, n: int = 3) -> Column:
+    """Word-level n-gram shingles (space-joined), empty array when the
+    document has fewer than ``n`` tokens. 0-based Spark array indexing."""
+    idx = F.sequence(F.lit(0), F.size(toks) - F.lit(n))
+    shingled = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + F.lit(k + 1)) for k in range(n)]
+        ),
+    )
+    # guard: sequence(0, negative) would produce a DESCENDING sequence
+    return F.when(F.size(toks) >= F.lit(n), shingled).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Fingerprint normalization: lowercase, collapse non-alphanumerics to
+    single spaces, trim."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(c), TOKEN_SPLIT_RE, " "))
+
+
+def fingerprint_md5(text: Column | str) -> Column:
+    """Content fingerprint: md5 of normalized text (md5 is available and
+    bit-identical in every engine — the portable choice for oracle-checked
+    dedup; xxhash64 is the cheaper Spark-internal alternative)."""
+    return F.md5(normalize_text(text))

@@ -1,0 +1,289 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Five flavors, from exact to approximate (SURVEY §7.2-M8; these are engine
+extensions — the reference has no dedup surface):
+
+- exact:       fingerprint (md5 of normalized text) → keep min-id per group
+- n-gram Jaccard: exact pairwise similarity via shingle inverted index
+- MinHash+LSH: banded signature bucketing → candidates → exact verify
+- SimHash:     64-bit sign-hash, banded hamming candidates
+- embedding:   cosine near-dup pairs (see operators/similarity.py)
+
+Scale posture: every flavor is shuffle-bounded joins/aggregations on
+(token|shingle|band) keys — no driver-side state, no O(n²) step except the
+final verification on *candidate pairs* (whose count LSH controls). Exact
+pairwise Jaccard is provided as the small-scale oracle-checkable baseline;
+MinHash/LSH is the 100 TB path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from feature_generation_benchmark_spark.functions.textfns import (
+    fingerprint_md5,
+    tokens,
+    word_ngrams,
+)
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str, text_col: str, fingerprint_col: str = "fingerprint"
+) -> DataFrame:
+    """One surviving row (min id) per normalized-content fingerprint."""
+    fp = df.select(F.col(id_col), fingerprint_md5(text_col).alias(fingerprint_col))
+    return fp.groupBy(fingerprint_col).agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_duplicates")
+    )
+
+
+def doc_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingle) exploded DISTINCT word-n-gram shingle index."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(tokens(text_col), n))).alias(
+            "shingle"
+        ),
+    )
+    return sh
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact pairwise Jaccard over distinct word-n-gram shingle sets, via an
+    inverted shingle index self-join (only pairs sharing ≥1 shingle are ever
+    materialized — the sparse-similarity classic, not a cross join).
+
+    Returns (id_a, id_b, common, jaccard) with id_a < id_b and
+    jaccard ≥ threshold. Jaccard = |A∩B| / (|A|+|B|−|A∩B|) — exact integer
+    counts, deterministic division.
+    """
+    sh = doc_shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("nb"))
+    out = (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("common").cast("long").alias("common"),
+            (
+                F.col("common")
+                / (F.col("na") + F.col("nb") - F.col("common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str, num_perm: int = 64
+) -> DataFrame:
+    """One row per id with ``num_perm`` min-hash values. Permutation *i* is
+    simulated as ``xxhash64(i, shingle)`` (seeded 64-bit hash — the standard
+    one-hash-function-per-band trick); the signature is a single group-by
+    with ``num_perm`` min-aggregates — one shuffle, map-side combined."""
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+        for i in range(num_perm)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, num_perm: int = 64, bands: int = 16
+) -> DataFrame:
+    """Band the signature (``bands`` bands × ``num_perm/bands`` rows), hash
+    each band, and emit distinct id pairs sharing any band bucket.
+
+    Probability a pair with Jaccard s collides ≥ 1 − (1 − s^r)^b.
+    """
+    rows_per_band = num_perm // bands
+    if rows_per_band * bands != num_perm:
+        raise ValueError("bands must divide num_perm")
+    band_cols = [
+        F.xxhash64(
+            F.lit(b), *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_cols[b].alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → signature → banded
+    candidates → EXACT Jaccard verification of candidates only.
+
+    Output schema matches :func:`ngram_jaccard_pairs`; at any scale the
+    candidate set (not n²) bounds the verification join.
+    """
+    sh = doc_shingles(df, id_col, text_col, n).cache()
+    sig = minhash_signatures(sh, id_col, num_perm)
+    cand = lsh_candidate_pairs(sig, id_col, num_perm, bands)
+
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("nb"))
+    return (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("common").cast("long").alias("common"),
+            (
+                F.col("common")
+                / (F.col("na") + F.col("nb") - F.col("common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_bits(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+) -> DataFrame:
+    """Per-doc SimHash as ``bits/16`` packed 16-bit band integers.
+
+    Classic Charikar sign-hash: token instance votes +1/−1 on each bit of
+    its 64-bit hash; bit = 1 iff the vote sum is positive. Packing into
+    16-bit bands serves both banding (hamming ≤ 3 ⇒ ≥ 1 equal band among 4,
+    pigeonhole) and cheap hamming via bit_count(xor).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            # (h >> b) & 1 — avoids a 1<<63 literal overflowing signed long
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v_{b}")
+            for b in range(bits)
+        ]
+    )
+    n_bands = bits // 16
+    band_exprs = []
+    for band in range(n_bands):
+        acc = F.lit(0)
+        for r in range(16):
+            b = band * 16 + r
+            bit = F.when(F.col(f"v_{b}") > 0, F.lit(1)).otherwise(F.lit(0))
+            acc = acc + (bit * F.lit(1 << r))
+        band_exprs.append(acc.cast("long").alias(f"sh_band_{band}"))
+    return votes.select(F.col(id_col), *band_exprs)
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance ≤ ``max_hamming``
+    (≤ 3 with 4×16-bit bands ⇒ candidate recall is exact by pigeonhole)."""
+    sh = simhash_bits(df, id_col, text_col).cache()
+    n_bands = 4
+    banded = sh.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"sh_band_{b}").alias("bucket")
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sh.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"sh_band_{i}").alias(f"a_{i}") for i in range(n_bands)],
+    )
+    sb = sh.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"sh_band_{i}").alias(f"b_{i}") for i in range(n_bands)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a_{i}").bitwiseXOR(F.col(f"b_{i}")))
+        for i in range(n_bands)
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", hamming.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+    )

@@ -1,0 +1,230 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k is the exact baseline (and the oracle-checkable
+path); random-hyperplane LSH bucketing and an IVF-style coarse quantizer are
+the scale paths — at 100 TB, candidate generation must be a key-equality
+join on bucket ids, never a cross join.
+
+All vector math is built-in higher-order functions (``zip_with`` +
+``aggregate``) over doubles — JVM codegen, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def as_double_array(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ — left-to-right fold (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    round_decimals: int | None = 6,
+) -> DataFrame:
+    """Exact cosine top-k: corpus × queries nested-loop (broadcast the
+    queries — the small side), rank per query, keep k.
+
+    Output: (query_id, neighbor_id, cos_sim). Self-matches excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
+    )
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    sim = (
+        F.round(F.col("cos_sim"), round_decimals)
+        if round_decimals is not None
+        else F.col("cos_sim")
+    )
+    return ranked.select("query_id", "neighbor_id", sim.alias("cos_sim"))
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic unit-free hyperplanes (seeded NumPy) compiled into the
+    plan as literals — no discovery job, identical across runs."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id from ``len(planes)`` hyperplane dot-product
+    signs, packed into a long."""
+    acc = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot(vec, plane) >= 0, F.lit(1)).otherwise(F.lit(0))
+        acc = acc + bit.cast("long") * F.lit(1 << i)
+    return acc
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+    round_decimals: int | None = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH sign-bucket with the
+    query (key-equality join on bucket id — THE scale path), exact cosine
+    rerank within candidates."""
+    planes = random_hyperplanes(dim, n_planes, seed)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    ).withColumn("bucket", lsh_bucket(F.col("qv"), planes))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
+    ).withColumn("bucket", lsh_bucket(F.col("cv"), planes))
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    sim = (
+        F.round(F.col("cos_sim"), round_decimals)
+        if round_decimals is not None
+        else F.col("cos_sim")
+    )
+    return ranked.select("query_id", "neighbor_id", sim.alias("cos_sim"))
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    k: int = 5,
+    n_probe: int = 2,
+    round_decimals: int | None = 6,
+) -> DataFrame:
+    """IVF-style ANN: assign corpus vectors to their nearest centroid
+    (coarse quantizer), probe the ``n_probe`` nearest centroid cells per
+    query, exact rerank within probed cells.
+
+    ``centroids`` are plan literals (train offline / sample — at scale this
+    is a tiny broadcast model, not a job)."""
+    def nearest_cells(vec: Column, n: int) -> Column:
+        sims = F.array(
+            *[
+                F.struct(
+                    cosine(
+                        vec, F.array(*[F.lit(float(x)) for x in cent])
+                    ).alias("s"),
+                    F.lit(ci).alias("cell"),
+                )
+                for ci, cent in enumerate(centroids)
+            ]
+        )
+        top = F.slice(F.reverse(F.array_sort(sims)), 1, n)
+        return F.transform(top, lambda s: s["cell"])
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
+    ).withColumn("cell", nearest_cells(F.col("cv"), 1)[0])
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    ).withColumn("cell", F.explode(nearest_cells(F.col("qv"), n_probe)))
+    scored = (
+        c.join(F.broadcast(q), on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    ranked = (
+        scored.groupBy("query_id", "neighbor_id")
+        .agg(F.first("cos_sim").alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+    sim = (
+        F.round(F.col("cos_sim"), round_decimals)
+        if round_decimals is not None
+        else F.col("cos_sim")
+    )
+    return ranked.select("query_id", "neighbor_id", sim.alias("cos_sim"))
+
+
+def cosine_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    round_decimals: int | None = 6,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: all (a<b) with cosine ≥ threshold.
+    Exact pairwise form (small-scale / oracle-checkable); swap candidate
+    generation for :func:`lsh_bucket` equality at scale."""
+    a = df.select(
+        F.col(id_col).alias("id_a"), as_double_array(vec_col).alias("va")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), as_double_array(vec_col).alias("vb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim")
+    )
+    out = pairs.filter(F.col("cos_sim") >= F.lit(threshold))
+    if round_decimals is not None:
+        out = out.select(
+            "id_a", "id_b", F.round("cos_sim", round_decimals).alias("cos_sim")
+        )
+    return out

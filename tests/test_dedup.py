@@ -1,0 +1,105 @@
+"""Ground-truth tests for the dedup family on planted duplicates —
+the hash-based operators (MinHash/SimHash) have no SQL oracle, so recall
+against known near-duplicates is their correctness contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_generation_benchmark_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_dup_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "the bird in the tall green tree near the old stone wall by the river"
+)
+NEAR = BASE.replace("lazy dog", "sleepy dog")          # 1-token edit
+FAR = (
+    "completely different content about spark engines aggregating parquet "
+    "tables with hash joins and shuffle partitions at massive scale daily"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),            # exact duplicate of 1
+        (3, NEAR),            # near duplicate of 1/2
+        (4, FAR),
+        (5, "The  quick brown fox... " + BASE[20:]),  # normalization probe
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs, "doc_id", "text").collect()
+    groups = {r["doc_id"]: r["n_duplicates"] for r in out}
+    # docs 1,2 are identical; doc 5 normalizes to the same text
+    # (caps/punct/whitespace) → one fingerprint group of 3, min id survives
+    assert groups[1] == 3
+    assert 2 not in groups and 5 not in groups
+    assert groups[4] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.3
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 < pairs[(1, 3)] < 1.0
+    assert not any({a, b} == {1, 4} for a, b in pairs)
+
+
+def test_minhash_lsh_recalls_planted_pairs(spark, docs):
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup_pairs(
+            docs, "doc_id", "text", threshold=0.3
+        ).collect()
+    }
+    # exact duplicates collide in every band; the near-dup pair has
+    # jaccard ~0.9 → collision probability ≈ 1 at 16 bands × 4 rows
+    assert (1, 2) in got
+    assert (1, 3) in got
+    assert not any({a, b} == {1, 4} for a, b in got)
+
+
+def test_minhash_agrees_with_exact_jaccard(spark, docs):
+    """LSH+verify must report the same jaccard values as the exact operator
+    for every pair it emits (verification IS the exact computation)."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.3
+        ).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_dedup_pairs(
+            docs, "doc_id", "text", threshold=0.3
+        ).collect()
+    }
+    for pair, j in approx.items():
+        assert pair in exact
+        assert abs(exact[pair] - j) < 1e-12
+
+
+def test_simhash_near_dups(spark, docs):
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_dup_pairs(
+            docs, "doc_id", "text", max_hamming=10
+        ).collect()
+    }
+    assert got.get((1, 2)) == 0     # identical token multiset → same simhash
+    assert (1, 3) in got and got[(1, 3)] <= 10
+    assert not any({a, b} == {1, 4} for a, b in got)

@@ -1,0 +1,107 @@
+"""Similarity-search tests: exactness of the brute-force baseline on a
+constructed geometry, and recall of the approximate variants against it."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from feature_generation_benchmark_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_dup_pairs,
+    ivf_topk,
+    lsh_topk,
+)
+
+DIM = 8
+
+
+def _vec(i: int, seed_dim: int) -> list[float]:
+    """Deterministic near-axis vectors: vector i points mostly along axis
+    ``seed_dim`` with a small index-dependent wobble."""
+    v = [0.05 * ((i * 7 + d * 3) % 5 - 2) for d in range(DIM)]
+    v[seed_dim] += 10.0
+    return v
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = []
+    for i in range(30):
+        axis = i % 3  # three well-separated clusters on axes 0,1,2
+        rows.append((i, _vec(i, axis), axis))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _py_cosine(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+
+def test_bruteforce_matches_python(spark, emb):
+    out = brute_force_topk(
+        emb.filter(F.col("vec_id") < 3), emb, "vec_id", "embedding", k=4,
+        round_decimals=None,
+    ).collect()
+    rows = [(r["embedding"], r["vec_id"]) for r in emb.collect()]
+    for r in out:
+        qv = next(v for v, i in rows if i == r["query_id"])
+        nv = next(v for v, i in rows if i == r["neighbor_id"])
+        assert abs(_py_cosine(qv, nv) - r["cos_sim"]) < 1e-9
+
+
+def test_bruteforce_neighbors_same_cluster(spark, emb):
+    out = brute_force_topk(
+        emb.filter(F.col("vec_id") < 3), emb, "vec_id", "embedding", k=4
+    ).collect()
+    for r in out:
+        assert r["neighbor_id"] % 3 == r["query_id"] % 3
+
+
+def test_lsh_recall_against_bruteforce(spark, emb):
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(q, emb, "vec_id", "embedding", k=4).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk(
+            q, emb, "vec_id", "embedding", k=4, dim=DIM, n_planes=4
+        ).collect()
+    }
+    # separated clusters → high recall expected from sign-LSH
+    assert len(approx & exact) >= len(exact) * 0.7
+
+
+def test_ivf_recall_against_bruteforce(spark, emb):
+    q = emb.filter(F.col("vec_id") < 3)
+    cents = [_vec(0, 0), _vec(1, 1), _vec(2, 2)]
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(q, emb, "vec_id", "embedding", k=4).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(
+            q, emb, "vec_id", "embedding", centroids=cents, k=4, n_probe=1
+        ).collect()
+    }
+    assert len(approx & exact) >= len(exact) * 0.7
+
+
+def test_cosine_dup_pairs_threshold(spark, emb):
+    pairs = cosine_dup_pairs(emb, "vec_id", "embedding", threshold=0.99)
+    for r in pairs.collect():
+        assert r["id_a"] % 3 == r["id_b"] % 3
+        assert r["cos_sim"] >= 0.99
