@@ -25,12 +25,14 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
-    import __spark_entry__ as entrymod
     from feature_generation_benchmark_spark.session import get_spark
+    from feature_generation_benchmark_spark.workloads import registry
 
     spark = get_spark("fgb-bench")
     out_root = tempfile.mkdtemp(prefix="fgb_bench_")
-    queries = entrymod.queries()
+    queries = {
+        name: q.fn for name, q in registry().items() if q.bench
+    }
 
     # warm the JVM + parquet footer caches once so per-query numbers measure
     # the plan, not first-touch session costs

@@ -1,0 +1,138 @@
+"""Multimodal column plumbing — images/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
+
+The container has no codec libraries, so the DECODE step is stubbed two
+ways (clearly marked): ``decoder="fake"`` produces deterministic
+pseudo-features derived from the bytes (so the whole pipeline is testable
+end-to-end), and ``decoder="real"`` raises ``NotImplementedError`` at the
+exact point a real implementation would call PIL/ffmpeg. Everything
+AROUND the stub — schema, batch iteration, partitioning, UDF signature —
+is the real Spark plumbing a production pipeline would keep.
+
+Scale posture: ``mapInPandas`` streams Arrow batches (no per-row Python
+dispatch); blobs never pass through a shuffle — feature extraction is a
+narrow map, and only the (small) extracted features flow onward.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Typed metadata carried next to every blob column.
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),   # image|audio|video
+        T.StructField("format", T.StringType()),       # png|wav|mp4|...
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+MEDIA_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_sha256", T.StringType()),
+        # decode-stage outputs (decoder-dependent):
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("feature_vec", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def attach_media_meta(
+    df: DataFrame, blob_col: str, media_type: str, fmt: str
+) -> DataFrame:
+    """Add the typed metadata struct for an opaque binary column."""
+    return df.withColumn(
+        f"{blob_col}_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(fmt).alias("format"),
+            F.length(F.col(blob_col)).cast("long").alias("n_bytes"),
+        ),
+    )
+
+
+def _decode_stub(blob: bytes, media_type: str, decoder: str):
+    """THE STUB. A real deployment replaces this with PIL / torchaudio /
+    pyav decoding; the deterministic fake derives plausible shapes and an
+    8-dim feature vector from the content hash so downstream plumbing is
+    fully exercisable in tests."""
+    if decoder == "real":
+        raise NotImplementedError(
+            "media decoding requires codec libraries not present in this "
+            "environment; plug PIL/ffmpeg here"
+        )
+    digest = hashlib.sha256(blob).digest()
+    width = 16 + digest[0] % 240
+    height = 16 + digest[1] % 240
+    n_frames = 1 if media_type == "image" else 1 + digest[2] % 64
+    vec = [round(b / 255.0, 6) for b in digest[:8]]
+    return width, height, n_frames, vec
+
+
+def extract_media_features(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str,
+    media_type: str = "image",
+    decoder: str = "fake",
+    batch_limit: int = 256,
+) -> DataFrame:
+    """Decode/feature-extract blobs via ``mapInPandas`` (Arrow batches).
+
+    ``batch_limit`` caps rows per emitted pandas frame so very large blobs
+    don't balloon a single Arrow batch (the knob a real pipeline tunes
+    against executor memory).
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_limit):
+                chunk = pdf.iloc[start : start + batch_limit]
+                rows = []
+                for doc_id, blob in zip(chunk[id_col], chunk[blob_col]):
+                    data = bytes(blob)
+                    w, h, nf, vec = _decode_stub(data, media_type, decoder)
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "media_type": media_type,
+                            "n_bytes": len(data),
+                            "content_sha256": hashlib.sha256(data).hexdigest(),
+                            "width": w,
+                            "height": h,
+                            "n_frames": nf,
+                            "feature_vec": vec,
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+    narrow = df.select(F.col(id_col), F.col(blob_col))
+    return narrow.mapInPandas(run, MEDIA_FEATURES_SCHEMA)
+
+
+def frame_sample_plan(
+    df: DataFrame, id_col: str, blob_col: str, every_n: int = 10
+) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled frame
+    index (decode stubbed). Demonstrates the explode-after-extract shape —
+    the blob is decoded ONCE per row, then only small per-frame features
+    fan out."""
+    feats = extract_media_features(df, id_col, blob_col, media_type="video")
+    return feats.select(
+        "doc_id",
+        "content_sha256",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+        ).alias("frame_idx"),
+        "feature_vec",
+    )

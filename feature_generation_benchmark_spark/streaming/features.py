@@ -1,0 +1,143 @@
+"""Structured Streaming extension — the reference is pure batch (SURVEY
+§2.5), but its trailing-window aggregations map naturally onto streaming:
+the same FeatureSpec grouping/agg surface expressed over event-time windows
+with watermarked late-data handling, plus a custom stateful sessionizer
+(``applyInPandasWithState``).
+
+Scale posture: watermark bounds state size; aggregations are incremental
+(partial state per window pane); the stateful sessionizer keeps O(1) state
+per key and emits sessions on timeout — the canonical streaming shapes that
+survive unbounded input.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def windowed_event_features(
+    events: DataFrame,
+    key: str = "user_id",
+    category: str = "event_type",
+    measure: str = "value",
+    ts_col: str = "event_ts",
+    window_duration: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Per-(key, category) tumbling/sliding event-time window aggregates
+    with a watermark for late data — the streaming twin of the batch
+    FeatureSpec cell ``{count, sum, avg, min, max}``.
+
+    Works identically on a batch DataFrame (Spark's unified semantics), so
+    tests can assert stream-vs-batch equality.
+    """
+    win = (
+        F.window(F.col(ts_col), window_duration, slide)
+        if slide
+        else F.window(F.col(ts_col), window_duration)
+    )
+    with_wm = (
+        events.withWatermark(ts_col, watermark)
+        if events.isStreaming
+        else events
+    )
+    return with_wm.groupBy(win.alias("win"), F.col(key), F.col(category)).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(measure).alias("sum_value"),
+        F.avg(measure).alias("avg_value"),
+        F.min(measure).alias("min_value"),
+        F.max(measure).alias("max_value"),
+    )
+
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start_us", T.LongType()),
+        T.StructField("session_end_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.DoubleType()),
+    ]
+)
+
+
+def _session_fn(gap_us: int):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        closed: list[tuple[int, int, int, float]] = []
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n, s = state.get
+                closed.append((start, last, n, s))
+                state.remove()
+        else:
+            rows = pd.concat(list(pdfs))
+            rows = rows.sort_values("ts_us")
+            if state.exists:
+                start, last, n, s = state.get
+            else:
+                start, last, n, s = None, None, 0, 0.0
+            for ts, v in zip(rows["ts_us"], rows["value"]):
+                ts = int(ts)
+                if start is None:
+                    start, last, n, s = ts, ts, 1, float(v)
+                elif ts - last > gap_us:
+                    closed.append((start, last, n, s))
+                    start, last, n, s = ts, ts, 1, float(v)
+                else:
+                    last, n, s = ts, n + 1, s + float(v)
+            state.update((start, last, n, s))
+            state.setTimeoutDuration(gap_us // 1000)  # ms
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start_us": [c[0] for c in closed],
+                    "session_end_us": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                    "sum_value": [c[3] for c in closed],
+                }
+            )
+
+    return fn
+
+
+def stateful_sessionizer(
+    events: DataFrame,
+    gap_us: int = 30 * 60 * 10**6,
+) -> DataFrame:
+    """Custom stateful operator: gap-based session assembly with
+    ``applyInPandasWithState`` (processing-time timeout closes idle
+    sessions). Input needs columns (user_id long, ts_us long, value double).
+    """
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn(gap_us),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -28,32 +28,16 @@ class QueryDef:
 
 def registry() -> dict[str, QueryDef]:
     from feature_generation_benchmark_spark.workloads import (
+        dedup,
         events_features,
+        multimodal,
         relational,
+        similarity,
+        text,
     )
 
-    mods = [events_features, relational]
-    try:  # extension workloads land incrementally
-        from feature_generation_benchmark_spark.workloads import dedup as _d
-
-        mods.append(_d)
-    except ImportError:
-        pass
-    try:
-        from feature_generation_benchmark_spark.workloads import similarity as _s
-
-        mods.append(_s)
-    except ImportError:
-        pass
-    try:
-        from feature_generation_benchmark_spark.workloads import text as _t
-
-        mods.append(_t)
-    except ImportError:
-        pass
-
     out: dict[str, QueryDef] = {}
-    for mod in mods:
+    for mod in (events_features, relational, dedup, similarity, text, multimodal):
         for q in mod.QUERIES:
             if q.name in out:
                 raise ValueError(f"duplicate query name {q.name}")

@@ -1,0 +1,126 @@
+"""Streaming tests: file-source micro-batch runs with availableNow
+triggers, memory sinks, and stream-vs-batch equality (Spark's unified
+semantics make the batch result the oracle)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_generation_benchmark_spark.sources.testdata import (
+    from_nanos,
+    load_table,
+)
+from feature_generation_benchmark_spark.streaming.features import (
+    stateful_sessionizer,
+    windowed_event_features,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark):
+    """Events re-written with a proper timestamp column (streaming needs
+    TimestampType for watermarks/windows, not raw nanos)."""
+    d = tempfile.mkdtemp(prefix="fgb_stream_src_")
+    (
+        load_table(spark, SF, "events")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            from_nanos("ts").alias("event_ts"),
+            F.expr("ts div 1000").alias("ts_us"),
+        )
+        .write.mode("overwrite").parquet(d)
+    )
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_windowed_features_stream_equals_batch(spark, event_dir):
+    batch_df = spark.read.parquet(event_dir)
+    expected = {
+        (r["win"]["start"], r["user_id"], r["event_type"]): (
+            r["n_events"],
+            round(r["sum_value"], 6),
+        )
+        for r in windowed_event_features(batch_df).collect()
+    }
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(event_dir)
+    out = windowed_event_features(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("winfeat")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["win"]["start"], r["user_id"], r["event_type"]): (
+            r["n_events"],
+            round(r["sum_value"], 6),
+        )
+        for r in spark.sql("SELECT * FROM winfeat").collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_stateful_sessionizer_stream(spark, event_dir):
+    batch_df = spark.read.parquet(event_dir).select("user_id", "ts_us", "value")
+    stream = (
+        spark.readStream.schema(batch_df.schema).parquet(event_dir)
+        .select("user_id", "ts_us", "value")
+    )
+    gap_us = 30 * 60 * 10**6
+    q = (
+        stateful_sessionizer(stream, gap_us=gap_us)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    # single availableNow pass: only sessions CLOSED by a later event in the
+    # same run are emitted (open sessions wait for the timeout — correct
+    # append-mode semantics); verify the closed ones against batch logic.
+    from feature_generation_benchmark_spark.operators.sessionization import (
+        sessionize,
+    )
+
+    batch_sessions = (
+        sessionize(batch_df, "user_id", "ts_us", gap_us, numeric_time=True)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts_us").alias("session_start_us"),
+            F.max("ts_us").alias("session_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+    expected = {
+        (r["user_id"], r["session_start_us"]): (
+            r["session_end_us"],
+            r["n_events"],
+            round(r["sum_value"], 6),
+        )
+        for r in batch_sessions.collect()
+    }
+    assert len(rows) > 0
+    for r in rows:
+        key = (r["user_id"], r["session_start_us"])
+        assert key in expected
+        end, n, s = expected[key]
+        assert r["session_end_us"] == end
+        assert r["n_events"] == n
+        assert round(r["sum_value"], 6) == s
