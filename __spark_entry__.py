@@ -24,7 +24,9 @@ from feature_generation_benchmark_spark.workloads.events_features import (
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: bucket+exact-rollup feature generation on sf0.001 events."""
-    trx = events_transactions(spark, "/root/testdata/sf0.001")
+    trx = events_transactions(
+        spark, "/root/testdata/sf0.001", max_t_minus=max(EVENTS_SPEC.windows)
+    )
     return compile_bucket_rollup(EVENTS_SPEC, trx)
 
 

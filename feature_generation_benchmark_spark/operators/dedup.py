@@ -80,8 +80,8 @@ def ngram_jaccard_pairs(
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("na"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("nb"))
     out = (
-        common.join(na, "id_a")
-        .join(nb, "id_b")
+        common.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
         .select(
             "id_a",
             "id_b",
@@ -175,7 +175,8 @@ def minhash_dedup_pairs(
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     common = (
-        cand.join(a, "id_a")
+        F.broadcast(cand)  # candidate pairs are few by LSH design
+        .join(a, "id_a")
         .join(b, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("common"))
@@ -183,8 +184,8 @@ def minhash_dedup_pairs(
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("na"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("nb"))
     return (
-        common.join(na, "id_a")
-        .join(nb, "id_b")
+        common.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
         .select(
             "id_a",
             "id_b",

@@ -38,6 +38,14 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def unit_normalize(a: Column) -> Column:
+    """Scale to unit L2 norm — done ONCE per vector so pairwise cosine
+    becomes a single dot fold instead of dot + two norms per pair (3× less
+    array traversal in O(n²)/candidate loops)."""
+    norm = l2_norm(a)
+    return F.transform(a, lambda x: x / norm)
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -52,15 +60,17 @@ def brute_force_topk(
     Output: (query_id, neighbor_id, cos_sim). Self-matches excluded.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        unit_normalize(as_double_array(vec_col)).alias("qv"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        unit_normalize(as_double_array(vec_col)).alias("cv"),
     )
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        dot(F.col("qv"), F.col("cv")).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -112,10 +122,12 @@ def lsh_topk(
     rerank within candidates."""
     planes = random_hyperplanes(dim, n_planes, seed)
     q = queries.select(
-        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        unit_normalize(as_double_array(vec_col)).alias("qv"),
     ).withColumn("bucket", lsh_bucket(F.col("qv"), planes))
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        unit_normalize(as_double_array(vec_col)).alias("cv"),
     ).withColumn("bucket", lsh_bucket(F.col("cv"), planes))
     scored = (
         c.join(F.broadcast(q), on="bucket")
@@ -123,7 +135,7 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+            dot(F.col("qv"), F.col("cv")).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -172,10 +184,12 @@ def ivf_topk(
         return F.transform(top, lambda s: s["cell"])
 
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        unit_normalize(as_double_array(vec_col)).alias("cv"),
     ).withColumn("cell", nearest_cells(F.col("cv"), 1)[0])
     q = queries.select(
-        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        unit_normalize(as_double_array(vec_col)).alias("qv"),
     ).withColumn("cell", F.explode(nearest_cells(F.col("qv"), n_probe)))
     scored = (
         c.join(F.broadcast(q), on="cell")
@@ -183,7 +197,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+            dot(F.col("qv"), F.col("cv")).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -213,14 +227,14 @@ def cosine_dup_pairs(
     """Embedding near-duplicate pairs: all (a<b) with cosine ≥ threshold.
     Exact pairwise form (small-scale / oracle-checkable); swap candidate
     generation for :func:`lsh_bucket` equality at scale."""
-    a = df.select(
-        F.col(id_col).alias("id_a"), as_double_array(vec_col).alias("va")
+    normed = df.select(
+        F.col(id_col).alias("__id"),
+        unit_normalize(as_double_array(vec_col)).alias("__v"),
     )
-    b = df.select(
-        F.col(id_col).alias("id_b"), as_double_array(vec_col).alias("vb")
-    )
+    a = normed.select(F.col("__id").alias("id_a"), F.col("__v").alias("va"))
+    b = normed.select(F.col("__id").alias("id_b"), F.col("__v").alias("vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
-        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim")
+        "id_a", "id_b", dot(F.col("va"), F.col("vb")).alias("cos_sim")
     )
     out = pairs.filter(F.col("cos_sim") >= F.lit(threshold))
     if round_decimals is not None:

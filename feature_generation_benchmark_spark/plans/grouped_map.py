@@ -47,8 +47,12 @@ def _make_group_fn(spec: FeatureSpec):
         out: dict[str, object] = {key: pdf[key].iloc[0]}
         t = pdf[time_col].to_numpy()
         m = pdf[measure].to_numpy()
-        # cache combo masks: grouping cols repeat across windows/aggs
+        # cache masks and value subsets: each (combo, window) cell is
+        # shared by all aggs, each combo by all windows, each window mask
+        # by all combos — turns |features| array scans into |cells|
         combo_masks: dict[tuple, object] = {}
+        window_masks = {w: t <= w for w in {f.window for f in features}}
+        cell_vals: dict[tuple, object] = {}
         for feat in features:
             ckey = (feat.grouping.cols, feat.combo)
             if ckey not in combo_masks:
@@ -57,8 +61,10 @@ def _make_group_fn(spec: FeatureSpec):
                     eq = pdf[c].to_numpy() == v
                     mask = eq if mask is None else (mask & eq)
                 combo_masks[ckey] = mask
-            mask = combo_masks[ckey] & (t <= feat.window)
-            vals = m[mask]
+            cell = (ckey, feat.window)
+            if cell not in cell_vals:
+                cell_vals[cell] = m[combo_masks[ckey] & window_masks[feat.window]]
+            vals = cell_vals[cell]
             if feat.agg is Agg.COUNT:
                 out[feat.name] = int(vals.size)
                 continue

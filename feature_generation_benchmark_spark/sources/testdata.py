@@ -31,18 +31,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def from_nanos(col) -> "F.Column":
+def from_nanos(col: str) -> "F.Column":
     """Exact nanosecond-epoch long → TimestampType (µs precision).
 
     With ``spark.sql.legacy.parquet.nanosAsLong`` the testdata's
-    TIMESTAMP(NANOS) columns surface as LongType; integer division keeps the
-    conversion exact (no double rounding at 1.7e18 magnitudes).
+    TIMESTAMP(NANOS) columns surface as LongType; ``div`` keeps the
+    conversion in integer arithmetic — a double division would lose
+    microseconds at 1.7e18 magnitudes.
     """
-    return F.timestamp_micros((F.col(col) / F.lit(1000)).cast("long"))
+    return F.timestamp_micros(F.expr(f"{col} div 1000"))
+
+
+_NS_PER_DAY = 86_400 * 10**9
+
+
+def _epoch_days(date_str: str) -> int:
+    import datetime as dt
+
+    return (dt.date.fromisoformat(date_str) - dt.date(1970, 1, 1)).days
 
 
 def events_transactions(
-    spark: SparkSession, sf_dir: str, ref_date: str = EVENTS_REF_DATE
+    spark: SparkSession,
+    sf_dir: str,
+    ref_date: str = EVENTS_REF_DATE,
+    max_t_minus: int | None = None,
 ) -> DataFrame:
     """events → long transactions-shaped frame
     (user_id, event_type, value_cents, t_minus).
@@ -53,13 +66,25 @@ def events_transactions(
     bit-deterministic across Spark partial-agg trees AND equal to any other
     engine — the cross-engine float-comparison problem disappears instead of
     being papered over with rounding.
+
+    ``t_minus`` is pure integer day arithmetic on the raw nanos int64
+    (UTC-day floor), equal to ``datediff(ref, date(ts))`` for positive
+    epochs. ``max_t_minus`` additionally applies the window cutoff as a raw
+    ``ts >= const`` predicate — the form parquet row-group pruning
+    understands (the derived ``t_minus <= K`` filter alone cannot push
+    down; at 100 TB that is the difference between scanning 30 days and
+    scanning everything).
     """
     ev = load_table(spark, sf_dir, "events")
+    ref_days = _epoch_days(ref_date)
+    if max_t_minus is not None:
+        cutoff_ns = (ref_days - max_t_minus) * _NS_PER_DAY
+        ev = ev.filter(F.col("ts") >= F.lit(cutoff_ns))
     return ev.select(
         "user_id",
         "event_type",
         F.round(F.col("value") * F.lit(100), 0).alias("value_cents"),
-        F.datediff(F.lit(ref_date).cast("date"), from_nanos("ts").cast("date"))
+        (F.lit(ref_days) - F.expr(f"ts div {_NS_PER_DAY}"))
         .cast("long")
         .alias("t_minus"),
     )

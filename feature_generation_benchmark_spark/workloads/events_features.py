@@ -31,16 +31,25 @@ EVENTS_SPEC = FeatureSpec(
 _ORACLE = oracle_sql_for_spec(EVENTS_SPEC, events_transactions_from_sql())
 
 
+def _load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_t_minus pushes the window cutoff down as a raw ts >= const
+    # parquet predicate (row-group pruning) — semantically redundant with
+    # the compiler's own t_minus filter, physically decisive at scale
+    return events_transactions(
+        spark, sf_dir, max_t_minus=max(EVENTS_SPEC.windows)
+    )
+
+
 def _case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return compile_case_when(EVENTS_SPEC, events_transactions(spark, sf_dir))
+    return compile_case_when(EVENTS_SPEC, _load(spark, sf_dir))
 
 
 def _bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return compile_bucket_rollup(EVENTS_SPEC, events_transactions(spark, sf_dir))
+    return compile_bucket_rollup(EVENTS_SPEC, _load(spark, sf_dir))
 
 
 def _grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return compile_grouped_map(EVENTS_SPEC, events_transactions(spark, sf_dir))
+    return compile_grouped_map(EVENTS_SPEC, _load(spark, sf_dir))
 
 
 QUERIES = [
