@@ -1,6 +1,9 @@
 from feature_generation_benchmark_spark.plans.case_when import compile_case_when
 from feature_generation_benchmark_spark.plans.bucket_rollup import compile_bucket_rollup
 from feature_generation_benchmark_spark.plans.grouped_map import compile_grouped_map
+from feature_generation_benchmark_spark.plans.grouped_arrow import (
+    compile_grouped_arrow,
+)
 from feature_generation_benchmark_spark.plans.planner import compile_features
 from feature_generation_benchmark_spark.plans.oracle import oracle_sql_for_spec
 
@@ -8,6 +11,7 @@ __all__ = [
     "compile_case_when",
     "compile_bucket_rollup",
     "compile_grouped_map",
+    "compile_grouped_arrow",
     "compile_features",
     "oracle_sql_for_spec",
 ]

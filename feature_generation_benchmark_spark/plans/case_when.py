@@ -28,17 +28,58 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from feature_generation_benchmark_spark.functions.exprs import agg_expr
-from feature_generation_benchmark_spark.spec import FeatureSpec
+from feature_generation_benchmark_spark.functions.exprs import (
+    agg_expr,
+    feature_condition,
+)
+from feature_generation_benchmark_spark.spec import Agg, FeatureSpec
 from pyspark.sql import functions as F
 
 
-def compile_case_when(spec: FeatureSpec, df: DataFrame) -> DataFrame:
+def compile_case_when(
+    spec: FeatureSpec, df: DataFrame, premask: bool = False
+) -> DataFrame:
     """Compile ``spec`` over ``df`` (the long transactions-shaped frame)
-    into the single-pass conditional-aggregation plan."""
-    exprs = [agg_expr(spec, feat) for feat in spec.features()]
+    into the single-pass conditional-aggregation plan.
+
+    ``premask=True`` applies the reference's A10 physical rewrite
+    (``impl/pyspark-comet-case-when.py:48-64,142``): materialize the
+    ``when(cond, x)`` masks in a projection BEFORE the aggregation so the
+    agg itself sees only plain ``sum/avg/min/max(col)`` — the shape
+    columnar accelerators (Comet et al.) can offload wholesale. Catalyst
+    produces equivalent results either way; the knob exists for plan-shape
+    parity and for plugging native engines.
+    """
     pruned = df.select(*spec.input_columns())
     # Rows beyond the largest window contribute to no feature; filtering
     # early lets Parquet row-group stats skip them entirely at scale.
     in_scope = pruned.filter(F.col(spec.time_col) <= F.lit(max(spec.windows)))
-    return in_scope.groupBy(spec.key).agg(*exprs)
+    if not premask:
+        exprs = [agg_expr(spec, feat) for feat in spec.features()]
+        return in_scope.groupBy(spec.key).agg(*exprs)
+
+    mask_cols = []
+    agg_cols = []
+    for i, feat in enumerate(spec.features()):
+        cond = feature_condition(spec, feat)
+        name = f"__m_{i}"
+        if feat.agg is Agg.COUNT:
+            mask_cols.append(
+                F.when(cond, F.lit(1)).otherwise(F.lit(0)).alias(name)
+            )
+            expr = F.sum(name).cast("long")
+        else:
+            mask_cols.append(F.when(cond, F.col(spec.measure)).alias(name))
+            if feat.agg is Agg.SUM:
+                expr = F.coalesce(F.sum(name), F.lit(0.0))
+            elif feat.agg is Agg.AVG:
+                expr = F.avg(name)
+            elif feat.agg is Agg.MIN:
+                expr = F.min(name)
+            else:
+                expr = F.max(name)
+            if spec.round_decimals is not None:
+                expr = F.round(expr, spec.round_decimals)
+        agg_cols.append(expr.alias(feat.name))
+    masked = in_scope.select(F.col(spec.key), *mask_cols)
+    return masked.groupBy(spec.key).agg(*agg_cols)

@@ -15,9 +15,14 @@ from __future__ import annotations
 
 from feature_generation_benchmark_spark.spec import Agg, Feature, FeatureSpec
 
+#: identifier quote char: '"' (ANSI/DuckDB) or '`' (Spark SQL dialect) —
+#: the same generated text serves as DuckDB oracle AND as a runnable
+#: Spark-SQL surface (plans/sql_text.py)
+_QUOTE = '"'
+
 
 def _qident(name: str) -> str:
-    return '"' + name.replace('"', '""') + '"'
+    return _QUOTE + name.replace(_QUOTE, _QUOTE * 2) + _QUOTE
 
 
 def _qstr(value: str) -> str:
@@ -53,19 +58,27 @@ def _agg_sql(spec: FeatureSpec, feat: Feature) -> str:
     return f"{body} AS {_qident(feat.name)}"
 
 
-def oracle_sql_for_spec(spec: FeatureSpec, from_sql: str) -> str:
+def oracle_sql_for_spec(
+    spec: FeatureSpec, from_sql: str, ident_quote: str = '"'
+) -> str:
     """ANSI-SQL twin of the compiled feature plan.
 
     ``from_sql``: a table name or parenthesized subquery exposing the spec's
     input columns (key, time_col, measure, category cols).
+    ``ident_quote``: '"' for DuckDB/ANSI, '`' for Spark's SQL dialect.
     """
-    select_items = [_qident(spec.key)] + [
-        _agg_sql(spec, feat) for feat in spec.features()
-    ]
-    select_list = ",\n  ".join(select_items)
-    return (
-        f"SELECT\n  {select_list}\n"
-        f"FROM {from_sql}\n"
-        f"WHERE {_qident(spec.time_col)} <= {max(spec.windows)}\n"
-        f"GROUP BY {_qident(spec.key)}"
-    )
+    global _QUOTE
+    _QUOTE = ident_quote
+    try:
+        select_items = [_qident(spec.key)] + [
+            _agg_sql(spec, feat) for feat in spec.features()
+        ]
+        select_list = ",\n  ".join(select_items)
+        return (
+            f"SELECT\n  {select_list}\n"
+            f"FROM {from_sql}\n"
+            f"WHERE {_qident(spec.time_col)} <= {max(spec.windows)}\n"
+            f"GROUP BY {_qident(spec.key)}"
+        )
+    finally:
+        _QUOTE = '"'

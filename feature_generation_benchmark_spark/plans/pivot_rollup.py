@@ -1,0 +1,127 @@
+"""Physical strategy A2+A3′ (pivot form) — synthesized pivot key +
+known-values pivot + exact cumulative roll-up + half-join.
+
+This is the faithful re-expression of the reference's fastest plan
+(``impl/pyspark-pivot.py``): bucket rows into disjoint smallest-window
+buckets (P5), synthesize a pivot key ``concat_ws("_", cats..., bucket)``
+(P6, ``:104-105,124``), pivot with an EXPLICIT value list so no discovery
+scan runs (``:106-110,126``), run one pivot per grouping scheme, and
+inner-join the halves on the entity key (J1, ``:189``). The roll-up that
+derives cumulative windows from disjoint buckets applies the two §2.7
+exactness fixes:
+
+- avg = Σsum/Σcount across buckets (the reference's unweighted
+  mean-of-bucket-means at ``impl/pyspark-pivot.py:97-98`` is wrong unless
+  bucket counts are equal);
+- empty buckets combine via ``coalesce(x, 0)`` / null-skipping
+  ``greatest``/``least`` instead of NULL-poisoning ``+``
+  (``:91-92,98``).
+
+Output is identical to every other strategy (cross-checked in tests).
+``plans/bucket_rollup.py`` remains the engine's default at-scale plan — it
+aggregates all grouping schemes in ONE pass with no join; this module
+exists for complete physical parity with the reference and as another
+independent implementation for the correctness web.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from feature_generation_benchmark_spark.functions.exprs import (
+    smallest_window_bucket,
+)
+from feature_generation_benchmark_spark.spec import Agg, FeatureSpec, Grouping
+
+_AGG_SUFFIXES = ("cnt", "sum", "min", "max")
+
+
+def _pivot_half(spec: FeatureSpec, df: DataFrame, grouping: Grouping) -> DataFrame:
+    """One grouping scheme's bucketed pivot, reference shape
+    (``impl/pyspark-pivot.py:112-134``) with 4 decomposable aggs."""
+    key_expr = F.concat_ws(
+        "_",
+        *[F.col(c) for c in grouping.cols],
+        F.col("__bucket").cast("string"),
+    )
+    pivot_values = [
+        "_".join(combo) + f"_{w}"
+        for combo in grouping.combos()
+        for w in spec.windows
+    ]
+    pivoted = (
+        df.withColumn("__pk", key_expr)
+        .groupBy(spec.key)
+        .pivot("__pk", pivot_values)  # explicit values: no discovery job
+        .agg(
+            F.count(F.col(spec.measure)).alias("cnt"),
+            F.sum(F.col(spec.measure)).alias("sum"),
+            F.min(F.col(spec.measure)).alias("min"),
+            F.max(F.col(spec.measure)).alias("max"),
+        )
+    )
+    return pivoted
+
+
+def _cell(combo: tuple[str, ...], bucket: int, suffix: str) -> Column:
+    return F.col("_".join(combo) + f"_{bucket}_{suffix}")
+
+
+def _rollup_half(
+    spec: FeatureSpec, pivoted: DataFrame, grouping: Grouping
+) -> DataFrame:
+    """Derive cumulative-window features from the disjoint bucket cells
+    (exact A3′ — the reference's ``transform_col`` with fixes)."""
+    out_cols: list[Column] = [F.col(spec.key)]
+    for combo in grouping.combos():
+        for w in spec.windows:
+            buckets = [b for b in spec.windows if b <= w]
+            cnt = sum(
+                (F.coalesce(_cell(combo, b, "cnt"), F.lit(0)) for b in buckets),
+                F.lit(0),
+            )
+            total = sum(
+                (F.coalesce(_cell(combo, b, "sum"), F.lit(0.0)) for b in buckets),
+                F.lit(0.0),
+            )
+            mins = [_cell(combo, b, "min") for b in buckets]
+            maxs = [_cell(combo, b, "max") for b in buckets]
+            least = mins[0] if len(mins) == 1 else F.least(*mins)
+            greatest = maxs[0] if len(maxs) == 1 else F.greatest(*maxs)
+            for agg in spec.aggs:
+                name = spec.feature_name(combo, w, agg)
+                if agg is Agg.COUNT:
+                    expr = cnt.cast("long")
+                elif agg is Agg.SUM:
+                    expr = total
+                elif agg is Agg.AVG:
+                    expr = F.when(cnt > F.lit(0), total / cnt)
+                elif agg is Agg.MIN:
+                    expr = least
+                else:
+                    expr = greatest
+                if agg is not Agg.COUNT and spec.round_decimals is not None:
+                    expr = F.round(expr, spec.round_decimals)
+                out_cols.append(expr.alias(name))
+    return pivoted.select(*out_cols)
+
+
+def compile_pivot_rollup(spec: FeatureSpec, df: DataFrame) -> DataFrame:
+    """Compile ``spec`` via the reference's pivot plan: one bucketed pivot
+    per grouping scheme, exact roll-up, inner-join of the halves."""
+    pruned = df.select(*spec.input_columns())
+    in_scope = pruned.filter(
+        F.col(spec.time_col) <= F.lit(max(spec.windows))
+    ).withColumn("__bucket", smallest_window_bucket(spec.time_col, spec.windows))
+
+    halves = [
+        _rollup_half(spec, _pivot_half(spec, in_scope, g), g)
+        for g in spec.groupings
+    ]
+    out = halves[0]
+    for h in halves[1:]:
+        out = out.join(h, on=spec.key, how="inner")  # J1: 1 row/key per side
+    return out

@@ -9,8 +9,13 @@ from pyspark.sql import DataFrame, SparkSession
 from feature_generation_benchmark_spark.plans import (
     compile_bucket_rollup,
     compile_case_when,
+    compile_grouped_arrow,
     compile_grouped_map,
 )
+from feature_generation_benchmark_spark.plans.pivot_rollup import (
+    compile_pivot_rollup,
+)
+from feature_generation_benchmark_spark.plans.sql_text import compile_sql_text
 from feature_generation_benchmark_spark.plans.oracle import oracle_sql_for_spec
 from feature_generation_benchmark_spark.sources.testdata import (
     EVENT_TYPES,
@@ -52,6 +57,22 @@ def _grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_grouped_map(EVENTS_SPEC, _load(spark, sf_dir))
 
 
+def _grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return compile_grouped_arrow(EVENTS_SPEC, _load(spark, sf_dir))
+
+
+def _case_when_premask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return compile_case_when(EVENTS_SPEC, _load(spark, sf_dir), premask=True)
+
+
+def _pivot_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return compile_pivot_rollup(EVENTS_SPEC, _load(spark, sf_dir))
+
+
+def _sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return compile_sql_text(EVENTS_SPEC, _load(spark, sf_dir))
+
+
 QUERIES = [
     QueryDef(
         "feat_case_when",
@@ -70,5 +91,34 @@ QUERIES = [
         _grouped_map,
         _ORACLE,
         "grouped-map applyInPandas fallback (strategy A4)",
+        bench=False,  # escape hatch, not a perf path (10-13x slower in the
+        # reference too) — verified by the correctness gate instead
+    ),
+    QueryDef(
+        "feat_grouped_arrow",
+        _grouped_arrow,
+        _ORACLE,
+        "grouped-map applyInArrow zero-copy fallback (strategy A5)",
+        bench=False,
+    ),
+    QueryDef(
+        "feat_case_when_premask",
+        _case_when_premask,
+        _ORACLE,
+        "pre-masked projection + plain aggs (strategy A10 rewrite of A1)",
+    ),
+    QueryDef(
+        "feat_pivot_rollup",
+        _pivot_rollup,
+        _ORACLE,
+        "known-values pivot per scheme + exact rollup + half-join (A2+A3'+J1)",
+        bench=False,  # reference-parity artifact; bucket_rollup is the
+        # engine's default at-scale plan (single pass, no half-join)
+    ),
+    QueryDef(
+        "feat_sql_text",
+        _sql_text,
+        _ORACLE,
+        "spec compiled to Spark-dialect SQL text, run via spark.sql",
     ),
 ]

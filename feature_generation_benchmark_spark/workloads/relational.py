@@ -485,6 +485,50 @@ FROM p LEFT JOIN LATERAL (
 """
 
 
+# --------------------------------------------------------------------------
+# full outer join — two aggregate halves on a shared key (reference J2,
+# impl/duckdb_pivot.py:105-110: keeps entities present in only one half)
+# --------------------------------------------------------------------------
+
+def full_outer_feature_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", _cents("value").alias("vc")
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_errors"),
+             F.sum("vc").alias("error_cents"))
+    )
+    buys = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"),
+             F.sum("vc").alias("purchase_cents"))
+    )
+    return errors.join(buys, on="user_id", how="full")
+
+
+_FULL_OUTER_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_type, round(value*100) AS vc FROM events
+),
+e AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_errors,
+         sum(vc) AS error_cents
+  FROM ev WHERE event_type = 'error' GROUP BY user_id
+),
+p AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+         sum(vc) AS purchase_cents
+  FROM ev WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT coalesce(e.user_id, p.user_id) AS user_id,
+       e.n_errors, e.error_cents, p.n_purchases, p.purchase_cents
+FROM e FULL JOIN p ON e.user_id = p.user_id
+"""
+
+
 QUERIES = [
     QueryDef("q1_pricing_summary", q1_pricing_summary, _Q1_ORACLE,
              "filtered grouped aggregation (TPC-H Q1 shape)"),
@@ -510,4 +554,6 @@ QUERIES = [
              "gap-based sessionization via window functions"),
     QueryDef("asof_click_attribution", asof_click_attribution, _ASOF_ORACLE,
              "as-of (backward) join via union+window"),
+    QueryDef("full_outer_feature_halves", full_outer_feature_halves,
+             _FULL_OUTER_ORACLE, "full outer join of aggregate halves (J2)"),
 ]

@@ -1,0 +1,84 @@
+"""Parquet source/sink tests (S1-S7): partitioned writes with codecs,
+partition-discovery reads, partition pruning reaching the scan."""
+
+from __future__ import annotations
+
+import glob
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_generation_benchmark_spark.sources.generator import (
+    generate_transactions,
+    write_dataset,
+)
+from feature_generation_benchmark_spark.sources.io import (
+    read_parquet,
+    write_parquet,
+)
+
+
+@pytest.fixture(scope="module")
+def trx(spark):
+    return generate_transactions(
+        spark, customers=20, partitions=3, days_per_partition=5, seed=42
+    ).cache()
+
+
+def test_hive_partitioned_roundtrip(spark, trx):
+    d = tempfile.mkdtemp(prefix="fgb_io_")
+    try:
+        write_dataset(trx, d)
+        # hive layout on disk
+        parts = sorted(glob.glob(f"{d}/part_col=*"))
+        assert len(parts) == 3
+        back = read_parquet(spark, d)
+        assert back.count() == trx.count()
+        assert set(back.columns) == set(trx.columns)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.parametrize("codec", ["snappy", "zstd"])
+def test_sink_compression_codecs(spark, trx, codec):
+    """S6 — codec option (reference: zstd in duckdb sinks, snappy default)."""
+    d = tempfile.mkdtemp(prefix=f"fgb_codec_{codec}_")
+    try:
+        write_parquet(trx, d, compression=codec)
+        files = glob.glob(f"{d}/*.parquet")
+        assert files
+        assert any(f".{codec.replace('zstd', 'zstd')}." in f for f in files)
+        assert read_parquet(spark, d).count() == trx.count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_partition_pruning_reaches_scan(spark, trx):
+    """A filter on the hive partition key must prune files, not scan all."""
+    d = tempfile.mkdtemp(prefix="fgb_prune_")
+    try:
+        write_dataset(trx, d)
+        df = read_parquet(spark, d).filter(F.col("part_col") == "partition_1")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert df.count() == trx.filter(F.col("part_col") == "partition_1").count()
+        # physical scan reports the partition filter
+        explained = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        ) if hasattr(df._sc._jvm, "PythonSQLUtils") else plan
+        assert "PartitionFilters" in explained or "partition_1" in explained
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_column_pruning_projection(spark, trx):
+    d = tempfile.mkdtemp(prefix="fgb_cols_")
+    try:
+        write_parquet(trx, d)
+        two = read_parquet(spark, d, columns=["customer_id", "trx_amnt"])
+        explained = two._jdf.queryExecution().executedPlan().toString()
+        assert "card_type" not in explained  # pruned from ReadSchema
+        assert two.columns == ["customer_id", "trx_amnt"]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

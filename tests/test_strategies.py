@@ -12,9 +12,14 @@ import pytest
 from feature_generation_benchmark_spark.plans import (
     compile_bucket_rollup,
     compile_case_when,
+    compile_grouped_arrow,
     compile_grouped_map,
     compile_features,
 )
+from feature_generation_benchmark_spark.plans.pivot_rollup import (
+    compile_pivot_rollup,
+)
+from feature_generation_benchmark_spark.plans.sql_text import compile_sql_text
 from feature_generation_benchmark_spark.plans.planner import choose_strategy
 from feature_generation_benchmark_spark.spec import (
     CARD_TYPES,
@@ -66,8 +71,14 @@ def assert_frames_equal(a, b, key):
 def results(spark, tiny_transactions):
     return {
         "case_when": compile_case_when(SMALL_SPEC, tiny_transactions),
+        "case_when_premask": compile_case_when(
+            SMALL_SPEC, tiny_transactions, premask=True
+        ),
         "bucket_rollup": compile_bucket_rollup(SMALL_SPEC, tiny_transactions),
         "grouped_map": compile_grouped_map(SMALL_SPEC, tiny_transactions),
+        "grouped_arrow": compile_grouped_arrow(SMALL_SPEC, tiny_transactions),
+        "pivot_rollup": compile_pivot_rollup(SMALL_SPEC, tiny_transactions),
+        "sql_text": compile_sql_text(SMALL_SPEC, tiny_transactions),
     }
 
 
@@ -78,6 +89,26 @@ def test_case_when_vs_bucket_rollup(spark, results):
 
 def test_case_when_vs_grouped_map(spark, results):
     assert_frames_equal(results["case_when"], results["grouped_map"],
+                        "customer_id")
+
+
+def test_case_when_vs_grouped_arrow(spark, results):
+    assert_frames_equal(results["case_when"], results["grouped_arrow"],
+                        "customer_id")
+
+
+def test_case_when_vs_premask(spark, results):
+    assert_frames_equal(results["case_when"], results["case_when_premask"],
+                        "customer_id")
+
+
+def test_case_when_vs_pivot_rollup(spark, results):
+    assert_frames_equal(results["case_when"], results["pivot_rollup"],
+                        "customer_id")
+
+
+def test_case_when_vs_sql_text(spark, results):
+    assert_frames_equal(results["case_when"], results["sql_text"],
                         "customer_id")
 
 
