@@ -66,7 +66,14 @@ def ngram_jaccard_pairs(
     jaccard ≥ threshold. Jaccard = |A∩B| / (|A|+|B|−|A∩B|) — exact integer
     counts, deterministic division.
     """
-    sh = doc_shingles(df, id_col, text_col, n).cache()
+    # join on 8-byte shingle hashes, not ~20-byte strings: same equality
+    # semantics (64-bit collision odds are negligible at any corpus size
+    # that fits a cluster), much lighter shuffle
+    sh = (
+        doc_shingles(df, id_col, text_col, n)
+        .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
+        .cache()
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
@@ -167,7 +174,11 @@ def minhash_dedup_pairs(
     Output schema matches :func:`ngram_jaccard_pairs`; at any scale the
     candidate set (not n²) bounds the verification join.
     """
-    sh = doc_shingles(df, id_col, text_col, n).cache()
+    sh = (
+        doc_shingles(df, id_col, text_col, n)
+        .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
+        .cache()
+    )
     sig = minhash_signatures(sh, id_col, num_perm)
     cand = lsh_candidate_pairs(sig, id_col, num_perm, bands)
 

@@ -168,16 +168,25 @@ def ivf_topk(
 
     ``centroids`` are plan literals (train offline / sample — at scale this
     is a tiny broadcast model, not a job)."""
+    import math as _math
+
+    # normalize centroids driver-side: cell assignment then needs one dot
+    # per centroid on the (already unit) vectors, no sqrt in the row loop
+    unit_cents = []
+    for cent in centroids:
+        nrm = _math.sqrt(sum(x * x for x in cent)) or 1.0
+        unit_cents.append([x / nrm for x in cent])
+
     def nearest_cells(vec: Column, n: int) -> Column:
         sims = F.array(
             *[
                 F.struct(
-                    cosine(
-                        vec, F.array(*[F.lit(float(x)) for x in cent])
-                    ).alias("s"),
+                    dot(vec, F.array(*[F.lit(float(x)) for x in cent])).alias(
+                        "s"
+                    ),
                     F.lit(ci).alias("cell"),
                 )
-                for ci, cent in enumerate(centroids)
+                for ci, cent in enumerate(unit_cents)
             ]
         )
         top = F.slice(F.reverse(F.array_sort(sims)), 1, n)
@@ -215,6 +224,83 @@ def ivf_topk(
         else F.col("cos_sim")
     )
     return ranked.select("query_id", "neighbor_id", sim.alias("cos_sim"))
+
+
+def cosine_dup_pairs_blocked(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_blocks: int = 8,
+    round_decimals: int | None = 6,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold via BLOCKED matrix products.
+
+    The scalable exact form: vectors are hashed into ``n_blocks`` blocks;
+    each of the ``B(B+1)/2`` unordered block pairs becomes one group whose
+    members are shipped (Arrow) to a worker that computes the block-pair's
+    similarity matrix with one vectorized matmul. Work is O(n²·d) either
+    way, but each pair costs a fused numpy flop instead of a codegen'd
+    array fold, and parallelism = block pairs. Output ≡
+    :func:`cosine_dup_pairs`.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    normed = df.select(
+        F.col(id_col).alias("__id"),
+        unit_normalize(as_double_array(vec_col)).alias("__v"),
+        (F.col(id_col) % n_blocks).cast("int").alias("__b"),
+    )
+    members = []
+    for pid, (i, j) in enumerate(
+        (i, j) for i in range(n_blocks) for j in range(i, n_blocks)
+    ):
+        members.append((i, pid, i, j))
+        if j != i:
+            members.append((j, pid, i, j))
+    mdf = spark.createDataFrame(
+        members, "__b int, pair_id int, bi int, bj int"
+    )
+    grouped = normed.join(F.broadcast(mdf), on="__b")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        ids = pdf["__id"].to_numpy()
+        blocks = pdf["__b"].to_numpy()
+        V = np.stack(pdf["__v"].to_numpy())
+        S = V @ V.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        id_a, id_b = ids[ia], ids[ib]
+        swap = id_a > id_b
+        id_a2 = np.where(swap, id_b, id_a)
+        id_b2 = np.where(swap, id_a, id_b)
+        sims = S[ia, ib]
+        keep = sims >= threshold
+        if bi != bj:  # cross-block group: within-block pairs belong to the
+            keep &= blocks[ia] != blocks[ib]  # (i,i)/(j,j) groups — no dupes
+        return pd.DataFrame(
+            {"id_a": id_a2[keep], "id_b": id_b2[keep], "cos_sim": sims[keep]}
+        )
+
+    pairs = grouped.groupBy("pair_id").applyInPandas(block_pair, out_schema)
+    if round_decimals is not None:
+        pairs = pairs.select(
+            "id_a", "id_b", F.round("cos_sim", round_decimals).alias("cos_sim")
+        )
+    return pairs
 
 
 def cosine_dup_pairs(

@@ -19,7 +19,7 @@ from feature_generation_benchmark_spark.operators.dedup import (
     simhash_dup_pairs,
 )
 from feature_generation_benchmark_spark.operators.similarity import (
-    cosine_dup_pairs,
+    cosine_dup_pairs_blocked,
 )
 from feature_generation_benchmark_spark.sources.testdata import load_table
 from feature_generation_benchmark_spark.workloads import QueryDef
@@ -104,7 +104,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cosine_dup_pairs(
+    return cosine_dup_pairs_blocked(
         load_table(spark, sf_dir, "embeddings"),
         "vec_id",
         "embedding",

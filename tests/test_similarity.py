@@ -12,6 +12,7 @@ from pyspark.sql import types as T
 from feature_generation_benchmark_spark.operators.similarity import (
     brute_force_topk,
     cosine_dup_pairs,
+    cosine_dup_pairs_blocked,
     ivf_topk,
     lsh_topk,
 )
@@ -105,3 +106,23 @@ def test_cosine_dup_pairs_threshold(spark, emb):
     for r in pairs.collect():
         assert r["id_a"] % 3 == r["id_b"] % 3
         assert r["cos_sim"] >= 0.99
+
+
+def test_blocked_equals_simple_pairs(spark, emb):
+    """The blocked-matmul physical form must emit exactly the pairwise
+    fold's results (same pairs, same rounded sims)."""
+    simple = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in cosine_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.9
+        ).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in cosine_dup_pairs_blocked(
+            emb, "vec_id", "embedding", threshold=0.9, n_blocks=4
+        ).collect()
+    }
+    assert simple.keys() == blocked.keys()
+    for k in simple:
+        assert abs(simple[k] - blocked[k]) < 1e-6
