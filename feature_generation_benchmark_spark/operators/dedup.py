@@ -41,14 +41,20 @@ def exact_dedup(
 def doc_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """(id, shingle) exploded DISTINCT word-n-gram shingle index."""
-    sh = df.select(
+    """(id, shingle) exploded DISTINCT word-n-gram shingle index.
+
+    The token array is materialized in its own projection BEFORE the
+    n-gram ``transform`` so the regex split runs once per document —
+    referencing ``tokens(text)`` inside the shingling lambda would
+    re-evaluate the split per array element (O(tokens²) regex work).
+    """
+    toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    return toked.select(
         F.col(id_col),
-        F.explode(F.array_distinct(word_ngrams(tokens(text_col), n))).alias(
-            "shingle"
-        ),
+        F.explode(
+            F.array_distinct(word_ngrams(F.col("__toks"), n))
+        ).alias("shingle"),
     )
-    return sh
 
 
 def ngram_jaccard_pairs(

@@ -5,12 +5,18 @@ path); random-hyperplane LSH bucketing and an IVF-style coarse quantizer are
 the scale paths — at 100 TB, candidate generation must be a key-equality
 join on bucket ids, never a cross join.
 
-All vector math is built-in higher-order functions (``zip_with`` +
-``aggregate``) over doubles — JVM codegen, no UDFs.
+Pairwise vector math (dots, norms) is built-in higher-order functions
+(``zip_with`` + ``aggregate``) over doubles. Dense batch math (centroid
+assignment, blocked all-pairs matmuls) goes through Arrow-vectorized
+pandas UDFs — numpy matmul per batch beats interpreted per-row folds by
+orders of magnitude there, and the models (centroid matrices) are tiny
+broadcast closures.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -39,11 +45,15 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def unit_normalize(a: Column) -> Column:
-    """Scale to unit L2 norm — done ONCE per vector so pairwise cosine
-    becomes a single dot fold instead of dot + two norms per pair (3× less
-    array traversal in O(n²)/candidate loops)."""
-    norm = l2_norm(a)
-    return F.transform(a, lambda x: x / norm)
+    """Scale to unit L2 norm in O(d) per evaluation.
+
+    The reciprocal norm rides in via ``array_repeat`` + ``zip_with``, whose
+    argument expressions are each evaluated ONCE per call. The naive
+    ``transform(a, x -> x / l2_norm(a))`` re-evaluates the norm fold per
+    element — O(d²) interpreted work per row, since higher-order functions
+    are codegen-fallback with no subexpression elimination."""
+    inv = F.lit(1.0) / l2_norm(a)
+    return F.zip_with(a, F.array_repeat(inv, F.size(a)), lambda x, s: x * s)
 
 
 def brute_force_topk(
@@ -168,38 +178,34 @@ def ivf_topk(
 
     ``centroids`` are plan literals (train offline / sample — at scale this
     is a tiny broadcast model, not a job)."""
-    import math as _math
+    from pyspark.sql.functions import pandas_udf
 
-    # normalize centroids driver-side: cell assignment then needs one dot
-    # per centroid on the (already unit) vectors, no sqrt in the row loop
-    unit_cents = []
-    for cent in centroids:
-        nrm = _math.sqrt(sum(x * x for x in cent)) or 1.0
-        unit_cents.append([x / nrm for x in cent])
+    # unit-normalize centroids driver-side; vector norms never change the
+    # argmax over unit centroids, so cell assignment needs no row norms
+    C = np.asarray(centroids, dtype=np.float64)
+    nrm = np.linalg.norm(C, axis=1, keepdims=True)
+    C = C / np.where(nrm == 0.0, 1.0, nrm)
+    n = min(n_probe, len(centroids))
 
-    def nearest_cells(vec: Column, n: int) -> Column:
-        sims = F.array(
-            *[
-                F.struct(
-                    dot(vec, F.array(*[F.lit(float(x)) for x in cent])).alias(
-                        "s"
-                    ),
-                    F.lit(ci).alias("cell"),
-                )
-                for ci, cent in enumerate(unit_cents)
-            ]
-        )
-        top = F.slice(F.reverse(F.array_sort(sims)), 1, n)
-        return F.transform(top, lambda s: s["cell"])
+    # Arrow-vectorized assignment: one numpy matmul per batch against the
+    # tiny broadcast centroid matrix — orders of magnitude cheaper than a
+    # per-centroid interpreted fold expression per row
+    @pandas_udf("array<int>")
+    def nearest_cells(v: pd.Series) -> pd.Series:
+        V = np.stack(v.to_numpy())
+        sims = V @ C.T
+        # argsort of (-sim, cell): ties break toward the LOWER cell id
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n]
+        return pd.Series(list(order.astype(np.int32)))
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         unit_normalize(as_double_array(vec_col)).alias("cv"),
-    ).withColumn("cell", nearest_cells(F.col("cv"), 1)[0])
+    ).withColumn("cell", nearest_cells(F.col("cv"))[0])
     q = queries.select(
         F.col(id_col).alias("query_id"),
         unit_normalize(as_double_array(vec_col)).alias("qv"),
-    ).withColumn("cell", F.explode(nearest_cells(F.col("qv"), n_probe)))
+    ).withColumn("cell", F.explode(nearest_cells(F.col("qv"))))
     scored = (
         c.join(F.broadcast(q), on="cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -244,14 +250,14 @@ def cosine_dup_pairs_blocked(
     array fold, and parallelism = block pairs. Output ≡
     :func:`cosine_dup_pairs`.
     """
-    import pandas as pd
-
     from pyspark.sql import types as T
 
     spark = df.sparkSession
+    # raw vectors cross the Arrow boundary; normalization is one vectorized
+    # numpy op inside the worker (cheaper than any Catalyst-side form)
     normed = df.select(
         F.col(id_col).alias("__id"),
-        unit_normalize(as_double_array(vec_col)).alias("__v"),
+        as_double_array(vec_col).alias("__v"),
         (F.col(id_col) % n_blocks).cast("int").alias("__b"),
     )
     members = []
@@ -275,12 +281,12 @@ def cosine_dup_pairs_blocked(
     )
 
     def block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
         bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
         ids = pdf["__id"].to_numpy()
         blocks = pdf["__b"].to_numpy()
         V = np.stack(pdf["__v"].to_numpy())
+        nrm = np.linalg.norm(V, axis=1, keepdims=True)
+        V = V / np.where(nrm == 0.0, 1.0, nrm)
         S = V @ V.T
         ia, ib = np.triu_indices(len(ids), k=1)
         id_a, id_b = ids[ia], ids[ib]
