@@ -40,7 +40,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from feature_generation_benchmark_spark.functions.exprs import (
-    combo_predicate,
+    quote_ident,
+    quote_str,
     smallest_window_bucket,
 )
 from feature_generation_benchmark_spark.spec import Agg, FeatureSpec
@@ -55,29 +56,38 @@ _MAX = "__max"
 def _rollup_expr(spec: FeatureSpec, feat) -> Column:
     """Re-aggregate partial rows into one cumulative feature cell, with
     semantics identical to the case-when strategy (count=0 / sum=0.0 /
-    avg,min,max=NULL on empty)."""
-    cond = (F.col(_BUCKET) <= F.lit(feat.window)) & combo_predicate(
-        feat.grouping.cols, feat.combo
-    )
+    avg,min,max=NULL on empty). Built as a SQL string — one JVM parse per
+    feature instead of ~a dozen Py4J calls (see exprs.agg_expr_sql)."""
+    parts = [f"{quote_ident(_BUCKET)} <= {feat.window}"]
+    parts += [
+        f"{quote_ident(c)} = {quote_str(v)}"
+        for c, v in zip(feat.grouping.cols, feat.combo)
+    ]
+    cond = " AND ".join(parts)
+    cnt_sum = f"sum(CASE WHEN {cond} THEN {quote_ident(_CNT)} END)"
     if feat.agg is Agg.COUNT:
-        return F.coalesce(F.sum(F.when(cond, F.col(_CNT))), F.lit(0)).cast(
-            "long"
-        ).alias(feat.name)
+        return F.expr(
+            f"CAST(coalesce({cnt_sum}, 0) AS BIGINT) "
+            f"AS {quote_ident(feat.name)}"
+        )
     if feat.agg is Agg.SUM:
-        expr = F.coalesce(F.sum(F.when(cond, F.col(_SUM))), F.lit(0.0))
+        expr = (
+            f"coalesce(sum(CASE WHEN {cond} THEN {quote_ident(_SUM)} END), "
+            "CAST(0 AS DOUBLE))"
+        )
     elif feat.agg is Agg.AVG:
-        total = F.sum(F.when(cond, F.col(_SUM)))
-        n = F.sum(F.when(cond, F.col(_CNT)))
-        expr = F.when(n > F.lit(0), total / n)  # exact Σsum/Σcount (§2.7.2 fix)
+        # exact Σsum/Σcount (§2.7.2 fix); NULL when no bucket matches
+        total = f"sum(CASE WHEN {cond} THEN {quote_ident(_SUM)} END)"
+        expr = f"CASE WHEN {cnt_sum} > 0 THEN {total} / {cnt_sum} END"
     elif feat.agg is Agg.MIN:
-        expr = F.min(F.when(cond, F.col(_MIN)))
+        expr = f"min(CASE WHEN {cond} THEN {quote_ident(_MIN)} END)"
     elif feat.agg is Agg.MAX:
-        expr = F.max(F.when(cond, F.col(_MAX)))
+        expr = f"max(CASE WHEN {cond} THEN {quote_ident(_MAX)} END)"
     else:  # pragma: no cover
         raise ValueError(f"unknown agg {feat.agg}")
     if spec.round_decimals is not None:
-        expr = F.round(expr, spec.round_decimals)
-    return expr.alias(feat.name)
+        expr = f"round({expr}, {spec.round_decimals})"
+    return F.expr(f"{expr} AS {quote_ident(feat.name)}")
 
 
 def compile_bucket_rollup(spec: FeatureSpec, df: DataFrame) -> DataFrame:

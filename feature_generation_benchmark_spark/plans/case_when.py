@@ -29,8 +29,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 from feature_generation_benchmark_spark.functions.exprs import (
-    agg_expr,
-    feature_condition,
+    agg_expr_sql,
+    feature_condition_sql,
+    quote_ident,
 )
 from feature_generation_benchmark_spark.spec import Agg, FeatureSpec
 from pyspark.sql import functions as F
@@ -54,32 +55,34 @@ def compile_case_when(
     # Rows beyond the largest window contribute to no feature; filtering
     # early lets Parquet row-group stats skip them entirely at scale.
     in_scope = pruned.filter(F.col(spec.time_col) <= F.lit(max(spec.windows)))
+    # Expressions are built as SQL strings (exprs.agg_expr_sql) — one JVM
+    # parse per feature instead of ~a dozen Py4J calls; same Catalyst tree.
     if not premask:
-        exprs = [agg_expr(spec, feat) for feat in spec.features()]
+        exprs = [F.expr(agg_expr_sql(spec, feat)) for feat in spec.features()]
         return in_scope.groupBy(spec.key).agg(*exprs)
 
-    mask_cols = []
+    mask_exprs = []
     agg_cols = []
+    measure = quote_ident(spec.measure)
     for i, feat in enumerate(spec.features()):
-        cond = feature_condition(spec, feat)
+        cond = feature_condition_sql(spec, feat)
         name = f"__m_{i}"
+        qname = quote_ident(name)
         if feat.agg is Agg.COUNT:
-            mask_cols.append(
-                F.when(cond, F.lit(1)).otherwise(F.lit(0)).alias(name)
+            mask_exprs.append(
+                f"CASE WHEN {cond} THEN 1 ELSE 0 END AS {qname}"
             )
-            expr = F.sum(name).cast("long")
+            expr = f"CAST(sum({qname}) AS BIGINT)"
         else:
-            mask_cols.append(F.when(cond, F.col(spec.measure)).alias(name))
+            mask_exprs.append(
+                f"CASE WHEN {cond} THEN {measure} END AS {qname}"
+            )
             if feat.agg is Agg.SUM:
-                expr = F.coalesce(F.sum(name), F.lit(0.0))
-            elif feat.agg is Agg.AVG:
-                expr = F.avg(name)
-            elif feat.agg is Agg.MIN:
-                expr = F.min(name)
+                expr = f"coalesce(sum({qname}), CAST(0 AS DOUBLE))"
             else:
-                expr = F.max(name)
+                expr = f"{feat.agg.value}({qname})"
             if spec.round_decimals is not None:
-                expr = F.round(expr, spec.round_decimals)
-        agg_cols.append(expr.alias(feat.name))
-    masked = in_scope.select(F.col(spec.key), *mask_cols)
+                expr = f"round({expr}, {spec.round_decimals})"
+        agg_cols.append(F.expr(f"{expr} AS {quote_ident(feat.name)}"))
+    masked = in_scope.selectExpr(quote_ident(spec.key), *mask_exprs)
     return masked.groupBy(spec.key).agg(*agg_cols)
