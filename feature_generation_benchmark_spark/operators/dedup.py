@@ -18,6 +18,8 @@ MinHash/LSH is the 100 TB path.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -226,34 +228,57 @@ def simhash_bits(
     """Per-doc SimHash as ``bits/16`` packed 16-bit band integers.
 
     Classic Charikar sign-hash: token instance votes +1/−1 on each bit of
-    its 64-bit hash; bit = 1 iff the vote sum is positive. Packing into
-    16-bit bands serves both banding (hamming ≤ 3 ⇒ ≥ 1 equal band among 4,
-    pigeonhole) and cheap hamming via bit_count(xor).
+    its 64-bit hash; bit = 1 iff the vote sum is positive (⟺ ones > n/2).
+    Packing into 16-bit bands serves both banding (hamming ≤ 3 ⇒ ≥ 1 equal
+    band among 4, pigeonhole) and cheap hamming via bit_count(xor).
+
+    Physical shape: tokenization + xxhash64 stay JVM-side (one hash array
+    per doc, no explode/shuffle); the 64-way bit-vote tally is one
+    Arrow-batched numpy pass — a 64-column conditional-sum hash aggregate
+    over exploded tokens costs ~|tokens|×64 codegen branches plus a
+    shuffle, the vectorized tally is embarrassingly parallel per batch.
+    Docs with zero tokens are excluded (parity with the explode form).
     """
-    toks = df.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
-    votes = toks.groupBy(id_col).agg(
-        *[
-            # (h >> b) & 1 — avoids a 1<<63 literal overflowing signed long
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"v_{b}")
-            for b in range(bits)
-        ]
-    )
+    from pyspark.sql.functions import pandas_udf
+
     n_bands = bits // 16
-    band_exprs = []
-    for band in range(n_bands):
-        acc = F.lit(0)
-        for r in range(16):
-            b = band * 16 + r
-            bit = F.when(F.col(f"v_{b}") > 0, F.lit(1)).otherwise(F.lit(0))
-            acc = acc + (bit * F.lit(1 << r))
-        band_exprs.append(acc.cast("long").alias(f"sh_band_{band}"))
-    return votes.select(F.col(id_col), *band_exprs)
+    if n_bands * 16 != bits:
+        raise ValueError("bits must be a multiple of 16")
+
+    @pandas_udf("array<long>")
+    def _bands(hs: pd.Series) -> pd.Series:
+        arrs = hs.to_numpy()
+        lens = np.fromiter(
+            (len(a) for a in arrs), dtype=np.int64, count=len(arrs)
+        )
+        if len(arrs) == 0 or lens.sum() == 0:
+            return pd.Series([np.zeros(n_bands, dtype=np.int64)] * len(arrs))
+        flat = np.concatenate(arrs).astype(np.int64).view(np.uint64)
+        starts = np.zeros(len(arrs), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        ones = np.empty((len(arrs), bits), dtype=np.int64)
+        for b in range(bits):
+            ones[:, b] = np.add.reduceat((flat >> np.uint64(b)) & np.uint64(1), starts)
+        bit_set = (2 * ones) > lens[:, None]
+        weights = (1 << np.arange(16, dtype=np.int64))
+        out = np.empty((len(arrs), n_bands), dtype=np.int64)
+        for band in range(n_bands):
+            out[:, band] = bit_set[:, band * 16:(band + 1) * 16] @ weights
+        return pd.Series(list(out))
+
+    hashed = (
+        df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .filter(F.size("__toks") > 0)
+        .select(
+            F.col(id_col),
+            F.transform("__toks", lambda t: F.xxhash64(t)).alias("__hs"),
+        )
+    )
+    banded = hashed.select(F.col(id_col), _bands("__hs").alias("__b"))
+    return banded.select(
+        F.col(id_col),
+        *[F.col("__b")[i].alias(f"sh_band_{i}") for i in range(n_bands)],
+    )
 
 
 def simhash_dup_pairs(
