@@ -90,6 +90,27 @@ def word_ngrams(toks: Column, n: int = 3) -> Column:
     )
 
 
+#: Modulus for the portable rolling fingerprint (fits BIGINT intermediate
+#: arithmetic in every engine: h*31 + v < 2^63 for h < 1e9+7).
+ROLLING_MOD = 1_000_000_007
+
+
+def rolling_fingerprint(toks: Column) -> Column:
+    """Order-sensitive polynomial rolling hash over the token sequence:
+    ``h ← (h·31 + v(tok)) mod 1e9+7`` with ``v = ascii(first char)·1000 +
+    length`` — a deliberately engine-portable token value (the SQL twin
+    uses ``unicode()``/``len()``), so the oracle can verify the *rolling
+    structure* exactly; swap ``v`` for ``xxhash64`` in production for
+    collision strength. Left fold via ``aggregate`` — JVM-side, O(tokens).
+    Empty docs hash to 0."""
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda h, t: (h * F.lit(31) + (F.ascii(t) * F.lit(1000) + F.length(t)))
+        % F.lit(ROLLING_MOD),
+    )
+
+
 def normalize_text(text: Column | str) -> Column:
     """Fingerprint normalization: lowercase, collapse non-alphanumerics to
     single spaces, trim."""

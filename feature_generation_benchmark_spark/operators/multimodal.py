@@ -120,6 +120,61 @@ def extract_media_features(
     return narrow.mapInPandas(run, MEDIA_FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str,
+    target_w: int,
+    target_h: int,
+    decoder: str = "fake",
+    batch_limit: int = 256,
+) -> DataFrame:
+    """Resize plumbing: decode → scale to (target_w, target_h) → re-encode,
+    one blob per row, as a narrow ``mapInPandas`` (blobs never shuffle).
+
+    The pixel work is THE STUB (``decoder="real"`` raises where PIL's
+    ``Image.resize`` would run); the fake emits a deterministic
+    ``target_w*target_h``-byte pseudo-bitmap seeded from the content hash,
+    so output sizing/schema behave exactly like a real resize."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_limit):
+                chunk = pdf.iloc[start : start + batch_limit]
+                rows = []
+                for doc_id, blob in zip(chunk[id_col], chunk[blob_col]):
+                    data = bytes(blob)
+                    if decoder == "real":
+                        raise NotImplementedError(
+                            "image resize requires codec libraries not "
+                            "present in this environment; plug PIL here"
+                        )
+                    seed = hashlib.sha256(data).digest()
+                    n = target_w * target_h
+                    fake = (seed * (n // len(seed) + 1))[:n]
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "width": target_w,
+                            "height": target_h,
+                            "resized": fake,
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+    narrow = df.select(F.col(id_col), F.col(blob_col))
+    return narrow.mapInPandas(run, RESIZED_SCHEMA)
+
+
 def frame_sample_plan(
     df: DataFrame, id_col: str, blob_col: str, every_n: int = 10
 ) -> DataFrame:

@@ -19,6 +19,7 @@ from feature_generation_benchmark_spark.functions.textfns import (
     fingerprint_md5,
     lang_predict,
     lang_scores,
+    rolling_fingerprint,
     token_count,
     tokens,
 )
@@ -113,16 +114,21 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         fingerprint_md5("text").alias("fingerprint"),
         token_count("text").cast("long").alias("n_tokens"),
+        rolling_fingerprint(tokens("text")).alias("rolling_fp"),
     )
 
 
-_FINGERPRINT_ORACLE = """
+_FINGERPRINT_ORACLE = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
 SELECT doc_id,
   md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
     AS fingerprint,
-  CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-       x -> x <> '')) AS BIGINT) AS n_tokens
-FROM documents
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(list_reduce(
+    list_prepend(0, list_transform(
+      toks, x -> unicode(x) * 1000 + length(x))),
+    (h, v) -> (h * 31 + v) % 1000000007) AS BIGINT) AS rolling_fp
+FROM t
 """
 
 

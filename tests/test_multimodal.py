@@ -11,6 +11,7 @@ from feature_generation_benchmark_spark.operators.multimodal import (
     attach_media_meta,
     extract_media_features,
     frame_sample_plan,
+    resize_media,
 )
 
 
@@ -44,6 +45,25 @@ def test_extract_features_schema_and_determinism(spark, blobs):
 
 def test_real_decoder_is_marked_unimplemented(spark, blobs):
     out = extract_media_features(blobs, "doc_id", "blob", decoder="real")
+    with pytest.raises(Exception) as e:
+        out.collect()
+    assert "NotImplementedError" in str(e.value) or "codec" in str(e.value)
+
+
+def test_resize_shapes_and_determinism(spark, blobs):
+    out = resize_media(blobs, "doc_id", "blob", target_w=8, target_h=4)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 20
+    for r in rows.values():
+        assert (r["width"], r["height"]) == (8, 4)
+        assert len(r["resized"]) == 8 * 4
+    rows2 = {r["doc_id"]: r for r in
+             resize_media(blobs, "doc_id", "blob", 8, 4).collect()}
+    assert rows2[7]["resized"] == rows[7]["resized"]
+
+
+def test_resize_real_decoder_is_marked_unimplemented(spark, blobs):
+    out = resize_media(blobs, "doc_id", "blob", 8, 4, decoder="real")
     with pytest.raises(Exception) as e:
         out.collect()
     assert "NotImplementedError" in str(e.value) or "codec" in str(e.value)
