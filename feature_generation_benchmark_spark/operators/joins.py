@@ -74,6 +74,41 @@ def asof_join(
     return carried.filter(F.col(_SIDE) == 0).drop(_SIDE, "__t")
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+    salt: int = 8,
+) -> DataFrame:
+    """Skew-safe equi-join: scatter the (large, possibly hot-keyed) left
+    side across ``salt`` sub-keys and replicate every right row to all
+    sub-keys, so one pathological join key spreads over ``salt`` shuffle
+    partitions instead of melting a single task.
+
+    AQE's skew-join split handles most cases at runtime
+    (``spark.sql.adaptive.skewJoin``); this explicit form is for the cases
+    AQE can't re-split (e.g. a single key larger than any split threshold,
+    or sort-merge-free shuffled hash joins). The salt is derived
+    deterministically from the full left row (``xxhash64``), never from the
+    key alone — same-key rows MUST land on different sub-keys for the
+    scatter to help. Supports ``inner``/``left`` (shapes where left rows
+    appear once per right match; semantics identical to the unsalted join).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    keys = [on] if isinstance(on, str) else list(on)
+    lhs = left.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in left.columns])),
+               F.lit(salt)).cast("int"),
+    )
+    rhs = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return lhs.join(rhs, on=keys + ["__salt"], how=how).drop("__salt")
+
+
 def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
     """Keep left rows with at least one key match on the right."""
     return left.join(right, on=on, how="left_semi")

@@ -529,6 +529,100 @@ FROM e FULL JOIN p ON e.user_id = p.user_id
 """
 
 
+# --------------------------------------------------------------------------
+# q6 — selective range-predicate aggregation (TPC-H Q6 shape): the
+# predicate-pushdown showcase — every filter lands in PushedFilters
+# --------------------------------------------------------------------------
+
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    d = (
+        li.filter(
+            (F.col("l_shipdate") >= _ts_ntz("1997-01-01"))
+            & (F.col("l_shipdate") < _ts_ntz("1998-01-01"))
+            & (F.col("l_quantity") < 24)
+        )
+        .select(
+            _cents("l_extendedprice").alias("price_cents"),
+            _pct("l_discount").alias("disc_pct"),
+        )
+        .filter((F.col("disc_pct") >= 5) & (F.col("disc_pct") <= 7))
+    )
+    return d.agg(
+        F.sum(F.col("price_cents") * F.col("disc_pct")).alias("revenue_e4"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_Q6_ORACLE = """
+WITH d AS (
+  SELECT round(l_extendedprice*100) AS price_cents,
+         round(l_discount*100) AS disc_pct
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND l_quantity < 24
+)
+SELECT sum(price_cents*disc_pct) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM d WHERE disc_pct BETWEEN 5 AND 7
+"""
+
+
+# --------------------------------------------------------------------------
+# windowed event features — the Structured Streaming layer's aggregation,
+# run in BATCH mode (Spark's unified semantics) so the DuckDB oracle
+# verifies the exact window/agg logic the stream executes
+# --------------------------------------------------------------------------
+
+def windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_generation_benchmark_spark.sources.testdata import from_nanos
+    from feature_generation_benchmark_spark.streaming.features import (
+        windowed_event_features,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        _cents("value").alias("value"),
+        from_nanos("ts").alias("event_ts"),
+    )
+    out = windowed_event_features(
+        ev,
+        key="user_id",
+        category="event_type",
+        measure="value",
+        ts_col="event_ts",
+        window_duration="6 hours",
+    )
+    return out.select(
+        F.unix_micros(F.col("win.start")).alias("win_start_us"),
+        "user_id",
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        "sum_value",
+        "avg_value",
+        "min_value",
+        "max_value",
+    )
+
+
+_WINDOWED_EVENTS_ORACLE = """
+WITH e AS (
+  SELECT (epoch_ns(ts) // 21600000000000) * 21600000000 AS win_start_us,
+         user_id, event_type, round(value*100) AS value
+  FROM events
+)
+SELECT win_start_us, user_id, event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  sum(value) AS sum_value,
+  avg(value) AS avg_value,
+  min(value) AS min_value,
+  max(value) AS max_value
+FROM e GROUP BY win_start_us, user_id, event_type
+"""
+
+
 QUERIES = [
     QueryDef("q1_pricing_summary", q1_pricing_summary, _Q1_ORACLE,
              "filtered grouped aggregation (TPC-H Q1 shape)"),
@@ -556,4 +650,8 @@ QUERIES = [
              "as-of (backward) join via union+window"),
     QueryDef("full_outer_feature_halves", full_outer_feature_halves,
              _FULL_OUTER_ORACLE, "full outer join of aggregate halves (J2)"),
+    QueryDef("q6_revenue_forecast", q6_revenue_forecast, _Q6_ORACLE,
+             "selective range-predicate aggregation (pushdown showcase)"),
+    QueryDef("windowed_events", windowed_events, _WINDOWED_EVENTS_ORACLE,
+             "tumbling event-time window aggregation (streaming twin, batch)"),
 ]
