@@ -65,15 +65,27 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    prefix_filter: bool = True,
 ) -> DataFrame:
-    """Exact pairwise Jaccard over distinct word-n-gram shingle sets, via an
-    inverted shingle index self-join (only pairs sharing ≥1 shingle are ever
-    materialized — the sparse-similarity classic, not a cross join).
+    """Exact pairwise Jaccard over distinct word-n-gram shingle sets.
+
+    Candidate generation is an inverted shingle-index self-join (only pairs
+    sharing ≥1 shingle are ever materialized — never a cross join). With
+    ``prefix_filter`` (the at-scale default) it applies the AllPairs/PPJoin
+    prefix principle: order shingles by ascending global frequency; a pair
+    with Jaccard ≥ t must share an element within each doc's first
+    ``|d| − ⌈t·|d|⌉ + 1`` shingles (overlap ⌈t·|d|⌉ is implied by the
+    threshold, and per-set prefixes are supersets of the pair-level
+    requirement), so only those prefixes enter the join. Frequent shingles
+    — exactly the ones that explode the naive join — are the ones pruned.
+    Verification against the FULL shingle sets is exact either way.
 
     Returns (id_a, id_b, common, jaccard) with id_a < id_b and
     jaccard ≥ threshold. Jaccard = |A∩B| / (|A|+|B|−|A∩B|) — exact integer
     counts, deterministic division.
     """
+    from pyspark.sql.window import Window
+
     # join on 8-byte shingle hashes, not ~20-byte strings: same equality
     # semantics (64-bit collision odds are negligible at any corpus size
     # that fits a cluster), much lighter shuffle
@@ -84,14 +96,52 @@ def ngram_jaccard_pairs(
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
 
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    common = (
-        a.join(b, on="shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
+    if prefix_filter:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        ranked = (
+            sh.join(freq, "shingle")
+            .withColumn(
+                "__pos",
+                F.row_number().over(
+                    Window.partitionBy(id_col).orderBy("__df", "shingle")
+                ),
+            )
+            .join(F.broadcast(sizes), id_col)
+        )
+        # ε-guard keeps float noise in t·|d| from inflating the ceil and
+        # shortening the prefix (false negatives); verification forgives
+        # any extra candidates, never a missed one
+        alpha = F.ceil(F.lit(threshold) * F.col("n_shingles") - F.lit(1e-9))
+        prefix = ranked.filter(
+            F.col("__pos") <= F.col("n_shingles") - alpha + F.lit(1)
+        ).select(F.col(id_col), "shingle")
+        a = prefix.select(F.col(id_col).alias("id_a"), "shingle")
+        b = prefix.select(F.col(id_col).alias("id_b"), "shingle")
+        cand = (
+            a.join(b, on="shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        fa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+        fb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        common = (
+            cand.join(fa, "id_a")
+            .join(fb, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+    else:
+        # without the prefix: count intersections straight off the
+        # inverted-index self-join (one pass, no candidate materialization)
+        a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+        b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        common = (
+            a.join(b, on="shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("na"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("nb"))
     out = (

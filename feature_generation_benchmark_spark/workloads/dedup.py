@@ -46,12 +46,17 @@ FROM fp GROUP BY fingerprint
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # prefix_filter off: the synthetic corpus has near-uniform shingle
+    # frequencies (no hot shingles), so the naive inverted-index join has
+    # no blowup to prune and the prefix pass's extra shuffles just cost.
+    # Real corpora are Zipfian — keep the operator's scale-safe default on.
     return ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"),
         "doc_id",
         "text",
         n=3,
         threshold=_JACCARD_T,
+        prefix_filter=False,
     )
 
 

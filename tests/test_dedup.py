@@ -59,6 +59,26 @@ def test_ngram_jaccard_finds_near_dup(spark, docs):
     assert not any({a, b} == {1, 4} for a, b in pairs)
 
 
+def test_prefix_filter_is_exact(spark, docs):
+    """The AllPairs prefix-filtered form must emit EXACTLY the naive
+    inverted-index join's pairs — the prefix only prunes candidates that
+    provably cannot reach the threshold."""
+    for t in (0.1, 0.3, 0.5, 0.9):
+        naive = {
+            (r["id_a"], r["id_b"]): (r["common"], r["jaccard"])
+            for r in ngram_jaccard_pairs(
+                docs, "doc_id", "text", threshold=t, prefix_filter=False
+            ).collect()
+        }
+        pruned = {
+            (r["id_a"], r["id_b"]): (r["common"], r["jaccard"])
+            for r in ngram_jaccard_pairs(
+                docs, "doc_id", "text", threshold=t, prefix_filter=True
+            ).collect()
+        }
+        assert pruned == naive, f"mismatch at threshold {t}"
+
+
 def test_minhash_lsh_recalls_planted_pairs(spark, docs):
     got = {
         (r["id_a"], r["id_b"])
