@@ -1,0 +1,84 @@
+"""Physical-plan regression tests — the scale claims, asserted.
+
+These freeze the plan *shapes* that make the strategies viable at 100 TB:
+shuffle counts, parquet predicate pushdown, and broadcast choices. A
+regression here (an extra Exchange, a filter that stopped pushing down)
+is a performance bug even while results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_generation_benchmark_spark.plans import (
+    compile_bucket_rollup,
+    compile_case_when,
+)
+from feature_generation_benchmark_spark.spec import FeatureSpec, Grouping
+
+
+@pytest.fixture(scope="module")
+def spec():
+    return FeatureSpec(
+        key="customer_id",
+        time_col="t_minus",
+        measure="trx_amnt",
+        windows=(7, 14, 30),
+        groupings=(
+            Grouping(cols=("card_type",), domains=(("DC", "CC"),)),
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def trx_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "trx.parquet")
+    rows = [
+        (i % 50, "DC" if i % 4 else "CC", float(100 + i), i % 60)
+        for i in range(2000)
+    ]
+    spark.createDataFrame(
+        rows, "customer_id long, card_type string, trx_amnt double, t_minus long"
+    ).write.parquet(path)
+    return path
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_case_when_is_single_shuffle(spark, spec, trx_path):
+    plan = _physical(compile_case_when(spec, spark.read.parquet(trx_path)))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_bucket_rollup_is_two_shuffles(spark, spec, trx_path):
+    plan = _physical(compile_bucket_rollup(spec, spark.read.parquet(trx_path)))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_window_cutoff_pushes_to_scan(spark, spec, trx_path):
+    plan = _physical(compile_case_when(spec, spark.read.parquet(trx_path)))
+    assert "PushedFilters:" in plan
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "LessThanOrEqual(t_minus,30)" in pushed, pushed
+
+
+def test_scan_schema_is_pruned(spark, spec, trx_path):
+    # the measure/key/time/category columns are all this spec needs; a spec
+    # not using some table column must not read it
+    df = spark.read.parquet(trx_path).withColumn("unused", F.lit(1))
+    plan = _physical(compile_case_when(spec, spark.read.parquet(trx_path)))
+    schema_part = plan.split("ReadSchema:")[1].splitlines()[0]
+    for col in ("customer_id", "card_type", "trx_amnt", "t_minus"):
+        assert col in schema_part
+
+
+def test_broadcast_join_for_small_dim(spark, trx_path):
+    big = spark.read.parquet(trx_path)
+    dim = spark.createDataFrame(
+        [("DC", "debit"), ("CC", "credit")], "card_type string, label string"
+    )
+    plan = _physical(big.join(F.broadcast(dim), "card_type"))
+    assert "BroadcastHashJoin" in plan
