@@ -623,6 +623,26 @@ FROM e GROUP BY win_start_us, user_id, event_type
 """
 
 
+# --------------------------------------------------------------------------
+# approximate aggregation — HyperLogLog++ distinct + quantile sketch.
+# Sketch internals are engine-specific (no bit-equal DuckDB twin possible)
+# → rows-only driver check; accuracy vs the exact answers is asserted in
+# tests/test_approx.py within published error bounds.
+# --------------------------------------------------------------------------
+
+def approx_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+        F.percentile_approx(_cents("value"), 0.5, 10000).alias(
+            "p50_value_cents"
+        ),
+        F.percentile_approx(_cents("value"), 0.99, 10000).alias(
+            "p99_value_cents"
+        ),
+    )
+
+
 QUERIES = [
     QueryDef("q1_pricing_summary", q1_pricing_summary, _Q1_ORACLE,
              "filtered grouped aggregation (TPC-H Q1 shape)"),
@@ -654,4 +674,6 @@ QUERIES = [
              "selective range-predicate aggregation (pushdown showcase)"),
     QueryDef("windowed_events", windowed_events, _WINDOWED_EVENTS_ORACLE,
              "tumbling event-time window aggregation (streaming twin, batch)"),
+    QueryDef("approx_users_per_type", approx_users_per_type, None,
+             "approximate aggregates: HLL++ distinct + quantile sketch"),
 ]
