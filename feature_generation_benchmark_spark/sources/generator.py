@@ -27,6 +27,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from dataclasses import dataclass
 
+import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -95,59 +96,107 @@ def derive_seed(global_seed: int, partition: int, customer: int) -> int:
     )
 
 
+_PHI = 0x9E3779B97F4A7C15  # splitmix64 increment (public-domain constant)
+
+#: per-purpose stream tags (xor'd into the pair seed before mixing) —
+#: independent counter-based streams per (pair, purpose, index)
+_TAG_RATE, _TAG_JITTER, _TAG_AMNT, _TAG_CARD, _TAG_TRX, _TAG_CHAN = (
+    0xA076_1D64_78BD_642F,
+    0xE703_7ED1_A0B4_28DB,
+    0x8EBC_6AF0_9C88_C6E3,
+    0x5899_65CC_7537_4CC3,
+    0x1D8E_4E27_C47D_124F,
+    0xEB44_ACCA_B455_D165,
+)
+
+
+def _mix64(x):  # vectorized splitmix64 finalizer over uint64 ndarrays
+    import numpy as np
+
+    x = (x + np.uint64(_PHI)).astype(np.uint64)
+    x ^= x >> np.uint64(30)
+    x = (x * np.uint64(0xBF58476D1CE4E5B9)).astype(np.uint64)
+    x ^= x >> np.uint64(27)
+    x = (x * np.uint64(0x94D049BB133111EB)).astype(np.uint64)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _u01(h):  # uint64 → uniform double in [0, 1), 53-bit mantissa
+    return (h >> np.uint64(11)).astype(np.float64) * (2.0 ** -53)
+
+
+def _stream(pair_seed, tag, idx):
+    """Counter-based stream value: mix(mix(seed ^ tag) + idx·φ)."""
+    import numpy as np
+
+    base = _mix64(pair_seed ^ np.uint64(tag))
+    return _mix64((base + idx.astype(np.uint64) * np.uint64(_PHI)).astype(np.uint64))
+
+
 def _make_batch_fn(days: int, seed: int):
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import numpy as np
 
         for batch in batches:
-            cust = batch.column("customer_id").to_numpy()
-            part = batch.column("partition").to_numpy()
-            out_cust = []
-            out_t = []
-            out_amt = []
-            out_card = []
-            out_trx = []
-            out_chan = []
-            out_part = []
-            for c, p in zip(cust, part):
-                rng = np.random.default_rng(derive_seed(seed, int(p), int(c)))
-                # per-customer expected daily rate (G2)
-                rate = rng.binomial(100, 0.25)
-                # per-day ±10% jitter (G3), at least 0
-                jitter = rng.uniform(0.9, 1.1, size=days)
-                counts = np.maximum((rate * jitter).astype(np.int64), 0)
-                n = int(counts.sum())
-                if n == 0:
-                    continue
-                day_idx = np.repeat(np.arange(days, dtype=np.int64), counts)
-                out_cust.append(np.full(n, c, dtype=np.int64))
-                out_t.append(int(p) * days + day_idx)
-                out_amt.append(rng.uniform(100.0, 10000.0, size=n))
-                out_card.append(
-                    np.where(rng.random(n) < 0.75, "DC", "CC")
-                )
-                out_trx.append(
-                    np.array(TRX_TYPES, dtype=object)[
-                        rng.integers(0, len(TRX_TYPES), size=n)
-                    ]
-                )
-                out_chan.append(
-                    np.where(rng.random(n) < 0.25, "mobile", "web")
-                )
-                out_part.append(
-                    np.full(n, f"partition_{int(p)}", dtype=object)
-                )
-            if not out_cust:
+            cust = batch.column("customer_id").to_numpy().astype(np.int64)
+            part = batch.column("partition").to_numpy().astype(np.int64)
+            k = len(cust)
+            if k == 0:
                 continue
+            # per-(partition, customer) seed — G1; identical to
+            # derive_seed(), fully vectorized
+            s = _mix64(
+                _mix64(np.uint64(seed) ^ (part.astype(np.uint64) << np.uint64(32)))
+                ^ cust.astype(np.uint64)
+            )
+            # rate ~ Binomial(100, 0.25) as 100 counter-based Bernoullis (G2)
+            j = np.arange(100, dtype=np.uint64)
+            bern = _u01(_stream(s[:, None], _TAG_RATE, j[None, :])) < 0.25
+            rate = bern.sum(axis=1).astype(np.int64)  # (k,)
+            # per-day ±10% jitter (G3)
+            d = np.arange(days, dtype=np.uint64)
+            jit = 0.9 + 0.2 * _u01(_stream(s[:, None], _TAG_JITTER, d[None, :]))
+            counts = np.maximum((rate[:, None] * jit).astype(np.int64), 0)
+            n_per_pair = counts.sum(axis=1)
+            total = int(n_per_pair.sum())
+            if total == 0:
+                continue
+            # row fan-out (G6): day index per row, row index within pair
+            day_rows = np.repeat(
+                np.tile(np.arange(days, dtype=np.int64), k), counts.ravel()
+            )
+            cust_rows = np.repeat(cust, n_per_pair)
+            part_rows = np.repeat(part, n_per_pair)
+            s_rows = np.repeat(s, n_per_pair)
+            starts = np.cumsum(n_per_pair) - n_per_pair
+            idx = np.arange(total, dtype=np.uint64) - np.repeat(
+                starts, n_per_pair
+            ).astype(np.uint64)
+            # per-row draws (G4, G5) — one counter-based stream per purpose
+            amnt = 100.0 + 9900.0 * _u01(_stream(s_rows, _TAG_AMNT, idx))
+            card_idx = (
+                _u01(_stream(s_rows, _TAG_CARD, idx)) >= 0.75
+            ).astype(np.int8)  # P(DC)=0.75 → index 0
+            trx_idx = (
+                _stream(s_rows, _TAG_TRX, idx) % np.uint64(len(TRX_TYPES))
+            ).astype(np.int8)
+            chan_idx = (
+                _u01(_stream(s_rows, _TAG_CHAN, idx)) >= 0.25
+            ).astype(np.int8)  # P(mobile)=0.25 → index 0
+            # category strings built C++-side via take() — never as Python
+            # object arrays (the old per-pair loop's dominant cost)
+            uniq_parts, part_inv = np.unique(part_rows, return_inverse=True)
+            part_dict = pa.array([f"partition_{int(p)}" for p in uniq_parts])
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(np.concatenate(out_cust), type=pa.int64()),
-                    pa.array(np.concatenate(out_card), type=pa.string()),
-                    pa.array(np.concatenate(out_trx), type=pa.string()),
-                    pa.array(np.concatenate(out_chan), type=pa.string()),
-                    pa.array(np.concatenate(out_amt), type=pa.float64()),
-                    pa.array(np.concatenate(out_t), type=pa.int64()),
-                    pa.array(np.concatenate(out_part), type=pa.string()),
+                    pa.array(cust_rows, type=pa.int64()),
+                    pa.array(["DC", "CC"]).take(pa.array(card_idx)),
+                    pa.array(list(TRX_TYPES)).take(pa.array(trx_idx)),
+                    pa.array(["mobile", "web"]).take(pa.array(chan_idx)),
+                    pa.array(amnt, type=pa.float64()),
+                    pa.array(part_rows * days + day_rows, type=pa.int64()),
+                    part_dict.take(pa.array(part_inv.astype(np.int32))),
                 ],
                 schema=ARROW_SCHEMA,
             )
