@@ -624,6 +624,37 @@ FROM e GROUP BY win_start_us, user_id, event_type
 
 
 # --------------------------------------------------------------------------
+# semi-structured extraction — JSON props column (engine completeness;
+# real event pipelines carry JSON payloads)
+# --------------------------------------------------------------------------
+
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.avg("k").alias("avg_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+_JSON_ORACLE = """
+WITH e AS (
+  SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events
+)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  sum(k) AS sum_k,
+  avg(k) AS avg_k,
+  min(k) AS min_k,
+  max(k) AS max_k
+FROM e GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # approximate aggregation — HyperLogLog++ distinct + quantile sketch.
 # Sketch internals are engine-specific (no bit-equal DuckDB twin possible)
 # → rows-only driver check; accuracy vs the exact answers is asserted in
@@ -676,4 +707,6 @@ QUERIES = [
              "tumbling event-time window aggregation (streaming twin, batch)"),
     QueryDef("approx_users_per_type", approx_users_per_type, None,
              "approximate aggregates: HLL++ distinct + quantile sketch"),
+    QueryDef("json_props_stats", json_props_stats, _JSON_ORACLE,
+             "JSON payload extraction + aggregation"),
 ]

@@ -132,11 +132,34 @@ FROM t
 """
 
 
+def lang_id_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion counts of predicted vs labeled language (the testdata's
+    ``lang`` column is ground truth; zh has no stopword list → 'und')."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return (
+        docs.select("lang", lang_predict(toks).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _lang_accuracy_oracle() -> str:
+    return f"""
+WITH p AS ({_lang_oracle()})
+SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+FROM p JOIN documents d USING (doc_id)
+GROUP BY d.lang, p.lang_pred
+"""
+
+
 QUERIES = [
     QueryDef("text_stats", text_stats, _TEXT_STATS_ORACLE,
              "token/char/punct/quality statistics per document"),
     QueryDef("lang_id", lang_id, _lang_oracle(),
              "stopword-overlap language identification"),
+    QueryDef("lang_id_accuracy", lang_id_accuracy, _lang_accuracy_oracle(),
+             "language-ID confusion counts vs labeled ground truth"),
     QueryDef("doc_fingerprint", doc_fingerprint, _FINGERPRINT_ORACLE,
              "md5 content fingerprint over normalized text"),
 ]
