@@ -32,12 +32,21 @@ def registry() -> dict[str, QueryDef]:
         events_features,
         multimodal,
         relational,
+        sampling,
         similarity,
         text,
     )
 
     out: dict[str, QueryDef] = {}
-    for mod in (events_features, relational, dedup, similarity, text, multimodal):
+    for mod in (
+        events_features,
+        relational,
+        dedup,
+        similarity,
+        text,
+        sampling,
+        multimodal,
+    ):
         for q in mod.QUERIES:
             if q.name in out:
                 raise ValueError(f"duplicate query name {q.name}")

@@ -12,6 +12,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from feature_generation_benchmark_spark.functions.textfns import fingerprint_md5
+from feature_generation_benchmark_spark.operators.clustering import (
+    connected_components,
+)
 from feature_generation_benchmark_spark.operators.dedup import (
     exact_dedup,
     minhash_dedup_pairs,
@@ -60,8 +64,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_JACCARD_ORACLE = f"""
-WITH t AS (
+_JACCARD_CTES = f"""t AS (
   SELECT doc_id,
     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')
       AS toks
@@ -80,7 +83,10 @@ common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
+)"""
+
+_JACCARD_ORACLE = f"""
+WITH {_JACCARD_CTES}
 SELECT id_a, id_b, CAST(common AS BIGINT) AS common,
        CAST(common AS DOUBLE) / (na.n + nb.n - common) AS jaccard
 FROM common
@@ -128,6 +134,58 @@ WHERE list_cosine_similarity(a.v, b.v) >= {_COS_T}
 """
 
 
+def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS: union exact-fingerprint edges with n-gram
+    Jaccard edges, then resolve connected components (large-star /
+    small-star) so transitively-linked documents share one canonical id —
+    the step that turns pair lists into a keep/drop decision per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", fingerprint_md5("text").alias("fp"))
+    canon = fp.groupBy("fp").agg(F.min("doc_id").alias("canonical"))
+    exact_edges = (
+        fp.join(canon, "fp")
+        .where(F.col("doc_id") != F.col("canonical"))
+        .select(F.col("doc_id").alias("src"), F.col("canonical").alias("dst"))
+    )
+    jacc_edges = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=_JACCARD_T, prefix_filter=False
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comps = connected_components(exact_edges.union(jacc_edges))
+    return comps.select(F.col("id").alias("doc_id"), "component")
+
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_JACCARD_CTES},
+jedges AS (
+  SELECT id_a AS a, id_b AS b FROM common
+  JOIN sizes na ON na.doc_id = id_a
+  JOIN sizes nb ON nb.doc_id = id_b
+  WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= {_JACCARD_T}
+),
+fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS f
+  FROM documents
+),
+eedges AS (
+  SELECT fp.doc_id AS a, m.c AS b
+  FROM fp JOIN (SELECT f, min(doc_id) AS c FROM fp GROUP BY f) m USING (f)
+  WHERE fp.doc_id <> m.c
+),
+edges AS (
+  SELECT a, b FROM jedges UNION SELECT b, a FROM jedges
+  UNION SELECT a, b FROM eedges UNION SELECT b, a FROM eedges
+),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+r(id, root) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.b, r.root FROM r JOIN edges e ON e.a = r.id
+)
+SELECT id AS doc_id, min(root) AS component FROM r GROUP BY id
+"""
+
+
 QUERIES = [
     QueryDef("dedup_exact", dedup_exact, _EXACT_ORACLE,
              "exact dedup via md5 fingerprint group-by"),
@@ -139,4 +197,10 @@ QUERIES = [
              "SimHash near-dup pairs (hamming <= 3 via 16-bit bands)"),
     QueryDef("dedup_embedding_cosine", dedup_embedding_cosine, _COSINE_ORACLE,
              "embedding cosine near-duplicate pairs"),
+    # bench=False: iterative (one job per star round) — a fixed multi-job
+    # cost that would dominate the single-pass headline total; correctness
+    # is still gated through the sf0.01 oracle run.
+    QueryDef("duplicate_clusters", duplicate_clusters, _CLUSTERS_ORACLE,
+             "connected components over dup pairs (large-star/small-star)",
+             bench=False),
 ]

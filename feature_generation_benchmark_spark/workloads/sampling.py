@@ -1,0 +1,129 @@
+"""Dataset-assembly workload on ``documents`` (extension operators:
+deterministic stratified sampling, token-budget sequence packing).
+
+Training-data pipelines need reproducible subsampling (re-balance
+languages/sources across pipeline re-runs without coordinating random
+state) and sequence assembly (group documents into fixed token budgets).
+Both are pure Catalyst plans with exact DuckDB twins.
+
+Determinism strategy for sampling: no ``rand()`` anywhere — the keep
+decision is ``md5(doc_id)`` hex-prefix compared against a per-stratum
+threshold string. md5 is bit-identical across engines, so the oracle
+reproduces the exact sample; at cluster scale the filter is embarrassingly
+parallel, shuffle-free, and stable under repartitioning (unlike
+``F.rand``, whose stream depends on partition layout).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from feature_generation_benchmark_spark.functions.textfns import token_count
+from feature_generation_benchmark_spark.sources.testdata import load_table
+from feature_generation_benchmark_spark.workloads import QueryDef
+
+#: Per-language sampling rates (16ths — exactly representable as a 4-hex-digit
+#: threshold on the md5 key space, so Spark and the oracle agree bit-for-bit).
+SAMPLE_RATES: dict[str, float] = {
+    "en": 0.5,
+    "de": 0.25,
+    "es": 0.25,
+    "fr": 0.25,
+    "zh": 0.125,
+}
+
+
+def _hex_threshold(rate: float) -> str:
+    """Rate → 4-hex-digit cutoff: keep iff md5[:4] < cutoff (lexicographic
+    compare is correct: fixed-width lowercase hex)."""
+    return format(int(rate * 0x10000), "04x")
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    cutoff = F.lit(None).cast("string")
+    for lang, rate in SAMPLE_RATES.items():
+        cutoff = F.when(F.col("lang") == lang, F.lit(_hex_threshold(rate))).otherwise(
+            cutoff
+        )
+    return (
+        docs.select("doc_id", "lang", "source", key.alias("sample_key"))
+        .where(key < cutoff)
+    )
+
+
+def _sample_oracle() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{lang}' THEN '{_hex_threshold(rate)}'"
+        for lang, rate in SAMPLE_RATES.items()
+    )
+    return f"""
+WITH k AS (
+  SELECT doc_id, lang, source,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS sample_key,
+         CASE {cases} END AS cutoff
+  FROM documents
+)
+SELECT doc_id, lang, source, sample_key FROM k WHERE sample_key < cutoff
+"""
+
+
+#: Token budget per packed sequence (2^11: division by it is exact in
+#: double arithmetic, keeping floor() engine-portable).
+SEQ_BUDGET = 2048
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign documents to fixed-token-budget bins per source (greedy
+    cumulative chunking in deterministic ``doc_id`` order), then summarize
+    each packed sequence. The per-source window is one shuffle + sort; at
+    100 TB you would sub-shard the partition key (source, doc_id bucket) so
+    no single source serializes through one task — the bin ids stay
+    deterministic because the running sum is order-defined either way."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(w)
+    seq = F.floor((cum - F.col("n_tokens")) / F.lit(SEQ_BUDGET))
+    return (
+        t.select("source", "doc_id", "n_tokens", seq.alias("seq_id"))
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+_PACKING_ORACLE = f"""
+WITH t AS (
+  SELECT source, doc_id,
+    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT source, doc_id, n_tokens,
+    CAST(floor((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+                - n_tokens) / {SEQ_BUDGET}.0) AS BIGINT) AS seq_id
+  FROM t
+)
+SELECT source, seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM b GROUP BY source, seq_id
+"""
+
+
+QUERIES = [
+    QueryDef("sample_stratified", sample_stratified, _sample_oracle(),
+             "deterministic md5-keyed stratified sampling by language"),
+    QueryDef("sequence_packing", sequence_packing, _PACKING_ORACLE,
+             "token-budget sequence packing per source (window cumsum)"),
+]

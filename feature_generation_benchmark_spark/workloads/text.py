@@ -132,6 +132,94 @@ FROM t
 """
 
 
+#: Gopher-style quality-gate bounds (Rae et al. 2021 §A1.1, adapted to the
+#: synthetic corpus' 10-99-token documents so both outcomes occur).
+QUALITY_BOUNDS = {
+    "min_tokens": 20,
+    "max_tokens": 100_000,
+    "min_avg_token_len": 2.0,
+    "max_avg_token_len": 10.0,
+    "min_stopword_ratio": 0.03,
+    "max_dup_token_ratio": 0.7,
+    "max_digit_char_ratio": 0.3,
+}
+
+#: Union of all per-language stopword lists — the language-agnostic
+#: "natural language-ness" signal for the quality gate.
+_ALL_STOPWORDS = tuple(
+    dict.fromkeys(w for ws in LANG_STOPWORDS.values() for w in ws)
+)
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals + composite pass/fail gate. The token
+    array is materialized in its own projection BEFORE the lambda-heavy
+    stats select — higher-order functions re-evaluate argument expressions
+    per element, so feeding them ``tokens(text)`` inline would re-split the
+    text O(tokens) times (see spark-perf notes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "text", tokens("text").alias("toks"))
+    vocab = F.array(*[F.lit(w) for w in _ALL_STOPWORDS])
+    n_tokens = F.size("toks").cast("long")
+    n_chars = F.length("text").cast("long")
+    token_len_sum = F.aggregate(
+        F.transform("toks", lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    stop_hits = F.size(F.filter("toks", lambda x: F.array_contains(vocab, x)))
+    n_distinct = F.size(F.array_distinct("toks"))
+    n_digits = char_class_count(F.col("text"), "[0-9]")
+    b = QUALITY_BOUNDS
+    stats = t.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        (token_len_sum / n_tokens).alias("avg_token_len"),
+        (stop_hits / n_tokens).alias("stopword_ratio"),
+        (F.lit(1.0) - n_distinct / n_tokens).alias("dup_token_ratio"),
+        (n_digits / n_chars).alias("digit_char_ratio"),
+    )
+    passes = (
+        F.col("n_tokens").between(b["min_tokens"], b["max_tokens"])
+        & F.col("avg_token_len").between(
+            b["min_avg_token_len"], b["max_avg_token_len"]
+        )
+        & (F.col("stopword_ratio") >= b["min_stopword_ratio"])
+        & (F.col("dup_token_ratio") <= b["max_dup_token_ratio"])
+        & (F.col("digit_char_ratio") <= b["max_digit_char_ratio"])
+    )
+    return stats.withColumn("passes_quality", passes)
+
+
+def _quality_oracle() -> str:
+    b = QUALITY_BOUNDS
+    vocab = ", ".join(f"'{w}'" for w in _ALL_STOPWORDS)
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents
+),
+s AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+      / len(toks) AS avg_token_len,
+    CAST(len(list_filter(toks, x -> list_contains([{vocab}], x)))
+      AS DOUBLE) / len(toks) AS stopword_ratio,
+    1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+      AS dup_token_ratio,
+    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text)
+      AS digit_char_ratio
+  FROM t
+)
+SELECT *,
+  (n_tokens BETWEEN {b["min_tokens"]} AND {b["max_tokens"]})
+  AND (avg_token_len BETWEEN {b["min_avg_token_len"]}
+       AND {b["max_avg_token_len"]})
+  AND stopword_ratio >= {b["min_stopword_ratio"]}
+  AND dup_token_ratio <= {b["max_dup_token_ratio"]}
+  AND digit_char_ratio <= {b["max_digit_char_ratio"]} AS passes_quality
+FROM s
+"""
+
+
 def lang_id_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion counts of predicted vs labeled language (the testdata's
     ``lang`` column is ground truth; zh has no stopword list → 'und')."""
@@ -162,4 +250,6 @@ QUERIES = [
              "language-ID confusion counts vs labeled ground truth"),
     QueryDef("doc_fingerprint", doc_fingerprint, _FINGERPRINT_ORACLE,
              "md5 content fingerprint over normalized text"),
+    QueryDef("text_quality", text_quality, _quality_oracle(),
+             "Gopher-style quality signals + composite pass/fail gate"),
 ]

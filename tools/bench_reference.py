@@ -48,11 +48,21 @@ STRATEGIES = {
 }
 
 
+def _default_heap_gb() -> int:
+    """~70% of machine RAM: the at-scale runs are single-JVM local mode, so
+    the driver heap IS the executor heap; the tests' 8g default starves a
+    1.7B-row scan (32 concurrent parquet readers + partial-agg hash maps)."""
+    with open("/proc/meminfo") as f:
+        total_kb = int(f.readline().split()[1])
+    return max(8, int(total_kb / 1024 / 1024 * 0.7))
+
+
 def main() -> None:
     size = sys.argv[1] if len(sys.argv) > 1 else "tiny"
     strategies = sys.argv[2:] or ["bucket_rollup"]
     seed = int(os.environ.get("SPARK_GRAFT_SEED", "42"))
 
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", f"{_default_heap_gb()}g")
     spark = get_spark(f"fgb-reference-{size}")
     spec = reference_spec()
     root = tempfile.mkdtemp(prefix=f"fgb_ref_{size}_")
