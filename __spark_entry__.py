@@ -14,7 +14,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from feature_generation_benchmark_spark.plans import compile_bucket_rollup
+from feature_generation_benchmark_spark.plans import compile_features
 from feature_generation_benchmark_spark.sources.testdata import events_transactions
 from feature_generation_benchmark_spark.workloads import registry
 from feature_generation_benchmark_spark.workloads.events_features import (
@@ -23,11 +23,12 @@ from feature_generation_benchmark_spark.workloads.events_features import (
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: bucket+exact-rollup feature generation on sf0.001 events."""
+    """Flagship: planner-selected feature generation on sf0.001 events
+    (resolves to the integer-cell bucket-pivot plan for this spec)."""
     trx = events_transactions(
         spark, "/root/testdata/sf0.001", max_t_minus=max(EVENTS_SPEC.windows)
     )
-    return compile_bucket_rollup(EVENTS_SPEC, trx)
+    return compile_features(EVENTS_SPEC, trx)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

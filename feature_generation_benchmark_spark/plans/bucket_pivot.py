@@ -1,0 +1,184 @@
+"""Physical strategy A2+A3″ — single-pass integer-cell partial aggregation
++ known-values pivot + arithmetic roll-up. The engine's fastest plan at
+scale; semantics identical to every other strategy.
+
+Motivation (measured at the reference's medium scale, 1.7B rows): in
+``plans/bucket_rollup.py`` the second aggregation evaluates every feature's
+CASE WHEN — with *string* equality on category columns — against every
+partial row: ~33M partials × 2,080 conditions ≈ 69 billion predicate
+evaluations, which dominates the run. This plan removes that cost
+entirely:
+
+1. Each in-scope row is mapped to one small integer **cell id** encoding
+   (all union category values, smallest-window bucket) — a handful of
+   codegen'd comparisons per row, done ONCE.
+2. Level 1 aggregates ``{count,sum,min,max}`` by ``(key, cell)``. The
+   shuffle row is ``(long, int, 4 numerics)`` — roughly half the bytes of
+   shuffling category strings (reference pivot key synthesis,
+   ``impl/pyspark-pivot.py:104-105,124``, shuffles concat'd strings).
+3. Level 2 pivots the partials wide with an EXPLICIT integer value list
+   (reference known-values idiom, ``impl/pyspark-pivot.py:106-110,126``).
+   Catalyst's two-phase pivot rewrite turns this into ``PivotFirst`` — an
+   O(1) buffer write per partial row, not a per-feature CASE WHEN.
+4. Level 3 is a pure arithmetic projection over the ≤ ``n_cells × 4``
+   pivot columns: cumulative windows via coalesce-safe ``+`` /
+   null-skipping ``least``/``greatest``, exact ``avg = Σsum/Σcount``
+   (the §2.7.2-3 fixes, same as the other rollup plans). It runs once per
+   OUTPUT row (one per key), i.e. ~4 orders of magnitude fewer expression
+   evaluations than re-aggregating partials.
+
+Scale posture: one input scan, one big shuffle (reduced by map-side
+partial aggregation to ≤ |keys| × n_cells rows), one tiny shuffle of
+partials, no join. Cell-domain size is compile-time-known (no discovery
+scan); plans stay static. Expressions are built as SQL strings — one JVM
+parse per feature instead of a dozen Py4J round-trips each.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from feature_generation_benchmark_spark.functions.exprs import (
+    quote_ident,
+    quote_str,
+)
+from feature_generation_benchmark_spark.spec import Agg, FeatureSpec
+
+#: Guard: beyond this many cells the pivot row buffer (n_cells × 4 slots
+#: per key) stops being "small state" and the planner should fall back to
+#: ``bucket_rollup``.
+MAX_CELLS = 100_000
+
+_AGGS = ("cnt", "sum", "min", "max")
+
+
+def _union_domains(spec: FeatureSpec) -> list[tuple[str, tuple[str, ...]]]:
+    """Union of grouping columns with their (consistent) domains, sorted by
+    column name for a deterministic cell-id layout."""
+    doms: dict[str, tuple[str, ...]] = {}
+    for g in spec.groupings:
+        for col, dom in zip(g.cols, g.domains):
+            if col in doms and doms[col] != dom:
+                raise ValueError(f"column {col!r} has conflicting domains")
+            doms[col] = dom
+    return sorted(doms.items())
+
+
+def _idx_case(col: str, domain: tuple[str, ...]) -> str:
+    whens = " ".join(
+        f"WHEN {quote_ident(col)} = {quote_str(v)} THEN {i}"
+        for i, v in enumerate(domain)
+    )
+    return f"(CASE {whens} END)"
+
+
+def _bucket_idx_case(spec: FeatureSpec) -> str:
+    whens = " ".join(
+        f"WHEN {quote_ident(spec.time_col)} <= {w} THEN {i}"
+        for i, w in enumerate(spec.windows)
+    )
+    return f"(CASE {whens} END)"
+
+
+def _cell_sql(spec: FeatureSpec, doms: list[tuple[str, tuple[str, ...]]]) -> str:
+    """One integer per (category values..., bucket): mixed-radix encoding.
+    NULL (out-of-domain value) rows match no explicit pivot value and so
+    contribute to no feature — same semantics as unmatched CASE WHENs."""
+    expr = ""
+    for col, dom in doms:
+        idx = _idx_case(col, dom)
+        expr = idx if not expr else f"({expr} * {len(dom)} + {idx})"
+    return f"CAST(({expr} * {len(spec.windows)} + {_bucket_idx_case(spec)}) AS INT)"
+
+
+def _cells_for(
+    spec: FeatureSpec,
+    doms: list[tuple[str, tuple[str, ...]]],
+    feat,
+) -> list[int]:
+    """Pivot-cell ids contributing to one cumulative feature: fix the
+    feature's own category values, marginalize over the other union
+    columns, include every bucket ≤ the feature's window."""
+    fixed = dict(zip(feat.grouping.cols, feat.combo))
+    cells = [0]
+    for col, dom in doms:
+        if col in fixed:
+            choices = [dom.index(fixed[col])]
+        else:
+            choices = list(range(len(dom)))
+        cells = [c * len(dom) + i for c in cells for i in choices]
+    max_b = spec.windows.index(feat.window)
+    nw = len(spec.windows)
+    return [c * nw + b for c in cells for b in range(max_b + 1)]
+
+
+def _feature_sql(spec: FeatureSpec, feat, cells: list[int]) -> str:
+    def refs(suffix: str) -> list[str]:
+        return [quote_ident(f"{c}_{suffix}") for c in cells]
+
+    cnt = " + ".join(f"coalesce({r}, 0)" for r in refs("cnt"))
+    if feat.agg is Agg.COUNT:
+        return f"CAST({cnt} AS BIGINT) AS {quote_ident(feat.name)}"
+    if feat.agg is Agg.SUM:
+        expr = " + ".join(f"coalesce({r}, CAST(0 AS DOUBLE))" for r in refs("sum"))
+    elif feat.agg is Agg.AVG:
+        total = " + ".join(f"coalesce({r}, CAST(0 AS DOUBLE))" for r in refs("sum"))
+        expr = f"CASE WHEN ({cnt}) > 0 THEN ({total}) / ({cnt}) END"
+    elif feat.agg is Agg.MIN:
+        r = refs("min")
+        expr = r[0] if len(r) == 1 else f"least({', '.join(r)})"
+    elif feat.agg is Agg.MAX:
+        r = refs("max")
+        expr = r[0] if len(r) == 1 else f"greatest({', '.join(r)})"
+    else:  # pragma: no cover
+        raise ValueError(f"unknown agg {feat.agg}")
+    if spec.round_decimals is not None:
+        expr = f"round({expr}, {spec.round_decimals})"
+    return f"{expr} AS {quote_ident(feat.name)}"
+
+
+def compile_bucket_pivot(spec: FeatureSpec, df: DataFrame) -> DataFrame:
+    """Compile ``spec`` into the integer-cell pivot plan."""
+    doms = _union_domains(spec)
+    n_cells = len(spec.windows)
+    for _, dom in doms:
+        n_cells *= len(dom)
+    if n_cells > MAX_CELLS:
+        raise ValueError(
+            f"{n_cells} cells exceed MAX_CELLS={MAX_CELLS}; "
+            "use compile_bucket_rollup"
+        )
+
+    pruned = df.select(*spec.input_columns())
+    in_scope = pruned.filter(F.col(spec.time_col) <= F.lit(max(spec.windows)))
+    celled = in_scope.select(
+        F.col(spec.key),
+        F.expr(_cell_sql(spec, doms)).alias("__cell"),
+        F.col(spec.measure),
+    )
+
+    partial = celled.groupBy(spec.key, "__cell").agg(
+        F.count(F.col(spec.measure)).alias("cnt"),
+        F.sum(F.col(spec.measure)).alias("sum"),
+        F.min(F.col(spec.measure)).alias("min"),
+        F.max(F.col(spec.measure)).alias("max"),
+    )
+
+    pivoted = (
+        partial.groupBy(spec.key)
+        .pivot("__cell", list(range(n_cells)))
+        .agg(
+            F.first("cnt").alias("cnt"),
+            F.first("sum").alias("sum"),
+            F.first("min").alias("min"),
+            F.first("max").alias("max"),
+        )
+    )
+
+    exprs = [
+        _feature_sql(spec, feat, _cells_for(spec, doms, feat))
+        for feat in spec.features()
+    ]
+    # one Py4J call + one parse each, instead of 2080 F.expr round-trips
+    return pivoted.selectExpr(quote_ident(spec.key), *exprs)

@@ -13,6 +13,10 @@ from typing import Literal
 
 from pyspark.sql import DataFrame
 
+from feature_generation_benchmark_spark.plans.bucket_pivot import (
+    MAX_CELLS,
+    compile_bucket_pivot,
+)
 from feature_generation_benchmark_spark.plans.bucket_rollup import (
     compile_bucket_rollup,
 )
@@ -20,7 +24,9 @@ from feature_generation_benchmark_spark.plans.case_when import compile_case_when
 from feature_generation_benchmark_spark.plans.grouped_map import compile_grouped_map
 from feature_generation_benchmark_spark.spec import FeatureSpec
 
-Strategy = Literal["auto", "case_when", "bucket_rollup", "grouped_map"]
+Strategy = Literal[
+    "auto", "case_when", "bucket_pivot", "bucket_rollup", "grouped_map"
+]
 
 #: Rough threshold: below this many feature cells the single-pass
 #: conditional agg is cheaper (no second shuffle, smaller plan); above it,
@@ -29,8 +35,24 @@ Strategy = Literal["auto", "case_when", "bucket_rollup", "grouped_map"]
 CASE_WHEN_MAX_FEATURES = 64
 
 
+def _n_union_cells(spec: FeatureSpec) -> int:
+    doms: dict[str, int] = {}
+    for g in spec.groupings:
+        for col, dom in zip(g.cols, g.domains):
+            doms[col] = len(dom)
+    n = len(spec.windows)
+    for d in doms.values():
+        n *= d
+    return n
+
+
 def choose_strategy(spec: FeatureSpec) -> Strategy:
     if len(spec.windows) > 1 and spec.n_features > CASE_WHEN_MAX_FEATURES:
+        # integer-cell pivot removes the per-partial-row CASE WHEN cost
+        # (measured ~2x at 1.7B rows) while its pivot buffer stays small;
+        # huge cell domains fall back to the conditional re-aggregation
+        if _n_union_cells(spec) <= MAX_CELLS:
+            return "bucket_pivot"
         return "bucket_rollup"
     return "case_when"
 
@@ -49,6 +71,8 @@ def compile_features(
         strategy = choose_strategy(spec)
     if strategy == "case_when":
         return compile_case_when(spec, df)
+    if strategy == "bucket_pivot":
+        return compile_bucket_pivot(spec, df)
     if strategy == "bucket_rollup":
         return compile_bucket_rollup(spec, df)
     if strategy == "grouped_map":

@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from feature_generation_benchmark_spark.plans import (
+    compile_bucket_pivot,
     compile_bucket_rollup,
     compile_case_when,
     compile_grouped_arrow,
@@ -53,6 +54,10 @@ def _bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_bucket_rollup(EVENTS_SPEC, _load(spark, sf_dir))
 
 
+def _bucket_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return compile_bucket_pivot(EVENTS_SPEC, _load(spark, sf_dir))
+
+
 def _grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_grouped_map(EVENTS_SPEC, _load(spark, sf_dir))
 
@@ -85,6 +90,13 @@ QUERIES = [
         _bucket_rollup,
         _ORACLE,
         "bucket + exact cumulative rollup (strategy A2+A3')",
+    ),
+    QueryDef(
+        "feat_bucket_pivot",
+        _bucket_pivot,
+        _ORACLE,
+        "integer-cell partial agg + known-values PivotFirst + arithmetic "
+        "rollup (strategy A2+A3'', the at-scale default)",
     ),
     QueryDef(
         "feat_grouped_map",

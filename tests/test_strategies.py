@@ -10,6 +10,7 @@ import math
 import pytest
 
 from feature_generation_benchmark_spark.plans import (
+    compile_bucket_pivot,
     compile_bucket_rollup,
     compile_case_when,
     compile_grouped_arrow,
@@ -75,6 +76,7 @@ def results(spark, tiny_transactions):
             SMALL_SPEC, tiny_transactions, premask=True
         ),
         "bucket_rollup": compile_bucket_rollup(SMALL_SPEC, tiny_transactions),
+        "bucket_pivot": compile_bucket_pivot(SMALL_SPEC, tiny_transactions),
         "grouped_map": compile_grouped_map(SMALL_SPEC, tiny_transactions),
         "grouped_arrow": compile_grouped_arrow(SMALL_SPEC, tiny_transactions),
         "pivot_rollup": compile_pivot_rollup(SMALL_SPEC, tiny_transactions),
@@ -84,6 +86,13 @@ def results(spark, tiny_transactions):
 
 def test_case_when_vs_bucket_rollup(spark, results):
     assert_frames_equal(results["case_when"], results["bucket_rollup"],
+                        "customer_id")
+
+
+def test_case_when_vs_bucket_pivot(spark, results):
+    """The integer-cell pivot plan marginalizes union-cell partials per
+    grouping scheme — must equal the canonical conditional aggregation."""
+    assert_frames_equal(results["case_when"], results["bucket_pivot"],
                         "customer_id")
 
 
@@ -140,12 +149,26 @@ def test_boundary_semantics(spark, results):
 
 
 def test_planner_choice():
-    assert choose_strategy(reference_spec()) == "bucket_rollup"
+    assert choose_strategy(reference_spec()) == "bucket_pivot"
     tiny = FeatureSpec(
         "k", "t", "m", (7,),
         (Grouping(cols=("c",), domains=(("a", "b"),)),),
     )
     assert choose_strategy(tiny) == "case_when"
+    # a huge cell domain must fall back to the conditional re-aggregation
+    wide = FeatureSpec(
+        "k", "t", "m", tuple(range(1, 100)),
+        (
+            Grouping(
+                cols=("c1", "c2"),
+                domains=(
+                    tuple(f"a{i}" for i in range(100)),
+                    tuple(f"b{i}" for i in range(100)),
+                ),
+            ),
+        ),
+    )
+    assert choose_strategy(wide) == "bucket_rollup"
 
 
 def test_compile_features_dispatch(spark, tiny_transactions):

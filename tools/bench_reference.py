@@ -28,6 +28,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from feature_generation_benchmark_spark.plans import (  # noqa: E402
+    compile_bucket_pivot,
     compile_bucket_rollup,
     compile_case_when,
 )
@@ -42,6 +43,7 @@ from feature_generation_benchmark_spark.sources.generator import (  # noqa: E402
 from feature_generation_benchmark_spark.spec import reference_spec  # noqa: E402
 
 STRATEGIES = {
+    "bucket_pivot": compile_bucket_pivot,
     "bucket_rollup": compile_bucket_rollup,
     "case_when": compile_case_when,
     "pivot_rollup": compile_pivot_rollup,
