@@ -109,6 +109,64 @@ def salted_join(
     return lhs.join(rhs, on=keys + ["__salt"], how=how).drop("__salt")
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_time: str,
+    start: str,
+    end: str,
+    bucket_width: int,
+    broadcast_intervals: bool = False,
+) -> DataFrame:
+    """Point-in-interval join with NO equi-key: attach every interval row
+    (half-open ``[start, end)``, numeric axis — e.g. int64 µs) to each point
+    it contains.
+
+    Spark has no interval-join strategy; the naive formulation
+    ``points.join(intervals, (t >= start) & (t < end))`` is a broadcast
+    nested-loop / cartesian plan — O(|P|×|I|) comparisons, a non-starter at
+    scale. This operator makes it an **equi-join on a coarse time bucket**:
+    each interval is replicated to the ``⌈len/width⌉ (+1)`` buckets it
+    overlaps (``F.sequence`` + ``explode``), each point hashes to exactly
+    one bucket, then the precise predicate filters candidates. Shuffle is
+    hash-partitioned on the bucket, Catalyst picks sort-merge or
+    shuffled-hash, AQE handles bucket skew — the shape that survives 100 TB.
+    A point pair appears in exactly one bucket (the point's), so no
+    dedup pass is needed.
+
+    Exact for ANY positive ``bucket_width`` (an interval is replicated to
+    every bucket it overlaps); the width only trades interval replication
+    factor against candidate selectivity — set it near the typical interval
+    length (callers derive it from the workload's static window length,
+    keeping the plan free of a discovery scan). Pass
+    ``broadcast_intervals=True`` when the interval side is dim-sized.
+    """
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    pts = points.withColumn(
+        "__bucket", F.floor(F.col(point_time) / F.lit(bucket_width))
+    )
+    ivl = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start) / F.lit(bucket_width)),
+                F.floor(F.col(end) / F.lit(bucket_width)),
+            )
+        ),
+    )
+    if broadcast_intervals:
+        ivl = F.broadcast(ivl)
+    return (
+        pts.join(ivl, on="__bucket", how="inner")
+        .filter(
+            (F.col(point_time) >= F.col(start))
+            & (F.col(point_time) < F.col(end))
+        )
+        .drop("__bucket")
+    )
+
+
 def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
     """Keep left rows with at least one key match on the right."""
     return left.join(right, on=on, how="left_semi")

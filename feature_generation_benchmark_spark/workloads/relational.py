@@ -20,7 +20,11 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from feature_generation_benchmark_spark.operators.joins import anti_join, asof_join
+from feature_generation_benchmark_spark.operators.joins import (
+    anti_join,
+    asof_join,
+    interval_join,
+)
 from feature_generation_benchmark_spark.operators.sessionization import (
     session_stats,
 )
@@ -674,6 +678,66 @@ def approx_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# incident windows — point-in-interval join (no equi-key) via time buckets
+# --------------------------------------------------------------------------
+
+_INCIDENT_WINDOW_US = 600_000_000  # 10 minutes
+
+
+def incident_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each ``error`` event opens a 10-minute incident window
+    ``[ts, ts+10min)``; report traffic landing inside each window.
+
+    Exercises :func:`interval_join` — the bucketed equi-join rewrite of a
+    theta join the reference has no counterpart for (its join surface is
+    1-row-per-key equi-joins only, SURVEY §2.4)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        _cents("value").alias("value_cents"),
+        F.expr("ts div 1000").alias("ts_us"),
+    )
+    incidents = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts_us").alias("w_start"),
+        (F.col("ts_us") + F.lit(_INCIDENT_WINDOW_US)).alias("w_end"),
+    )
+    joined = interval_join(
+        ev.select("event_id", "user_id", "value_cents", "ts_us"),
+        incidents,
+        point_time="ts_us",
+        start="w_start",
+        end="w_end",
+        bucket_width=_INCIDENT_WINDOW_US,
+    )
+    return joined.groupBy("incident_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("value_cents").alias("sum_value_cents"),
+    )
+
+
+_INCIDENT_ORACLE = f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type,
+         round(value*100) AS value_cents, epoch_us(ts) AS ts_us
+  FROM events
+), inc AS (
+  SELECT event_id AS incident_id, ts_us AS w_start,
+         ts_us + {_INCIDENT_WINDOW_US} AS w_end
+  FROM ev WHERE event_type = 'error'
+)
+SELECT i.incident_id,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+  sum(e.value_cents) AS sum_value_cents
+FROM inc i JOIN ev e ON e.ts_us >= i.w_start AND e.ts_us < i.w_end
+GROUP BY i.incident_id
+"""
+
+
 QUERIES = [
     QueryDef("q1_pricing_summary", q1_pricing_summary, _Q1_ORACLE,
              "filtered grouped aggregation (TPC-H Q1 shape)"),
@@ -709,4 +773,6 @@ QUERIES = [
              "approximate aggregates: HLL++ distinct + quantile sketch"),
     QueryDef("json_props_stats", json_props_stats, _JSON_ORACLE,
              "JSON payload extraction + aggregation"),
+    QueryDef("incident_window_stats", incident_window_stats, _INCIDENT_ORACLE,
+             "point-in-interval join (no equi-key) via time-bucket rewrite"),
 ]
