@@ -58,6 +58,34 @@ def windowed_event_features(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "event_ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact deduplication on ``keys`` — the streaming twin of the
+    batch ``dedup_exact`` operator (a training-data ingest pipeline dedups
+    documents as they arrive, not in a nightly batch).
+
+    Uses ``dropDuplicatesWithinWatermark`` so per-key state EXPIRES once the
+    watermark passes the key's first-seen event time: state stays
+    O(keys-per-watermark-window), the only shape that survives an unbounded
+    100 TB stream (plain ``dropDuplicates`` on a stream keeps every key
+    forever and OOMs). Duplicates separated by more than the watermark are
+    not collapsed — that's the documented contract of within-watermark
+    dedup; size the watermark to the pipeline's duplicate-arrival spread.
+
+    On a batch DataFrame this degrades to exact ``dropDuplicates`` so tests
+    can use the batch result as the oracle.
+    """
+    if not events.isStreaming:
+        return events.dropDuplicates(keys)
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 SESSION_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

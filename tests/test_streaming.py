@@ -124,3 +124,44 @@ def test_stateful_sessionizer_stream(spark, event_dir):
         assert r["session_end_us"] == end
         assert r["n_events"] == n
         assert round(r["sum_value"], 6) == s
+
+
+def test_dedup_stream_within_watermark(spark, event_dir):
+    """A source holding every event TWICE must dedup back to the batch
+    distinct row set, with bounded (watermark-expiring) state."""
+    import glob
+    import os
+
+    from feature_generation_benchmark_spark.streaming.features import (
+        dedup_stream,
+    )
+
+    batch_df = spark.read.parquet(event_dir)
+    dup_dir = tempfile.mkdtemp(prefix="fgb_stream_dup_")
+    try:
+        batch_df.write.mode("overwrite").parquet(dup_dir)
+        batch_df.write.mode("append").parquet(dup_dir)
+
+        doubled = spark.read.parquet(dup_dir)
+        assert doubled.count() == 2 * batch_df.count()
+        expected = batch_df.select("event_id").distinct().count()
+
+        # batch path degrades to exact dropDuplicates
+        assert dedup_stream(doubled, ["event_id"]).count() == expected
+
+        stream = spark.readStream.schema(batch_df.schema).parquet(dup_dir)
+        out = dedup_stream(stream, ["event_id"])
+        q = (
+            out.writeStream.format("memory")
+            .queryName("dedupstream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql(
+            "SELECT count(DISTINCT event_id) AS d, count(*) AS n FROM dedupstream"
+        ).collect()[0]
+        assert (got["d"], got["n"]) == (expected, expected)
+    finally:
+        shutil.rmtree(dup_dir, ignore_errors=True)
