@@ -45,6 +45,69 @@ def write_parquet(
     writer.parquet(path)
 
 
+#: Formats the generic reader/writer pair supports. Parquet is the
+#: performance path (columnar, pushdown, pruning); ORC matches it
+#: feature-for-feature; CSV/JSON are interchange formats — schema must be
+#: supplied (inference = an extra full scan) and column pruning cannot
+#: skip bytes inside a row, so ingest should convert them to parquet once.
+FORMATS = ("parquet", "orc", "csv", "json")
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    columns: list[str] | None = None,
+    **options: str,
+) -> DataFrame:
+    """Format-generic dataset scan (S1-S4 generalized beyond parquet).
+
+    ``schema`` is required for csv/json at scale: without it Spark runs a
+    whole-dataset inference job before the real scan. CSV defaults to
+    ``header=true``.
+    """
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("csv", "json"):
+        reader = reader.option("inferSchema", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.load(path)
+    if columns is not None:
+        df = df.select(*columns)
+    return df
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str | None = None,
+    **options: str,
+) -> None:
+    """Format-generic sink (S5-S7 generalized beyond parquet)."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
+    writer = df.write.mode(mode).format(fmt)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if compression:
+        writer = writer.option("compression", compression)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save(path)
+
+
 def write_bucketed_table(
     df: DataFrame,
     name: str,

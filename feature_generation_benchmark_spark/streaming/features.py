@@ -86,6 +86,45 @@ def dedup_stream(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "event_ts",
+    right_ts: str = "event_ts",
+    max_delay: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: match right rows to left rows
+    with the same key whose event time falls in ``[left_ts, left_ts +
+    max_delay]`` (e.g. click → purchase attribution as both arrive).
+
+    Both sides carry a watermark and the join condition bounds the
+    event-time distance, so Spark can EXPIRE buffered state once the
+    watermark passes — without the time bound a stream-stream join must
+    buffer both streams forever. State per key is O(rows within
+    watermark+delay), the only shape that survives unbounded input.
+
+    Batch inputs skip the watermark (unified semantics) so tests can use
+    the equivalent batch join as the oracle.
+    """
+    lt, rt = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    lhs = (
+        left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    ).alias("l")
+    rhs = (
+        right.withWatermark(right_ts, watermark)
+        if right.isStreaming
+        else right
+    ).alias("r")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (rt >= lt)
+        & (rt <= lt + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return lhs.join(rhs, cond, "inner")
+
+
 SESSION_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

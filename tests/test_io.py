@@ -82,3 +82,32 @@ def test_column_pruning_projection(spark, trx):
         assert two.columns == ["customer_id", "trx_amnt"]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.parametrize("fmt", ["orc", "csv", "json"])
+def test_format_roundtrip(spark, trx, fmt):
+    """Non-parquet formats round-trip with an explicit schema (csv/json
+    schema-on-read must not silently retype columns)."""
+    from feature_generation_benchmark_spark.sources.io import (
+        read_table,
+        write_table,
+    )
+
+    src = trx.limit(500)
+    d = tempfile.mkdtemp(prefix=f"fgb_io_{fmt}_")
+    try:
+        write_table(src, d, fmt=fmt)
+        back = read_table(spark, d, fmt=fmt, schema=src.schema)
+        assert back.schema == src.schema
+        assert sorted(map(tuple, back.collect())) == sorted(
+            map(tuple, src.collect())
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_format_rejected(spark):
+    from feature_generation_benchmark_spark.sources.io import read_table
+
+    with pytest.raises(ValueError):
+        read_table(spark, "/tmp/x", fmt="avro")

@@ -165,3 +165,57 @@ def test_dedup_stream_within_watermark(spark, event_dir):
         assert (got["d"], got["n"]) == (expected, expected)
     finally:
         shutil.rmtree(dup_dir, ignore_errors=True)
+
+
+def test_stream_stream_interval_join(spark, event_dir):
+    """Clicks joined to purchases within 10 minutes, as two live streams:
+    must equal the same join run in batch (unified semantics)."""
+    from feature_generation_benchmark_spark.streaming.features import (
+        stream_stream_interval_join,
+    )
+
+    batch = spark.read.parquet(event_dir)
+    b_clicks = batch.filter(F.col("event_type") == "click")
+    b_purch = batch.filter(F.col("event_type") == "purchase")
+
+    def pairs(df):
+        return sorted(
+            (r["l_id"], r["r_id"])
+            for r in df.select(
+                F.col("l.event_id").alias("l_id"),
+                F.col("r.event_id").alias("r_id"),
+            ).collect()
+        )
+
+    expected = pairs(
+        stream_stream_interval_join(b_clicks, b_purch, on="user_id")
+    )
+    assert expected  # fixture must produce matches
+
+    schema = batch.schema
+    s_clicks = (
+        spark.readStream.schema(schema).parquet(event_dir)
+        .filter(F.col("event_type") == "click")
+    )
+    s_purch = (
+        spark.readStream.schema(schema).parquet(event_dir)
+        .filter(F.col("event_type") == "purchase")
+    )
+    out = stream_stream_interval_join(s_clicks, s_purch, on="user_id")
+    q = (
+        out.select(
+            F.col("l.event_id").alias("l_id"),
+            F.col("r.event_id").alias("r_id"),
+        )
+        .writeStream.format("memory")
+        .queryName("ssjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["l_id"], r["r_id"])
+        for r in spark.sql("SELECT * FROM ssjoin").collect()
+    )
+    assert got == expected
