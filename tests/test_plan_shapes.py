@@ -82,3 +82,39 @@ def test_broadcast_join_for_small_dim(spark, trx_path):
     )
     plan = _physical(big.join(F.broadcast(dim), "card_type"))
     assert "BroadcastHashJoin" in plan
+
+
+def test_interval_join_is_equi_join(spark):
+    """The bucketed rewrite must plan as a hash-partitioned equi-join —
+    never BroadcastNestedLoopJoin/CartesianProduct, which is what the naive
+    theta-join formulation degenerates to."""
+    from feature_generation_benchmark_spark.operators.joins import (
+        interval_join,
+    )
+    from pyspark.sql import functions as F
+
+    pts = spark.range(0, 1000).select(
+        F.col("id").alias("pid"), (F.col("id") % 997).alias("t")
+    )
+    ivl = spark.range(0, 100).select(
+        F.col("id").alias("iid"),
+        (F.col("id") * 10).alias("s"),
+        (F.col("id") * 10 + 25).alias("e"),
+    )
+    plan = _physical(interval_join(pts, ivl, "t", "s", "e", bucket_width=25))
+    assert "NestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    naive = pts.join(
+        ivl, (F.col("t") >= F.col("s")) & (F.col("t") < F.col("e"))
+    )
+    assert "NestedLoop" in _physical(naive) or "CartesianProduct" in _physical(
+        naive
+    )
+
+
+def test_bucket_pivot_is_two_shuffles(spark, spec, trx_path):
+    from feature_generation_benchmark_spark.plans import compile_bucket_pivot
+
+    plan = _physical(compile_bucket_pivot(spec, spark.read.parquet(trx_path)))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
