@@ -15,6 +15,8 @@ import sys
 import tempfile
 import time
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution needs it
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -34,9 +36,19 @@ def main() -> None:
         name: q.fn for name, q in registry().items() if q.bench
     }
 
-    # warm the JVM + parquet footer caches once so per-query numbers measure
-    # the plan, not first-touch session costs
+    # warm the JVM + parquet footer caches + Arrow/Python worker pool once so
+    # per-query numbers measure the plan, not first-touch session costs (the
+    # first pandas-UDF evaluation in a session pays ~5 s of worker startup)
     spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _warm(v: pd.Series) -> pd.Series:
+        return v
+
+    spark.range(64).select(_warm(F.col("id").cast("double"))).count()
 
     timings: dict[str, float] = {}
     for name, fn in queries.items():
