@@ -121,7 +121,82 @@ FROM b GROUP BY source, seq_id
 """
 
 
+# --------------------------------------------------------------------------
+# doc_chunking — overlapping token-window chunks (LLM training-data prep)
+# --------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 64
+_CHUNK_OVERLAP = 16
+_CHUNK_STEP = _CHUNK_TOKENS - _CHUNK_OVERLAP
+
+
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into overlapping ``_CHUNK_TOKENS``-token windows
+    with stride ``_CHUNK_STEP`` — the standard sliding-window chunking step
+    of an LLM pretraining pipeline.
+
+    Entirely JVM-side: tokenize once, then ``sequence`` (chunk starts) →
+    ``transform``+``slice`` (windows) → ``explode``. No shuffle at all —
+    a pure per-row flatMap that scales embarrassingly; the token array is
+    materialized in its own projection BEFORE the lambda so the HOF does
+    not re-tokenize per chunk (interpreted HOFs have no subexpression
+    elimination)."""
+    from feature_generation_benchmark_spark.functions.textfns import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", tokens(F.col("text")).alias("__toks")
+    ).filter(F.size("__toks") > 0)
+    chunked = toked.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.size("__toks") - 1,
+                    F.lit(_CHUNK_STEP),
+                ),
+                lambda s, i: F.struct(
+                    i.cast("long").alias("chunk_idx"),
+                    F.slice(F.col("__toks"), s + 1, _CHUNK_TOKENS).alias(
+                        "__chunk"
+                    ),
+                ),
+            )
+        ).alias("c"),
+    )
+    return chunked.select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.size("c.__chunk").cast("long").alias("n_chunk_tokens"),
+        F.array_join("c.__chunk", " ").alias("chunk_text"),
+    )
+
+
+_CHUNK_ORACLE = f"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), nz AS (
+  SELECT doc_id, toks, len(toks) AS n FROM toked WHERE len(toks) > 0
+), starts AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, n - 1, {_CHUNK_STEP})) AS s
+  FROM nz
+)
+SELECT doc_id,
+  CAST(s / {_CHUNK_STEP} AS BIGINT) AS chunk_idx,
+  CAST(len(toks[s + 1 : s + {_CHUNK_TOKENS}]) AS BIGINT) AS n_chunk_tokens,
+  array_to_string(toks[s + 1 : s + {_CHUNK_TOKENS}], ' ') AS chunk_text
+FROM starts
+"""
+
+
 QUERIES = [
+    QueryDef("doc_chunking", doc_chunking, _CHUNK_ORACLE,
+             "overlapping token-window chunking (shuffle-free flatMap)"),
     QueryDef("sample_stratified", sample_stratified, _sample_oracle(),
              "deterministic md5-keyed stratified sampling by language"),
     QueryDef("sequence_packing", sequence_packing, _PACKING_ORACLE,
