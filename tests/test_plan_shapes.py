@@ -118,3 +118,14 @@ def test_bucket_pivot_is_two_shuffles(spark, spec, trx_path):
 
     plan = _physical(compile_bucket_pivot(spec, spark.read.parquet(trx_path)))
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_doc_chunking_is_shuffle_free(spark):
+    """Chunking is a pure per-row flatMap — any Exchange in its plan is a
+    regression (the whole point is embarrassing parallelism at 100 TB)."""
+    from feature_generation_benchmark_spark.workloads.sampling import (
+        doc_chunking,
+    )
+
+    plan = _physical(doc_chunking(spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in plan, plan
