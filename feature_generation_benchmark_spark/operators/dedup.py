@@ -166,21 +166,42 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 def minhash_signatures(
-    shingles: DataFrame, id_col: str, num_perm: int = 64
+    shingles: DataFrame,
+    id_col: str,
+    num_perm: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """One row per id with ``num_perm`` min-hash values. Permutation *i* is
     simulated as ``xxhash64(i, shingle)`` (seeded 64-bit hash — the standard
     one-hash-function-per-band trick); the signature is a single group-by
-    with ``num_perm`` min-aggregates — one shuffle, map-side combined."""
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
-        for i in range(num_perm)
-    ]
+    with ``num_perm`` min-aggregates — one shuffle, map-side combined.
+
+    ``hash_fn="md5"`` swaps every hash for ``md5(i || ':' || shingle)`` with
+    lexicographic string min — slower (hex strings beat 64-bit ints at
+    nothing) but bit-identical in DuckDB, so the WHOLE pipeline including
+    banding becomes oracle-checkable cross-engine. Production stays on
+    xxhash64."""
+    if hash_fn == "md5":
+        aggs = [
+            F.min(
+                F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle")))
+            ).alias(f"mh_{i}")
+            for i in range(num_perm)
+        ]
+    else:
+        aggs = [
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+            for i in range(num_perm)
+        ]
     return shingles.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, num_perm: int = 64, bands: int = 16
+    signatures: DataFrame,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Band the signature (``bands`` bands × ``num_perm/bands`` rows), hash
     each band, and emit distinct id pairs sharing any band bucket.
@@ -190,12 +211,26 @@ def lsh_candidate_pairs(
     rows_per_band = num_perm // bands
     if rows_per_band * bands != num_perm:
         raise ValueError("bands must divide num_perm")
-    band_cols = [
-        F.xxhash64(
-            F.lit(b), *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        ).alias(f"band_{b}")
-        for b in range(bands)
-    ]
+    if hash_fn == "md5":
+        band_cols = [
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"mh_{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias(f"band_{b}")
+            for b in range(bands)
+        ]
+    else:
+        band_cols = [
+            F.xxhash64(
+                F.lit(b), *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias(f"band_{b}")
+            for b in range(bands)
+        ]
     banded = signatures.select(
         F.col(id_col),
         F.explode(
@@ -225,20 +260,22 @@ def minhash_dedup_pairs(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → signature → banded
     candidates → EXACT Jaccard verification of candidates only.
 
     Output schema matches :func:`ngram_jaccard_pairs`; at any scale the
-    candidate set (not n²) bounds the verification join.
+    candidate set (not n²) bounds the verification join. ``hash_fn="md5"``
+    keeps raw shingle strings (no xxhash64 pre-hash) so every stage is
+    reproducible in DuckDB SQL.
     """
-    sh = (
-        doc_shingles(df, id_col, text_col, n)
-        .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
-        .cache()
-    )
-    sig = minhash_signatures(sh, id_col, num_perm)
-    cand = lsh_candidate_pairs(sig, id_col, num_perm, bands)
+    sh = doc_shingles(df, id_col, text_col, n)
+    if hash_fn != "md5":
+        sh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
+    sh = sh.cache()
+    sig = minhash_signatures(sh, id_col, num_perm, hash_fn=hash_fn)
+    cand = lsh_candidate_pairs(sig, id_col, num_perm, bands, hash_fn=hash_fn)
 
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")

@@ -96,6 +96,61 @@ WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= {_JACCARD_T}
 """
 
 
+def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5-hash-family twin of ``dedup_minhash_lsh``: md5 is bit-identical
+    across Spark and DuckDB (xxhash64 is not), so signatures, banding AND
+    candidate generation — not just the final verified pairs — are
+    oracle-checked end-to-end. Production keeps xxhash64."""
+    return minhash_dedup_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=_JACCARD_T,
+        hash_fn="md5",
+    )
+
+
+# replicates the ENTIRE LSH pipeline in SQL: 64 simulated permutations
+# (min over md5(p || ':' || shingle)), 16 bands of 4 rows hashed with
+# md5(mh|mh|mh|mh), distinct band-bucket collisions, exact Jaccard verify
+# of candidates only — the same algebra the Spark plan executes.
+_MINHASH_MD5_ORACLE = f"""
+WITH {_JACCARD_CTES},
+perms AS (
+  SELECT doc_id, shingle, unnest(generate_series(0, 63)) AS p FROM sh
+),
+sig AS (
+  SELECT doc_id, p, min(md5(p || ':' || shingle)) AS mh
+  FROM perms GROUP BY doc_id, p
+),
+bands AS (
+  SELECT doc_id, p // 4 AS band,
+         md5(string_agg(mh, '|' ORDER BY p)) AS bucket
+  FROM sig GROUP BY doc_id, p // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id
+),
+cand_common AS (
+  SELECT c.id_a, c.id_b, count(*) AS common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, CAST(common AS BIGINT) AS common,
+       CAST(common AS DOUBLE) / (na.n + nb.n - common) AS jaccard
+FROM cand_common
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= {_JACCARD_T}
+"""
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_pairs(
         load_table(spark, sf_dir, "documents"),
@@ -193,6 +248,12 @@ QUERIES = [
              "exact pairwise Jaccard via shingle inverted index"),
     QueryDef("dedup_minhash_lsh", dedup_minhash_lsh, None,
              "MinHash signatures + banded LSH candidates + exact verify"),
+    # bench=False: correctness twin of dedup_minhash_lsh on the md5 hash
+    # family (the only 128-bit hash Spark and DuckDB compute identically);
+    # the xxhash64 production path above is the one benchmarked.
+    QueryDef("dedup_minhash_md5", dedup_minhash_md5, _MINHASH_MD5_ORACLE,
+             "MinHash-LSH with md5 hash family — full cross-engine oracle "
+             "including banding", bench=False),
     QueryDef("dedup_simhash", dedup_simhash, None,
              "SimHash near-dup pairs (hamming <= 3 via 16-bit bands)"),
     QueryDef("dedup_embedding_cosine", dedup_embedding_cosine, _COSINE_ORACLE,
