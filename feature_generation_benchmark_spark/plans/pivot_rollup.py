@@ -39,9 +39,16 @@ from feature_generation_benchmark_spark.spec import Agg, FeatureSpec, Grouping
 _AGG_SUFFIXES = ("cnt", "sum", "min", "max")
 
 
-def _pivot_half(spec: FeatureSpec, df: DataFrame, grouping: Grouping) -> DataFrame:
+def _pivot_half(
+    spec: FeatureSpec,
+    df: DataFrame,
+    grouping: Grouping,
+    include_avg: bool = False,
+) -> DataFrame:
     """One grouping scheme's bucketed pivot, reference shape
-    (``impl/pyspark-pivot.py:112-134``) with 4 decomposable aggs."""
+    (``impl/pyspark-pivot.py:112-134``) with 4 decomposable aggs
+    (+ per-bucket ``mean`` when the approximate roll-up needs it — the
+    reference pivots 5 aggs)."""
     key_expr = F.concat_ws(
         "_",
         *[F.col(c) for c in grouping.cols],
@@ -52,16 +59,19 @@ def _pivot_half(spec: FeatureSpec, df: DataFrame, grouping: Grouping) -> DataFra
         for combo in grouping.combos()
         for w in spec.windows
     ]
+    aggs = [
+        F.count(F.col(spec.measure)).alias("cnt"),
+        F.sum(F.col(spec.measure)).alias("sum"),
+        F.min(F.col(spec.measure)).alias("min"),
+        F.max(F.col(spec.measure)).alias("max"),
+    ]
+    if include_avg:
+        aggs.append(F.avg(F.col(spec.measure)).alias("avg"))
     pivoted = (
         df.withColumn("__pk", key_expr)
         .groupBy(spec.key)
         .pivot("__pk", pivot_values)  # explicit values: no discovery job
-        .agg(
-            F.count(F.col(spec.measure)).alias("cnt"),
-            F.sum(F.col(spec.measure)).alias("sum"),
-            F.min(F.col(spec.measure)).alias("min"),
-            F.max(F.col(spec.measure)).alias("max"),
-        )
+        .agg(*aggs)
     )
     return pivoted
 
@@ -71,22 +81,48 @@ def _cell(combo: tuple[str, ...], bucket: int, suffix: str) -> Column:
 
 
 def _rollup_half(
-    spec: FeatureSpec, pivoted: DataFrame, grouping: Grouping
+    spec: FeatureSpec,
+    pivoted: DataFrame,
+    grouping: Grouping,
+    approximate: bool = False,
 ) -> DataFrame:
-    """Derive cumulative-window features from the disjoint bucket cells
-    (exact A3′ — the reference's ``transform_col`` with fixes)."""
+    """Derive cumulative-window features from the disjoint bucket cells.
+
+    Default: exact A3′ — the reference's ``transform_col`` with the §2.7
+    fixes. ``approximate=True`` reproduces the reference's combine
+    BIT-FAITHFULLY for users migrating pivot-impl outputs
+    (``impl/pyspark-pivot.py:87-98``): count/sum via plain ``+`` (an empty
+    bucket's NULL cell poisons the cumulative value, ``:91-92``), avg as
+    the unweighted mean of per-bucket means (``:97-98`` — wrong whenever
+    bucket counts differ), min/max via ``least``/``greatest`` (identical
+    either way)."""
     out_cols: list[Column] = [F.col(spec.key)]
     for combo in grouping.combos():
         for w in spec.windows:
             buckets = [b for b in spec.windows if b <= w]
-            cnt = sum(
-                (F.coalesce(_cell(combo, b, "cnt"), F.lit(0)) for b in buckets),
-                F.lit(0),
-            )
-            total = sum(
-                (F.coalesce(_cell(combo, b, "sum"), F.lit(0.0)) for b in buckets),
-                F.lit(0.0),
-            )
+            if approximate:
+                cnt = sum(
+                    (_cell(combo, b, "cnt") for b in buckets[1:]),
+                    _cell(combo, buckets[0], "cnt"),
+                )
+                total = sum(
+                    (_cell(combo, b, "sum") for b in buckets[1:]),
+                    _cell(combo, buckets[0], "sum"),
+                )
+                avg_expr = sum(
+                    (_cell(combo, b, "avg") for b in buckets[1:]),
+                    _cell(combo, buckets[0], "avg"),
+                ) / F.lit(len(buckets))
+            else:
+                cnt = sum(
+                    (F.coalesce(_cell(combo, b, "cnt"), F.lit(0)) for b in buckets),
+                    F.lit(0),
+                )
+                total = sum(
+                    (F.coalesce(_cell(combo, b, "sum"), F.lit(0.0)) for b in buckets),
+                    F.lit(0.0),
+                )
+                avg_expr = F.when(cnt > F.lit(0), total / cnt)
             mins = [_cell(combo, b, "min") for b in buckets]
             maxs = [_cell(combo, b, "max") for b in buckets]
             least = mins[0] if len(mins) == 1 else F.least(*mins)
@@ -98,7 +134,7 @@ def _rollup_half(
                 elif agg is Agg.SUM:
                     expr = total
                 elif agg is Agg.AVG:
-                    expr = F.when(cnt > F.lit(0), total / cnt)
+                    expr = avg_expr
                 elif agg is Agg.MIN:
                     expr = least
                 else:
@@ -109,16 +145,28 @@ def _rollup_half(
     return pivoted.select(*out_cols)
 
 
-def compile_pivot_rollup(spec: FeatureSpec, df: DataFrame) -> DataFrame:
+def compile_pivot_rollup(
+    spec: FeatureSpec, df: DataFrame, approximate: bool = False
+) -> DataFrame:
     """Compile ``spec`` via the reference's pivot plan: one bucketed pivot
-    per grouping scheme, exact roll-up, inner-join of the halves."""
+    per grouping scheme, roll-up, inner-join of the halves.
+
+    ``approximate=True`` is the bit-faithful migration mode: it reproduces
+    the reference pivot impls' output INCLUDING their documented defects
+    (SURVEY §2.7.2-3) for users who need drop-in identical numbers before
+    switching to the exact default."""
     pruned = df.select(*spec.input_columns())
     in_scope = pruned.filter(
         F.col(spec.time_col) <= F.lit(max(spec.windows))
     ).withColumn("__bucket", smallest_window_bucket(spec.time_col, spec.windows))
 
     halves = [
-        _rollup_half(spec, _pivot_half(spec, in_scope, g), g)
+        _rollup_half(
+            spec,
+            _pivot_half(spec, in_scope, g, include_avg=approximate),
+            g,
+            approximate=approximate,
+        )
         for g in spec.groupings
     ]
     out = halves[0]

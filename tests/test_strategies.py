@@ -174,3 +174,43 @@ def test_planner_choice():
 def test_compile_features_dispatch(spark, tiny_transactions):
     df = compile_features(SMALL_SPEC, tiny_transactions, strategy="auto")
     assert df.count() == 2
+
+
+def test_pivot_rollup_approximate_reproduces_reference_defects(spark):
+    """approximate=True is the bit-faithful migration mode: it must show
+    the reference pivot impls' two documented defects (SURVEY §2.7.2-3)
+    that the exact default fixes — mean-of-bucket-means avg and
+    NULL-poisoned combines over empty buckets."""
+    from feature_generation_benchmark_spark.spec import Agg
+
+    spec = FeatureSpec(
+        "k", "t", "m", (7, 14),
+        (Grouping(cols=("c",), domains=(("a",),)),),
+    )
+    rows = [
+        # cust 1: bucket<=7 holds {10, 20}, bucket (7,14] holds {30}
+        (1, 3, 10.0, "a"), (1, 4, 20.0, "a"), (1, 10, 30.0, "a"),
+        # cust 2: only bucket<=7 populated — 14d bucket cell is NULL
+        (2, 5, 8.0, "a"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "t", "m", "c"])
+
+    exact = {r["k"]: r for r in compile_pivot_rollup(spec, df).collect()}
+    approx = {
+        r["k"]: r
+        for r in compile_pivot_rollup(spec, df, approximate=True).collect()
+    }
+    avg14 = spec.feature_name(("a",), 14, Agg.AVG)
+    sum14 = spec.feature_name(("a",), 14, Agg.SUM)
+    cnt14 = spec.feature_name(("a",), 14, Agg.COUNT)
+    min14 = spec.feature_name(("a",), 14, Agg.MIN)
+
+    # §2.7.2: unweighted mean of bucket means vs true weighted avg
+    assert exact[1][avg14] == pytest.approx(20.0)
+    assert approx[1][avg14] == pytest.approx((15.0 + 30.0) / 2)
+    # §2.7.3: empty 14d bucket NULL-poisons + but not least/greatest
+    assert (exact[2][sum14], exact[2][cnt14]) == (8.0, 1)
+    assert approx[2][sum14] is None and approx[2][cnt14] is None
+    assert exact[2][min14] == approx[2][min14] == 8.0
+    # populated buckets agree between modes
+    assert approx[1][sum14] == exact[1][sum14] == 60.0
