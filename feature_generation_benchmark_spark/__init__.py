@@ -16,7 +16,18 @@ Everything here is built on public PySpark APIs only.
 
 from feature_generation_benchmark_spark.spec import Agg, FeatureSpec, Grouping
 from feature_generation_benchmark_spark.session import get_spark
+from feature_generation_benchmark_spark.plans import (
+    compile_features,
+    choose_strategy,
+)
 
-__all__ = ["Agg", "FeatureSpec", "Grouping", "get_spark"]
+__all__ = [
+    "Agg",
+    "FeatureSpec",
+    "Grouping",
+    "get_spark",
+    "compile_features",
+    "choose_strategy",
+]
 
 __version__ = "0.1.0"

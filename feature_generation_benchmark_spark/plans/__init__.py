@@ -5,7 +5,13 @@ from feature_generation_benchmark_spark.plans.grouped_map import compile_grouped
 from feature_generation_benchmark_spark.plans.grouped_arrow import (
     compile_grouped_arrow,
 )
-from feature_generation_benchmark_spark.plans.planner import compile_features
+from feature_generation_benchmark_spark.plans.pivot_rollup import (
+    compile_pivot_rollup,
+)
+from feature_generation_benchmark_spark.plans.planner import (
+    choose_strategy,
+    compile_features,
+)
 from feature_generation_benchmark_spark.plans.oracle import oracle_sql_for_spec
 
 __all__ = [
@@ -15,5 +21,7 @@ __all__ = [
     "compile_grouped_map",
     "compile_grouped_arrow",
     "compile_features",
+    "choose_strategy",
+    "compile_pivot_rollup",
     "oracle_sql_for_spec",
 ]
