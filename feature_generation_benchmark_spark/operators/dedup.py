@@ -165,6 +165,52 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+def decontamination_flags(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Training-data decontamination: flag corpus documents sharing any
+    word ``n``-gram with an eval/benchmark document (the standard overlap
+    rule for test-set leakage removal).
+
+    Scale posture: the eval side collapses to a DISTINCT shingle set —
+    benchmarks are dim-sized, so it broadcasts and the corpus side is one
+    scan + broadcast hash join + one groupBy(id); the 100 TB corpus is
+    never shuffled on shingles. Set ``broadcast_eval=False`` for a huge
+    eval set (falls back to a shuffle equi-join on the shingle).
+
+    Output: one row per corpus doc — ``n_contaminated_shingles`` (distinct
+    overlapping n-grams) and a boolean ``contaminated``.
+    """
+    c_sh = doc_shingles(corpus, id_col, text_col, n)
+    e_sh = doc_shingles(eval_docs, id_col, text_col, n).select(
+        "shingle"
+    ).distinct()
+    if broadcast_eval:
+        e_sh = F.broadcast(e_sh)
+    # doc_shingles is distinct per doc: count == countDistinct
+    hits = c_sh.join(e_sh, "shingle").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_contaminated_shingles")
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_contaminated_shingles", F.lit(0))
+            .cast("long")
+            .alias("n_contaminated_shingles"),
+            (
+                F.coalesce("n_contaminated_shingles", F.lit(0)) > 0
+            ).alias("contaminated"),
+        )
+    )
+
+
 def minhash_signatures(
     shingles: DataFrame,
     id_col: str,

@@ -17,6 +17,7 @@ from feature_generation_benchmark_spark.operators.clustering import (
     connected_components,
 )
 from feature_generation_benchmark_spark.operators.dedup import (
+    decontamination_flags,
     exact_dedup,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
@@ -93,6 +94,58 @@ FROM common
 JOIN sizes na ON na.doc_id = id_a
 JOIN sizes nb ON nb.doc_id = id_b
 WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= {_JACCARD_T}
+"""
+
+
+def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hold out a deterministic ~6% of documents (md5 key split) as the
+    "benchmark" set and flag the remaining corpus docs sharing any word
+    4-gram with it."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    return decontamination_flags(
+        docs.where(key >= "1000"),
+        docs.where(key < "1000"),
+        "doc_id",
+        "text",
+        n=4,
+    )
+
+
+_DECONTAM_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id,
+    substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS k,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')
+      AS toks
+  FROM documents
+),
+csh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(toks) >= 4 THEN
+      list_transform(range(1, len(toks) - 2),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+    ELSE [] END)) AS shingle
+  FROM keyed WHERE k >= '1000'
+),
+esh AS (
+  SELECT DISTINCT unnest(list_distinct(
+    CASE WHEN len(toks) >= 4 THEN
+      list_transform(range(1, len(toks) - 2),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+    ELSE [] END)) AS shingle
+  FROM keyed WHERE k < '1000'
+),
+hits AS (
+  SELECT c.doc_id, count(*) AS n
+  FROM csh c JOIN esh e ON c.shingle = e.shingle
+  GROUP BY c.doc_id
+)
+SELECT keyed.doc_id,
+  CAST(coalesce(hits.n, 0) AS BIGINT) AS n_contaminated_shingles,
+  coalesce(hits.n, 0) > 0 AS contaminated
+FROM keyed LEFT JOIN hits ON hits.doc_id = keyed.doc_id
+WHERE keyed.k >= '1000'
 """
 
 
@@ -254,6 +307,8 @@ QUERIES = [
     QueryDef("dedup_minhash_md5", dedup_minhash_md5, _MINHASH_MD5_ORACLE,
              "MinHash-LSH with md5 hash family — full cross-engine oracle "
              "including banding", bench=False),
+    QueryDef("decontamination", decontamination, _DECONTAM_ORACLE,
+             "eval-set n-gram overlap flags (test-set leakage removal)"),
     QueryDef("dedup_simhash", dedup_simhash, None,
              "SimHash near-dup pairs (hamming <= 3 via 16-bit bands)"),
     QueryDef("dedup_embedding_cosine", dedup_embedding_cosine, _COSINE_ORACLE,
