@@ -123,3 +123,41 @@ def test_simhash_near_dups(spark, docs):
     assert got.get((1, 2)) == 0     # identical token multiset → same simhash
     assert (1, 3) in got and got[(1, 3)] <= 10
     assert not any({a, b} == {1, 4} for a, b in got)
+
+
+def test_decontamination_broadcast_and_shuffle_paths_agree(spark):
+    """broadcast_eval=False (huge-eval fallback, shuffle equi-join) must
+    match the broadcast path row for row."""
+    from feature_generation_benchmark_spark.operators.dedup import (
+        decontamination_flags,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated text with no overlap at all here"),
+            (3, "short"),
+        ],
+        ["doc_id", "text"],
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, "quick brown fox jumps")], ["doc_id", "text"]
+    )
+
+    def rows(broadcast):
+        return sorted(
+            map(
+                tuple,
+                decontamination_flags(
+                    corpus, eval_docs, "doc_id", "text", n=4,
+                    broadcast_eval=broadcast,
+                ).collect(),
+            )
+        )
+
+    got = rows(True)
+    assert got == rows(False)
+    by_id = {r[0]: r for r in got}
+    assert by_id[1][2] is True and by_id[1][1] >= 1   # overlapping 4-gram
+    assert by_id[2] == (2, 0, False)                  # no overlap
+    assert by_id[3] == (3, 0, False)                  # too short to shingle
