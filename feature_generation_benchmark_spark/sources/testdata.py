@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: Events span 2024-01-01 .. 2024-01-30 at every scale factor; the day after
 #: the last event makes every row's t_minus ≥ 1 and stable across SFs.
@@ -23,12 +24,35 @@ EVENT_TYPES: tuple[str, ...] = ("click", "error", "purchase", "signup", "view")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     try:
-        # Testdata carries TIMESTAMP(NANOS); ensure the conf holds even on
-        # externally-created sessions (it's a runtime SQL conf).
+        # Testdata carries TIMESTAMP(NANOS); ask for int64-nanos reads. The
+        # conf only takes effect when set at session BUILD time (get_spark
+        # does), so this is best-effort for externally-created sessions.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and not isinstance(
+        df.schema["ts"].dataType, T.LongType
+    ):
+        # Sessions created WITHOUT nanosAsLong (e.g. the driver's vanilla
+        # session) surface TIMESTAMP(NANOS) as TIMESTAMP_NTZ. Normalize to
+        # the engine contract — epoch nanoseconds as int64 — via calendar
+        # arithmetic (timestampdiff on NTZ operands is timezone-free, so
+        # the value is identical under any session timeZone). Cost: the
+        # events window cutoff can no longer push down to the parquet scan
+        # on such sessions; engine-built sessions keep the native int64
+        # path and full row-group pruning.
+        df = df.withColumn(
+            "ts",
+            (
+                F.expr(
+                    "timestampdiff(MICROSECOND, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                )
+                * F.lit(1000)
+            ).cast("long"),
+        )
+    return df
 
 
 def from_nanos(col: str) -> "F.Column":

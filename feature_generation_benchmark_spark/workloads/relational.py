@@ -635,10 +635,13 @@ FROM e GROUP BY win_start_us, user_id, event_type
 def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
+    # avg computed as exact-integer sum / count (one double division) so
+    # the value is bit-identical regardless of aggregation order — F.avg
+    # over long sums doubles incrementally and drifts vs the oracle
     return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum("k").alias("sum_k"),
-        F.avg("k").alias("avg_k"),
+        (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
         F.min("k").alias("min_k"),
         F.max("k").alias("max_k"),
     )
@@ -651,7 +654,7 @@ WITH e AS (
 SELECT event_type,
   CAST(count(*) AS BIGINT) AS n_events,
   sum(k) AS sum_k,
-  avg(k) AS avg_k,
+  CAST(sum(k) AS DOUBLE) / count(k) AS avg_k,
   min(k) AS min_k,
   max(k) AS max_k
 FROM e GROUP BY event_type

@@ -46,9 +46,25 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as e
-    from feature_generation_benchmark_spark.session import get_spark
 
-    spark = get_spark("check-correctness")
+    # Mirror the driver: a VANILLA session (no engine confs) — catches any
+    # query that silently depends on get_spark()'s profile (nanosAsLong,
+    # UTC timeZone, Arrow, ...). Use SPARK_GRAFT_ENGINE_SESSION=1 to run
+    # against the engine profile instead.
+    import os
+
+    if os.environ.get("SPARK_GRAFT_ENGINE_SESSION"):
+        from feature_generation_benchmark_spark.session import get_spark
+
+        spark = get_spark("check-correctness")
+    else:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("check-correctness-vanilla")
+            .getOrCreate()
+        )
 
     con = duckdb.connect()
     for t in TABLES:
