@@ -42,7 +42,7 @@ def agg_expr(spec: FeatureSpec, feat: Feature) -> Column:
     (count=0, sum=0.0, avg/min/max=NULL — SURVEY §2.7.4; expression shape
     mirrors reference ``impl/pyspark-case-when.py:46-56``)."""
     cond = feature_condition(spec, feat)
-    measure = F.col(spec.measure)
+    measure = F.col(feat.measure)
     if feat.agg is Agg.COUNT:
         expr = F.count(F.when(cond, F.lit(1)))
     elif feat.agg is Agg.SUM:
@@ -88,7 +88,7 @@ def feature_condition_sql(spec: FeatureSpec, feat: Feature) -> str:
 def agg_expr_sql(spec: FeatureSpec, feat: Feature) -> str:
     """String twin of :func:`agg_expr` (same canonical semantics)."""
     cond = feature_condition_sql(spec, feat)
-    m = quote_ident(spec.measure)
+    m = quote_ident(feat.measure)
     if feat.agg is Agg.COUNT:
         expr = f"count(CASE WHEN {cond} THEN 1 END)"
     elif feat.agg is Agg.SUM:

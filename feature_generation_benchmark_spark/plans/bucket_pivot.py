@@ -50,8 +50,6 @@ from feature_generation_benchmark_spark.spec import Agg, FeatureSpec
 #: ``bucket_rollup``.
 MAX_CELLS = 100_000
 
-_AGGS = ("cnt", "sum", "min", "max")
-
 
 def _union_domains(spec: FeatureSpec) -> list[tuple[str, tuple[str, ...]]]:
     """Union of grouping columns with their (consistent) domains, sorted by
@@ -120,16 +118,21 @@ def _feature_sql(spec: FeatureSpec, feat, cells: list[int]) -> str:
     cnt = " + ".join(f"coalesce({r}, 0)" for r in refs("cnt"))
     if feat.agg is Agg.COUNT:
         return f"CAST({cnt} AS BIGINT) AS {quote_ident(feat.name)}"
+    m = feat.measure
     if feat.agg is Agg.SUM:
-        expr = " + ".join(f"coalesce({r}, CAST(0 AS DOUBLE))" for r in refs("sum"))
+        expr = " + ".join(
+            f"coalesce({r}, CAST(0 AS DOUBLE))" for r in refs(f"sum_{m}")
+        )
     elif feat.agg is Agg.AVG:
-        total = " + ".join(f"coalesce({r}, CAST(0 AS DOUBLE))" for r in refs("sum"))
+        total = " + ".join(
+            f"coalesce({r}, CAST(0 AS DOUBLE))" for r in refs(f"sum_{m}")
+        )
         expr = f"CASE WHEN ({cnt}) > 0 THEN ({total}) / ({cnt}) END"
     elif feat.agg is Agg.MIN:
-        r = refs("min")
+        r = refs(f"min_{m}")
         expr = r[0] if len(r) == 1 else f"least({', '.join(r)})"
     elif feat.agg is Agg.MAX:
-        r = refs("max")
+        r = refs(f"max_{m}")
         expr = r[0] if len(r) == 1 else f"greatest({', '.join(r)})"
     else:  # pragma: no cover
         raise ValueError(f"unknown agg {feat.agg}")
@@ -155,25 +158,30 @@ def compile_bucket_pivot(spec: FeatureSpec, df: DataFrame) -> DataFrame:
     celled = in_scope.select(
         F.col(spec.key),
         F.expr(_cell_sql(spec, doms)).alias("__cell"),
-        F.col(spec.measure),
+        *[F.col(m) for m in spec.measures],
     )
 
-    partial = celled.groupBy(spec.key, "__cell").agg(
-        F.count(F.col(spec.measure)).alias("cnt"),
-        F.sum(F.col(spec.measure)).alias("sum"),
-        F.min(F.col(spec.measure)).alias("min"),
-        F.max(F.col(spec.measure)).alias("max"),
-    )
+    # one shared row count + {sum,min,max} per measure: k measures widen
+    # the partial/pivot rows by 3k numerics, no extra scan or shuffle
+    partial_aggs = [F.count(F.lit(1)).alias("cnt")]
+    pivot_aggs = [F.first("cnt").alias("cnt")]
+    for m in spec.measures:
+        partial_aggs += [
+            F.sum(F.col(m)).alias(f"sum_{m}"),
+            F.min(F.col(m)).alias(f"min_{m}"),
+            F.max(F.col(m)).alias(f"max_{m}"),
+        ]
+        pivot_aggs += [
+            F.first(f"sum_{m}").alias(f"sum_{m}"),
+            F.first(f"min_{m}").alias(f"min_{m}"),
+            F.first(f"max_{m}").alias(f"max_{m}"),
+        ]
+    partial = celled.groupBy(spec.key, "__cell").agg(*partial_aggs)
 
     pivoted = (
         partial.groupBy(spec.key)
         .pivot("__cell", list(range(n_cells)))
-        .agg(
-            F.first("cnt").alias("cnt"),
-            F.first("sum").alias("sum"),
-            F.first("min").alias("min"),
-            F.first("max").alias("max"),
-        )
+        .agg(*pivot_aggs)
     )
 
     exprs = [

@@ -47,10 +47,19 @@ from feature_generation_benchmark_spark.functions.exprs import (
 from feature_generation_benchmark_spark.spec import Agg, FeatureSpec
 
 _BUCKET = "__bucket"
-_CNT = "__cnt"
-_SUM = "__sum"
-_MIN = "__min"
-_MAX = "__max"
+_CNT = "__cnt"  # shared matched-row count (measures are non-null, spec.py)
+
+
+def _sum_col(m: str) -> str:
+    return f"__sum_{m}"
+
+
+def _min_col(m: str) -> str:
+    return f"__min_{m}"
+
+
+def _max_col(m: str) -> str:
+    return f"__max_{m}"
 
 
 def _rollup_expr(spec: FeatureSpec, feat) -> Column:
@@ -70,19 +79,20 @@ def _rollup_expr(spec: FeatureSpec, feat) -> Column:
             f"CAST(coalesce({cnt_sum}, 0) AS BIGINT) "
             f"AS {quote_ident(feat.name)}"
         )
+    m = feat.measure
     if feat.agg is Agg.SUM:
         expr = (
-            f"coalesce(sum(CASE WHEN {cond} THEN {quote_ident(_SUM)} END), "
-            "CAST(0 AS DOUBLE))"
+            f"coalesce(sum(CASE WHEN {cond} "
+            f"THEN {quote_ident(_sum_col(m))} END), CAST(0 AS DOUBLE))"
         )
     elif feat.agg is Agg.AVG:
         # exact Σsum/Σcount (§2.7.2 fix); NULL when no bucket matches
-        total = f"sum(CASE WHEN {cond} THEN {quote_ident(_SUM)} END)"
+        total = f"sum(CASE WHEN {cond} THEN {quote_ident(_sum_col(m))} END)"
         expr = f"CASE WHEN {cnt_sum} > 0 THEN {total} / {cnt_sum} END"
     elif feat.agg is Agg.MIN:
-        expr = f"min(CASE WHEN {cond} THEN {quote_ident(_MIN)} END)"
+        expr = f"min(CASE WHEN {cond} THEN {quote_ident(_min_col(m))} END)"
     elif feat.agg is Agg.MAX:
-        expr = f"max(CASE WHEN {cond} THEN {quote_ident(_MAX)} END)"
+        expr = f"max(CASE WHEN {cond} THEN {quote_ident(_max_col(m))} END)"
     else:  # pragma: no cover
         raise ValueError(f"unknown agg {feat.agg}")
     if spec.round_decimals is not None:
@@ -91,7 +101,11 @@ def _rollup_expr(spec: FeatureSpec, feat) -> Column:
 
 
 def compile_bucket_rollup(spec: FeatureSpec, df: DataFrame) -> DataFrame:
-    """Compile ``spec`` into the bucket + exact-rollup plan."""
+    """Compile ``spec`` into the bucket + exact-rollup plan.
+
+    Multi-measure: one shared row-count plus ``{sum,min,max}`` per measure
+    in the SAME partial aggregation — k measures widen the partial row by
+    3k numerics but add no scan, shuffle, or extra aggregation pass."""
     category_cols = sorted({c for g in spec.groupings for c in g.cols})
 
     pruned = df.select(*spec.input_columns())
@@ -100,11 +114,15 @@ def compile_bucket_rollup(spec: FeatureSpec, df: DataFrame) -> DataFrame:
         _BUCKET, smallest_window_bucket(spec.time_col, spec.windows)
     )
 
+    partial_aggs = [F.count(F.lit(1)).alias(_CNT)]
+    for m in spec.measures:
+        partial_aggs += [
+            F.sum(F.col(m)).alias(_sum_col(m)),
+            F.min(F.col(m)).alias(_min_col(m)),
+            F.max(F.col(m)).alias(_max_col(m)),
+        ]
     partial = bucketed.groupBy(spec.key, *category_cols, _BUCKET).agg(
-        F.count(F.col(spec.measure)).alias(_CNT),
-        F.sum(F.col(spec.measure)).alias(_SUM),
-        F.min(F.col(spec.measure)).alias(_MIN),
-        F.max(F.col(spec.measure)).alias(_MAX),
+        *partial_aggs
     )
 
     exprs = [_rollup_expr(spec, feat) for feat in spec.features()]

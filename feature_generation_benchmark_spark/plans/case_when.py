@@ -63,7 +63,6 @@ def compile_case_when(
 
     mask_exprs = []
     agg_cols = []
-    measure = quote_ident(spec.measure)
     for i, feat in enumerate(spec.features()):
         cond = feature_condition_sql(spec, feat)
         name = f"__m_{i}"
@@ -75,7 +74,8 @@ def compile_case_when(
             expr = f"CAST(sum({qname}) AS BIGINT)"
         else:
             mask_exprs.append(
-                f"CASE WHEN {cond} THEN {measure} END AS {qname}"
+                f"CASE WHEN {cond} THEN {quote_ident(feat.measure)} "
+                f"END AS {qname}"
             )
             if feat.agg is Agg.SUM:
                 expr = f"coalesce(sum({qname}), CAST(0 AS DOUBLE))"

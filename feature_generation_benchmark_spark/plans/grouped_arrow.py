@@ -25,13 +25,16 @@ def _make_arrow_fn(spec: FeatureSpec):
     features = spec.features()
     key = spec.key
     time_col = spec.time_col
-    measure = spec.measure
+    measures = spec.measures
 
     def compute(table: pa.Table) -> pa.Table:
         import numpy as np
 
         t = table.column(time_col).to_numpy(zero_copy_only=False)
-        m = table.column(measure).to_numpy(zero_copy_only=False)
+        ms = {
+            m: table.column(m).to_numpy(zero_copy_only=False)
+            for m in measures
+        }
         cats = {
             c: table.column(c).to_numpy(zero_copy_only=False)
             for g in spec.groupings
@@ -52,9 +55,11 @@ def _make_arrow_fn(spec: FeatureSpec):
                     eq = cats[c] == v
                     mask = eq if mask is None else (mask & eq)
                 combo_masks[ckey] = mask
-            cell = (ckey, feat.window)
+            cell = (ckey, feat.window, feat.measure)
             if cell not in cell_vals:
-                cell_vals[cell] = m[combo_masks[ckey] & window_masks[feat.window]]
+                cell_vals[cell] = ms[feat.measure][
+                    combo_masks[ckey] & window_masks[feat.window]
+                ]
             vals = cell_vals[cell]
             names.append(feat.name)
             if feat.agg is Agg.COUNT:

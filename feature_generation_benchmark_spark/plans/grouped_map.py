@@ -41,14 +41,14 @@ def _make_group_fn(spec: FeatureSpec):
     features = spec.features()
     key = spec.key
     time_col = spec.time_col
-    measure = spec.measure
+    measures = spec.measures
 
     def compute(pdf: pd.DataFrame) -> pd.DataFrame:
         out: dict[str, object] = {key: pdf[key].iloc[0]}
         t = pdf[time_col].to_numpy()
-        m = pdf[measure].to_numpy()
-        # cache masks and value subsets: each (combo, window) cell is
-        # shared by all aggs, each combo by all windows, each window mask
+        ms = {m: pdf[m].to_numpy() for m in measures}
+        # cache masks and value subsets: each (combo, window, measure) cell
+        # is shared by all aggs, each combo by all windows, each window mask
         # by all combos — turns |features| array scans into |cells|
         combo_masks: dict[tuple, object] = {}
         window_masks = {w: t <= w for w in {f.window for f in features}}
@@ -61,9 +61,11 @@ def _make_group_fn(spec: FeatureSpec):
                     eq = pdf[c].to_numpy() == v
                     mask = eq if mask is None else (mask & eq)
                 combo_masks[ckey] = mask
-            cell = (ckey, feat.window)
+            cell = (ckey, feat.window, feat.measure)
             if cell not in cell_vals:
-                cell_vals[cell] = m[combo_masks[ckey] & window_masks[feat.window]]
+                cell_vals[cell] = ms[feat.measure][
+                    combo_masks[ckey] & window_masks[feat.window]
+                ]
             vals = cell_vals[cell]
             if feat.agg is Agg.COUNT:
                 out[feat.name] = int(vals.size)

@@ -39,7 +39,7 @@ def _condition_sql(spec: FeatureSpec, feat: Feature) -> str:
 
 def _agg_sql(spec: FeatureSpec, feat: Feature) -> str:
     cond = _condition_sql(spec, feat)
-    m = _qident(spec.measure)
+    m = _qident(feat.measure)
     if feat.agg is Agg.COUNT:
         body = f"count(*) FILTER (WHERE {cond})"
         return f"{body} AS {_qident(feat.name)}"

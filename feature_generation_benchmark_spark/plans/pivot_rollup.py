@@ -18,10 +18,10 @@ exactness fixes:
   (``:91-92,98``).
 
 Output is identical to every other strategy (cross-checked in tests).
-``plans/bucket_rollup.py`` remains the engine's default at-scale plan — it
-aggregates all grouping schemes in ONE pass with no join; this module
-exists for complete physical parity with the reference and as another
-independent implementation for the correctness web.
+The planner's default at-scale plan is ``plans/bucket_pivot.py``
+(integer-cell PivotFirst, one pass, no join — see ``plans/planner.py``);
+this module exists for complete physical parity with the reference and as
+another independent implementation for the correctness web.
 """
 
 from __future__ import annotations
@@ -35,8 +35,6 @@ from feature_generation_benchmark_spark.functions.exprs import (
     smallest_window_bucket,
 )
 from feature_generation_benchmark_spark.spec import Agg, FeatureSpec, Grouping
-
-_AGG_SUFFIXES = ("cnt", "sum", "min", "max")
 
 
 def _pivot_half(
@@ -59,14 +57,15 @@ def _pivot_half(
         for combo in grouping.combos()
         for w in spec.windows
     ]
-    aggs = [
-        F.count(F.col(spec.measure)).alias("cnt"),
-        F.sum(F.col(spec.measure)).alias("sum"),
-        F.min(F.col(spec.measure)).alias("min"),
-        F.max(F.col(spec.measure)).alias("max"),
-    ]
-    if include_avg:
-        aggs.append(F.avg(F.col(spec.measure)).alias("avg"))
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    for m in spec.measures:
+        aggs += [
+            F.sum(F.col(m)).alias(f"sum_{m}"),
+            F.min(F.col(m)).alias(f"min_{m}"),
+            F.max(F.col(m)).alias(f"max_{m}"),
+        ]
+        if include_avg:
+            aggs.append(F.avg(F.col(m)).alias(f"avg_{m}"))
     pivoted = (
         df.withColumn("__pk", key_expr)
         .groupBy(spec.key)
@@ -105,43 +104,54 @@ def _rollup_half(
                     (_cell(combo, b, "cnt") for b in buckets[1:]),
                     _cell(combo, buckets[0], "cnt"),
                 )
-                total = sum(
-                    (_cell(combo, b, "sum") for b in buckets[1:]),
-                    _cell(combo, buckets[0], "sum"),
-                )
-                avg_expr = sum(
-                    (_cell(combo, b, "avg") for b in buckets[1:]),
-                    _cell(combo, buckets[0], "avg"),
-                ) / F.lit(len(buckets))
             else:
                 cnt = sum(
                     (F.coalesce(_cell(combo, b, "cnt"), F.lit(0)) for b in buckets),
                     F.lit(0),
                 )
-                total = sum(
-                    (F.coalesce(_cell(combo, b, "sum"), F.lit(0.0)) for b in buckets),
-                    F.lit(0.0),
-                )
-                avg_expr = F.when(cnt > F.lit(0), total / cnt)
-            mins = [_cell(combo, b, "min") for b in buckets]
-            maxs = [_cell(combo, b, "max") for b in buckets]
-            least = mins[0] if len(mins) == 1 else F.least(*mins)
-            greatest = maxs[0] if len(maxs) == 1 else F.greatest(*maxs)
-            for agg in spec.aggs:
-                name = spec.feature_name(combo, w, agg)
-                if agg is Agg.COUNT:
-                    expr = cnt.cast("long")
-                elif agg is Agg.SUM:
-                    expr = total
-                elif agg is Agg.AVG:
-                    expr = avg_expr
-                elif agg is Agg.MIN:
-                    expr = least
+            total: dict[str, Column] = {}
+            avg_expr: dict[str, Column] = {}
+            least: dict[str, Column] = {}
+            greatest: dict[str, Column] = {}
+            for m in spec.measures:
+                if approximate:
+                    total[m] = sum(
+                        (_cell(combo, b, f"sum_{m}") for b in buckets[1:]),
+                        _cell(combo, buckets[0], f"sum_{m}"),
+                    )
+                    avg_expr[m] = sum(
+                        (_cell(combo, b, f"avg_{m}") for b in buckets[1:]),
+                        _cell(combo, buckets[0], f"avg_{m}"),
+                    ) / F.lit(len(buckets))
                 else:
-                    expr = greatest
-                if agg is not Agg.COUNT and spec.round_decimals is not None:
-                    expr = F.round(expr, spec.round_decimals)
-                out_cols.append(expr.alias(name))
+                    total[m] = sum(
+                        (
+                            F.coalesce(_cell(combo, b, f"sum_{m}"), F.lit(0.0))
+                            for b in buckets
+                        ),
+                        F.lit(0.0),
+                    )
+                    avg_expr[m] = F.when(cnt > F.lit(0), total[m] / cnt)
+                mins = [_cell(combo, b, f"min_{m}") for b in buckets]
+                maxs = [_cell(combo, b, f"max_{m}") for b in buckets]
+                least[m] = mins[0] if len(mins) == 1 else F.least(*mins)
+                greatest[m] = maxs[0] if len(maxs) == 1 else F.greatest(*maxs)
+            for agg in spec.aggs:
+                for m in spec.measures:
+                    name = spec.feature_name(m, combo, w, agg)
+                    if agg is Agg.COUNT:
+                        expr = cnt.cast("long")
+                    elif agg is Agg.SUM:
+                        expr = total[m]
+                    elif agg is Agg.AVG:
+                        expr = avg_expr[m]
+                    elif agg is Agg.MIN:
+                        expr = least[m]
+                    else:
+                        expr = greatest[m]
+                    if agg is not Agg.COUNT and spec.round_decimals is not None:
+                        expr = F.round(expr, spec.round_decimals)
+                    out_cols.append(expr.alias(name))
     return pivoted.select(*out_cols)
 
 

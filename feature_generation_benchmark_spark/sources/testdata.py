@@ -104,21 +104,26 @@ def events_transactions(
     if max_t_minus is not None:
         cutoff_ns = (ref_days - max_t_minus) * _NS_PER_DAY
         ev = ev.filter(F.col("ts") >= F.lit(cutoff_ns))
+    t_minus = (
+        F.lit(ref_days) - F.expr(f"ts div {_NS_PER_DAY}")
+    ).cast("long")
     return ev.select(
         "user_id",
         "event_type",
         F.round(F.col("value") * F.lit(100), 0).alias("value_cents"),
-        (F.lit(ref_days) - F.expr(f"ts div {_NS_PER_DAY}"))
-        .cast("long")
-        .alias("t_minus"),
+        t_minus.alias("t_minus"),
+        # recency measure twin (double so aggregate types match across
+        # engines); integer-valued → exact sums in any aggregation order
+        t_minus.cast("double").alias("t_minus_days"),
     )
 
 
 def events_transactions_from_sql(ref_date: str = EVENTS_REF_DATE) -> str:
     """DuckDB subquery twin of :func:`events_transactions` (same column
     names/types) for oracle SQL FROM clauses."""
+    days = f"datediff('day', CAST(ts AS DATE), DATE '{ref_date}')"
     return (
         "(SELECT user_id, event_type, round(value*100) AS value_cents, "
-        f"datediff('day', CAST(ts AS DATE), DATE '{ref_date}') AS t_minus "
+        f"{days} AS t_minus, CAST({days} AS DOUBLE) AS t_minus_days "
         "FROM events)"
     )

@@ -23,7 +23,7 @@ Canonical semantics (SURVEY §2.7, resolving the reference's divergences):
 from __future__ import annotations
 
 import itertools
-from dataclasses import dataclass, field
+from dataclasses import InitVar, dataclass, field
 from enum import Enum
 
 
@@ -82,6 +82,7 @@ class Feature:
     combo: tuple[str, ...]
     window: int
     agg: Agg
+    measure: str
 
 
 @dataclass(frozen=True)
@@ -89,8 +90,17 @@ class FeatureSpec:
     """The logical feature-generation query.
 
     Parameters mirror the reference task definition
-    (``docs/index.md:120-151``): aggregate ``measure`` per ``key`` ×
+    (``docs/index.md:120-151``): aggregate each measure per ``key`` ×
     (grouping-combo) × trailing window over ``time_col``.
+
+    ``measures`` generalizes the reference's single ``trx_amnt`` measure
+    (``docs/index.md:130-132``) to any number of value columns — the
+    single biggest generality need of a real feature engine. Pass either
+    ``measure="col"`` (back-compat sugar) or ``measures=("a", "b")``.
+    Measures are assumed NON-NULL numeric (the reference's model): every
+    strategy computes ``count`` as the matched ROW count and
+    ``avg = Σsum/Σcount``, which coincide with SQL null-skipping semantics
+    exactly when measures carry no NULLs.
 
     ``round_decimals``: when set, double-typed outputs (sum/avg/min/max) are
     rounded — used by oracle-checked queries so double summation order
@@ -99,13 +109,22 @@ class FeatureSpec:
 
     key: str
     time_col: str
-    measure: str
-    windows: tuple[int, ...]
-    groupings: tuple[Grouping, ...]
+    measure: InitVar[str | None] = None
+    windows: tuple[int, ...] = ()
+    groupings: tuple[Grouping, ...] = ()
     aggs: tuple[Agg, ...] = CANONICAL_AGGS
     round_decimals: int | None = None
+    measures: tuple[str, ...] = ()
 
-    def __post_init__(self) -> None:
+    def __post_init__(self, measure: str | None) -> None:
+        if measure is not None:
+            if self.measures:
+                raise ValueError("pass either measure= or measures=, not both")
+            object.__setattr__(self, "measures", (measure,))
+        if not self.measures:
+            raise ValueError("at least one measure required")
+        if len(set(self.measures)) != len(self.measures):
+            raise ValueError("duplicate measures")
         if not self.windows:
             raise ValueError("at least one window required")
         if list(self.windows) != sorted(set(self.windows)):
@@ -119,28 +138,41 @@ class FeatureSpec:
 
     # ---- naming ---------------------------------------------------------
 
-    @staticmethod
-    def feature_name(combo: tuple[str, ...], window: int, agg: Agg) -> str:
-        return f"{'_'.join(combo)}_{window}d_{agg.value}"
+    def feature_name(
+        self, measure: str, combo: tuple[str, ...], window: int, agg: Agg
+    ) -> str:
+        """``{combo}_{window}d_{agg}`` (reference naming,
+        ``impl/pyspark-case-when.py:113,126``), prefixed with the measure
+        name only for multi-measure specs so single-measure names stay
+        byte-identical to the reference's."""
+        base = f"{'_'.join(combo)}_{window}d_{agg.value}"
+        if len(self.measures) == 1:
+            return base
+        return f"{measure}_{base}"
 
     def features(self) -> list[Feature]:
         """All output features, in canonical order:
-        grouping → combo → window → agg (reference loop order,
-        ``impl/pyspark-case-when.py:102-128``)."""
+        grouping → combo → window → agg → measure (reference loop order,
+        ``impl/pyspark-case-when.py:102-128``, extended by the innermost
+        measure loop)."""
         out: list[Feature] = []
         for grouping in self.groupings:
             for combo in grouping.combos():
                 for window in self.windows:
                     for agg in self.aggs:
-                        out.append(
-                            Feature(
-                                name=self.feature_name(combo, window, agg),
-                                grouping=grouping,
-                                combo=combo,
-                                window=window,
-                                agg=agg,
+                        for measure in self.measures:
+                            out.append(
+                                Feature(
+                                    name=self.feature_name(
+                                        measure, combo, window, agg
+                                    ),
+                                    grouping=grouping,
+                                    combo=combo,
+                                    window=window,
+                                    agg=agg,
+                                    measure=measure,
+                                )
                             )
-                        )
         names = [f.name for f in out]
         if len(set(names)) != len(names):
             raise ValueError("feature names collide across groupings")
@@ -148,7 +180,7 @@ class FeatureSpec:
 
     def input_columns(self) -> list[str]:
         """Minimal input projection (drives column pruning)."""
-        cols = {self.key, self.time_col, self.measure}
+        cols = {self.key, self.time_col, *self.measures}
         for g in self.groupings:
             cols.update(g.cols)
         return sorted(cols)
@@ -156,7 +188,10 @@ class FeatureSpec:
     @property
     def n_features(self) -> int:
         return sum(
-            len(g.combos()) * len(self.windows) * len(self.aggs)
+            len(g.combos())
+            * len(self.windows)
+            * len(self.aggs)
+            * len(self.measures)
             for g in self.groupings
         )
 

@@ -65,11 +65,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_JACCARD_CTES = f"""t AS (
+def _jaccard_ctes(src: str = "documents") -> str:
+    return f"""t AS (
   SELECT doc_id,
     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')
       AS toks
-  FROM documents
+  FROM {src}
 ),
 sh AS (
   SELECT doc_id, unnest(list_distinct(
@@ -86,6 +87,10 @@ common AS (
   GROUP BY 1, 2
 )"""
 
+
+_JACCARD_CTES = _jaccard_ctes()
+
+
 _JACCARD_ORACLE = f"""
 WITH {_JACCARD_CTES}
 SELECT id_a, id_b, CAST(common AS BIGINT) AS common,
@@ -94,6 +99,60 @@ FROM common
 JOIN sizes na ON na.doc_id = id_a
 JOIN sizes nb ON nb.doc_id = id_b
 WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= {_JACCARD_T}
+"""
+
+
+#: Boilerplate appended to even-id docs to manufacture HOT shingles — the
+#: Zipfian regime the AllPairs prefix filter exists for. Deterministic and
+#: mirrored verbatim in the oracle.
+_BOILER = " terms and conditions apply to all orders placed today"
+#: High enough that the boilerplate's ~7 shared shingles alone can't pair
+#: two typical docs — the hot shingles stress the candidate join (what the
+#: prefix filter prunes) without exploding the verified-pair output.
+_PREFIX_T = 0.3
+
+
+def _skewed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0, F.concat(F.col("text"), F.lit(_BOILER))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AllPairs prefix-filtered path (``prefix_filter=True``) on a
+    deliberately skewed corpus — hot boilerplate shingles are exactly what
+    the prefix pass prunes from the candidate join at scale. Same exact
+    semantics as ``dedup_ngram_jaccard``; this entry keeps the scale path
+    itself under the cross-engine oracle gate."""
+    return ngram_jaccard_pairs(
+        _skewed_docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=_PREFIX_T,
+        prefix_filter=True,
+    )
+
+
+_SKEW_SRC = (
+    "(SELECT doc_id, CASE WHEN doc_id % 2 = 0 "
+    f"THEN text || '{_BOILER}' ELSE text END AS text FROM documents) s"
+)
+
+_JACCARD_PREFIX_ORACLE = f"""
+WITH {_jaccard_ctes(_SKEW_SRC)}
+SELECT id_a, id_b, CAST(common AS BIGINT) AS common,
+       CAST(common AS DOUBLE) / (na.n + nb.n - common) AS jaccard
+FROM common
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= {_PREFIX_T}
 """
 
 
@@ -299,6 +358,10 @@ QUERIES = [
              "exact dedup via md5 fingerprint group-by"),
     QueryDef("dedup_ngram_jaccard", dedup_ngram_jaccard, _JACCARD_ORACLE,
              "exact pairwise Jaccard via shingle inverted index"),
+    QueryDef("dedup_ngram_jaccard_prefix", dedup_ngram_jaccard_prefix,
+             _JACCARD_PREFIX_ORACLE,
+             "AllPairs prefix-filtered Jaccard on a skewed (hot-shingle) "
+             "corpus — the at-scale candidate-pruning path"),
     QueryDef("dedup_minhash_lsh", dedup_minhash_lsh, None,
              "MinHash signatures + banded LSH candidates + exact verify"),
     # bench=False: correctness twin of dedup_minhash_lsh on the md5 hash

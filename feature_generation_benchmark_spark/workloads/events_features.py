@@ -13,6 +13,7 @@ from feature_generation_benchmark_spark.plans import (
     compile_grouped_arrow,
     compile_grouped_map,
 )
+from feature_generation_benchmark_spark.plans.planner import compile_features
 from feature_generation_benchmark_spark.plans.pivot_rollup import (
     compile_pivot_rollup,
 )
@@ -35,6 +36,23 @@ EVENTS_SPEC = FeatureSpec(
 )
 
 _ORACLE = oracle_sql_for_spec(EVENTS_SPEC, events_transactions_from_sql())
+
+#: Two-measure spec: spend (value_cents) + recency (t_minus_days) features
+#: in ONE pass — the multi-measure generalization the reference lacks
+#: (it aggregates only ``trx_amnt``, ``docs/index.md:130-132``). 150
+#: features → the planner picks the at-scale bucket_pivot plan, so the
+#: oracle gate exercises multi-measure on the engine's default path.
+MULTI_MEASURE_SPEC = FeatureSpec(
+    key="user_id",
+    time_col="t_minus",
+    measures=("value_cents", "t_minus_days"),
+    windows=(7, 14, 30),
+    groupings=(Grouping(cols=("event_type",), domains=(EVENT_TYPES,)),),
+)
+
+_MULTI_ORACLE = oracle_sql_for_spec(
+    MULTI_MEASURE_SPEC, events_transactions_from_sql()
+)
 
 
 def _load(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -76,6 +94,13 @@ def _pivot_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_sql_text(EVENTS_SPEC, _load(spark, sf_dir))
+
+
+def _multi_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = events_transactions(
+        spark, sf_dir, max_t_minus=max(MULTI_MEASURE_SPEC.windows)
+    )
+    return compile_features(MULTI_MEASURE_SPEC, df)  # planner-chosen plan
 
 
 QUERIES = [
@@ -132,5 +157,11 @@ QUERIES = [
         _sql_text,
         _ORACLE,
         "spec compiled to Spark-dialect SQL text, run via spark.sql",
+    ),
+    QueryDef(
+        "feat_multi_measure",
+        _multi_measure,
+        _MULTI_ORACLE,
+        "two measures (spend + recency) in one pass, planner-chosen plan",
     ),
 ]

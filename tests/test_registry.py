@@ -1,0 +1,48 @@
+"""Driver-surface guards over the whole query registry.
+
+The driver canonicalizes every query's output with pandas
+``sort_values`` before value-hashing — list/dict cells crash it
+(round-1 ``multimodal_features`` failure). These tests pin the contract:
+every served query must emit only scalar columns, and every query name
+must resolve and build a plan against testdata.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.types as T
+import pytest
+
+from feature_generation_benchmark_spark.workloads import registry
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _complex_fields(schema: T.StructType) -> list[str]:
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
+@pytest.fixture(scope="module")
+def reg():
+    return registry()
+
+
+def test_registry_nonempty_and_unique(reg):
+    assert len(reg) >= 40
+    assert all(q.name == name for name, q in reg.items())
+
+
+def test_no_complex_output_columns(spark, reg):
+    """No served query may return array/map/struct columns — they don't
+    survive the driver's pandas canonicalization. Keep complex types on
+    the operator APIs; project to scalars at the workload boundary."""
+    offenders = {}
+    for name, q in reg.items():
+        df = q.fn(spark, SF_SMOKE)  # lazy: builds the plan, no execution
+        bad = _complex_fields(df.schema)
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"complex output columns: {offenders}"

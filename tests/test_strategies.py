@@ -148,6 +148,76 @@ def test_boundary_semantics(spark, results):
     assert c2["CC_education_7d_count"] == 0
 
 
+MULTI_SPEC = FeatureSpec(
+    key="customer_id",
+    time_col="t_minus",
+    measures=("trx_amnt", "recency_days"),
+    windows=(7, 14, 30, 720),
+    groupings=(
+        Grouping(
+            cols=("card_type", "trx_type"),
+            domains=(CARD_TYPES, ("food-and-household", "home", "education")),
+        ),
+        Grouping(cols=("channel",), domains=(CHANNELS,)),
+    ),
+)
+
+
+@pytest.fixture(scope="module")
+def multi_transactions(tiny_transactions):
+    from pyspark.sql import functions as F
+
+    return tiny_transactions.withColumn(
+        "recency_days", F.col("t_minus").cast("double")
+    )
+
+
+def test_multi_measure_all_strategies_agree(spark, multi_transactions):
+    """Every physical strategy must produce the identical two-measure
+    feature table (the round-2 multi-measure generalization)."""
+    canonical = compile_case_when(MULTI_SPEC, multi_transactions)
+    others = {
+        "premask": compile_case_when(
+            MULTI_SPEC, multi_transactions, premask=True
+        ),
+        "bucket_rollup": compile_bucket_rollup(MULTI_SPEC, multi_transactions),
+        "bucket_pivot": compile_bucket_pivot(MULTI_SPEC, multi_transactions),
+        "grouped_map": compile_grouped_map(MULTI_SPEC, multi_transactions),
+        "grouped_arrow": compile_grouped_arrow(MULTI_SPEC, multi_transactions),
+        "pivot_rollup": compile_pivot_rollup(MULTI_SPEC, multi_transactions),
+        "sql_text": compile_sql_text(MULTI_SPEC, multi_transactions),
+    }
+    for name, df in others.items():
+        try:
+            assert_frames_equal(canonical, df, "customer_id")
+        except AssertionError as exc:  # pragma: no cover
+            raise AssertionError(f"strategy {name} diverges: {exc}") from exc
+
+
+def test_multi_measure_values(spark, multi_transactions):
+    """Spot-check both measures' semantics on the hand-built fixture."""
+    df = compile_case_when(MULTI_SPEC, multi_transactions)
+    rows = {r["customer_id"]: r.asDict() for r in df.collect()}
+    c1 = rows[1]
+    # spend measure: t_minus 1 and 7 rows
+    assert c1["trx_amnt_DC_food-and-household_7d_sum"] == 300.0
+    # recency measure over the same cell: days 1 and 7
+    assert c1["recency_days_DC_food-and-household_7d_sum"] == 8.0
+    assert c1["recency_days_DC_food-and-household_7d_min"] == 1.0
+    assert c1["recency_days_DC_food-and-household_7d_max"] == 7.0
+    assert c1["recency_days_DC_food-and-household_7d_avg"] == 4.0
+    # count is the matched ROW count — identical across measures
+    assert (
+        c1["trx_amnt_DC_food-and-household_7d_count"]
+        == c1["recency_days_DC_food-and-household_7d_count"]
+        == 2
+    )
+    # empty cell: count=0/sum=0.0/avg,min,max=NULL for BOTH measures
+    assert c1["recency_days_CC_education_720d_count"] == 0
+    assert c1["recency_days_CC_education_720d_sum"] == 0.0
+    assert c1["recency_days_CC_education_720d_avg"] is None
+
+
 def test_planner_choice():
     assert choose_strategy(reference_spec()) == "bucket_pivot"
     tiny = FeatureSpec(
@@ -200,10 +270,10 @@ def test_pivot_rollup_approximate_reproduces_reference_defects(spark):
         r["k"]: r
         for r in compile_pivot_rollup(spec, df, approximate=True).collect()
     }
-    avg14 = spec.feature_name(("a",), 14, Agg.AVG)
-    sum14 = spec.feature_name(("a",), 14, Agg.SUM)
-    cnt14 = spec.feature_name(("a",), 14, Agg.COUNT)
-    min14 = spec.feature_name(("a",), 14, Agg.MIN)
+    avg14 = spec.feature_name("m", ("a",), 14, Agg.AVG)
+    sum14 = spec.feature_name("m", ("a",), 14, Agg.SUM)
+    cnt14 = spec.feature_name("m", ("a",), 14, Agg.COUNT)
+    min14 = spec.feature_name("m", ("a",), 14, Agg.MIN)
 
     # §2.7.2: unweighted mean of bucket means vs true weighted avg
     assert exact[1][avg14] == pytest.approx(20.0)
