@@ -355,8 +355,22 @@ def minhash_dedup_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
+#: 64-bit int from the first 16 hex chars of md5 — the cross-engine-
+#: reproducible hash family (DuckDB derives the same bits from the hex
+#: digest); shiftleft|or packing wraps safely under ANSI mode.
+_MD5_PACK64 = (
+    "transform(__toks, t -> "
+    "shiftleft(cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint), 32) | "
+    "cast(conv(substr(md5(t), 9, 8), 16, 10) as bigint))"
+)
+
+
 def simhash_bits(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Per-doc SimHash as ``bits/16`` packed 16-bit band integers.
 
@@ -371,6 +385,11 @@ def simhash_bits(
     over exploded tokens costs ~|tokens|×64 codegen branches plus a
     shuffle, the vectorized tally is embarrassingly parallel per batch.
     Docs with zero tokens are excluded (parity with the explode form).
+
+    ``hash_fn="md5"`` swaps the per-token sign hash for the first 64 bits
+    of md5 — bit-identical in DuckDB, making the whole pipeline
+    oracle-checkable cross-engine (same trick as
+    :func:`minhash_signatures`). Production stays on xxhash64.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -399,13 +418,14 @@ def simhash_bits(
             out[:, band] = bit_set[:, band * 16:(band + 1) * 16] @ weights
         return pd.Series(list(out))
 
+    if hash_fn == "md5":
+        hash_expr = F.expr(_MD5_PACK64)
+    else:
+        hash_expr = F.transform("__toks", lambda t: F.xxhash64(t))
     hashed = (
         df.select(F.col(id_col), tokens(text_col).alias("__toks"))
         .filter(F.size("__toks") > 0)
-        .select(
-            F.col(id_col),
-            F.transform("__toks", lambda t: F.xxhash64(t)).alias("__hs"),
-        )
+        .select(F.col(id_col), hash_expr.alias("__hs"))
     )
     banded = hashed.select(F.col(id_col), _bands("__hs").alias("__b"))
     return banded.select(
@@ -419,10 +439,11 @@ def simhash_dup_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance ≤ ``max_hamming``
     (≤ 3 with 4×16-bit bands ⇒ candidate recall is exact by pigeonhole)."""
-    sh = simhash_bits(df, id_col, text_col).cache()
+    sh = simhash_bits(df, id_col, text_col, hash_fn=hash_fn).cache()
     n_bands = 4
     banded = sh.select(
         F.col(id_col),

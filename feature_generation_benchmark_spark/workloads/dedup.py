@@ -1,10 +1,13 @@
 """Deduplication workload on ``documents`` / ``embeddings`` (extension
 operators: exact, n-gram Jaccard, MinHash-LSH, SimHash, embedding cosine).
 
-Exact dedup, pairwise Jaccard and cosine near-dup are oracle-checked; the
-hash-based approximations (MinHash/SimHash — xxhash64 has no DuckDB twin)
-get rows-only driver checks plus planted-duplicate ground-truth tests in
-``tests/test_dedup.py``.
+Exact dedup, pairwise Jaccard (naive AND AllPairs-prefix-filtered) and
+cosine near-dup are oracle-checked. The xxhash64 production paths for
+MinHash-LSH and SimHash have no DuckDB twin (rows-only driver checks plus
+planted-duplicate ground-truth tests in ``tests/test_dedup.py``), but each
+ships an md5-hash-family twin (``dedup_minhash_md5``,
+``dedup_simhash_md5``) that runs the IDENTICAL pipeline shape under a
+full cross-engine value-hash oracle.
 """
 
 from __future__ import annotations
@@ -281,6 +284,90 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5-hash-family twin of ``dedup_simhash``: every per-token sign hash
+    is the first 64 bits of md5, which DuckDB reproduces nibble-by-nibble
+    from the hex digest — so bit votes, band packing, banded candidate
+    generation AND hamming verification are all oracle-checked. Production
+    keeps xxhash64."""
+    return simhash_dup_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        max_hamming=3,
+        hash_fn="md5",
+    )
+
+
+def _simhash_md5_oracle() -> str:
+    """Generate the DuckDB twin of the md5 simhash pipeline: 64 bit-vote
+    sums from md5 hex nibbles, majority bits packed into 4×16-bit bands,
+    pigeonhole band-equality candidates, bit_count(xor) hamming verify."""
+    # bit b of int(md5hex[:16], 16): nibble at 1-indexed char 16 - b//4,
+    # bit b%4 inside the nibble
+    def bit(b: int) -> str:
+        return (
+            f"((strpos('0123456789abcdef', substr(hx, {16 - b // 4}, 1)) - 1)"
+            f" >> {b % 4}) & 1"
+        )
+
+    votes = ",\n    ".join(
+        f"sum({bit(b)}) AS o{b}" for b in range(64)
+    )
+    bands = ",\n    ".join(
+        " + ".join(
+            f"(CASE WHEN 2 * o{16 * band + r} > n THEN {1 << r} ELSE 0 END)"
+            for r in range(16)
+        )
+        + f" AS band{band}"
+        for band in range(4)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, band{b} AS bucket FROM bits"
+        for b in range(4)
+    )
+    hamming = " + ".join(
+        f"bit_count(xor(x.band{b}, y.band{b}))" for b in range(4)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')
+      AS toks
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS tk FROM t WHERE len(toks) > 0),
+h AS (SELECT doc_id, substr(md5(tk), 1, 16) AS hx FROM tok),
+votes AS (
+  SELECT doc_id, count(*) AS n,
+    {votes}
+  FROM h GROUP BY doc_id
+),
+bits AS (
+  SELECT doc_id,
+    {bands}
+  FROM votes
+),
+bands AS (
+  {band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST({hamming} AS BIGINT) AS hamming
+FROM cand
+JOIN bits x ON x.doc_id = id_a
+JOIN bits y ON y.doc_id = id_b
+WHERE {hamming} <= 3
+"""
+
+
+_SIMHASH_MD5_ORACLE = _simhash_md5_oracle()
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_dup_pairs_blocked(
         load_table(spark, sf_dir, "embeddings"),
@@ -374,6 +461,12 @@ QUERIES = [
              "eval-set n-gram overlap flags (test-set leakage removal)"),
     QueryDef("dedup_simhash", dedup_simhash, None,
              "SimHash near-dup pairs (hamming <= 3 via 16-bit bands)"),
+    # bench=False: correctness twin of dedup_simhash on the md5 hash family
+    # (bit votes, band packing, candidates and hamming all oracle-checked);
+    # the xxhash64 production path above is the one benchmarked.
+    QueryDef("dedup_simhash_md5", dedup_simhash_md5, _SIMHASH_MD5_ORACLE,
+             "SimHash with md5 hash family — full cross-engine oracle "
+             "including bit votes and banding", bench=False),
     QueryDef("dedup_embedding_cosine", dedup_embedding_cosine, _COSINE_ORACLE,
              "embedding cosine near-duplicate pairs"),
     # bench=False: iterative (one job per star round) — a fixed multi-job
