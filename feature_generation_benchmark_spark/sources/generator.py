@@ -79,6 +79,12 @@ SIZES: dict[str, SizeConfig] = {
     "small": SizeConfig(10_000, 12, 60),
     "medium": SizeConfig(100_000, 102, 7),
     "big": SizeConfig(1_000_000, 730, 1),
+    # Disk-constrained stand-ins for ``big`` (~18B rows / ~260 GB parquet,
+    # beyond a single test box): each keeps ONE of big's two stress axes at
+    # its full setting — 730 one-day hive partitions, or 1M distinct
+    # customer keys — while holding total rows near medium's ~1.8B.
+    "big_parts": SizeConfig(100_000, 730, 1),
+    "big_keys": SizeConfig(1_000_000, 73, 1),
 }
 
 

@@ -1,13 +1,14 @@
 """Similarity-search workload on ``embeddings`` (extension operators:
 brute-force cosine top-k baseline; LSH and IVF approximate variants).
 
-Brute force is oracle-checked against DuckDB ``list_cosine_similarity``
-(cast to DOUBLE[] — DuckDB computes FLOAT[] inputs in float32, Spark in
-double). LSH is approximate but DETERMINISTIC given its plan-literal
-hyperplanes, so it carries a full oracle too (bucket ids recomputed from
-dot-product signs in SQL). IVF stays rows-only (its centroid model comes
-from a driver-side collect) — plus recall-vs-bruteforce assertions in
-``tests/test_similarity.py`` for both approximate paths.
+All three are oracle-checked. Brute force compares against DuckDB
+``list_cosine_similarity`` (cast to DOUBLE[] — DuckDB computes FLOAT[]
+inputs in float32, Spark in double). The approximate paths are
+DETERMINISTIC, so they get full oracles too: LSH's hyperplanes are plan
+literals the SQL twin re-embeds (bucket ids from dot-product signs); IVF's
+centroid model is a deterministic function of the table the SQL twin
+rebuilds. Recall-vs-bruteforce assertions live in
+``tests/test_similarity.py``.
 """
 
 from __future__ import annotations
@@ -117,12 +118,60 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(q, c, "vec_id", "embedding", centroids=cents, k=_K, n_probe=2)
 
 
+# The centroid "model" is itself a deterministic function of the table
+# (vec_id % 97 == 0, ordered, first 8), so DuckDB rebuilds the SAME model
+# and replays assignment (argmax dot vs unit centroids — scale-invariant,
+# raw vectors suffice), 2-cell probing, candidate join and rerank. Ties in
+# the argmax break toward the lower cell id on both engines.
+_IVF_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cr AS (
+  SELECT vec_id, v FROM e WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 8
+),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS cv
+  FROM cr
+),
+assign AS (
+  SELECT e.vec_id, e.v, c.cell,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell
+         ) AS rk
+  FROM e CROSS JOIN cents c
+),
+corpus AS (SELECT vec_id, v, cell FROM assign WHERE rk = 1),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv, cell
+  FROM assign WHERE rk <= 2 AND vec_id < {_N_QUERIES}
+),
+scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(p.qv, c.v) AS cos
+  FROM probes p JOIN corpus c ON c.cell = p.cell AND c.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+         ) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cos_sim
+FROM ranked WHERE rn <= {_K}
+"""
+
+
 QUERIES = [
     QueryDef("ann_bruteforce_topk", ann_bruteforce_topk, _BRUTE_ORACLE,
              "exact cosine top-k (baseline)"),
     QueryDef("ann_lsh_topk", ann_lsh_topk, _LSH_ORACLE,
              "random-hyperplane LSH bucketed approximate top-k "
              "(plan-literal planes -> full cross-engine oracle)"),
-    QueryDef("ann_ivf_topk", ann_ivf_topk, None,
-             "IVF coarse-quantizer approximate top-k"),
+    QueryDef("ann_ivf_topk", ann_ivf_topk, _IVF_ORACLE,
+             "IVF coarse-quantizer approximate top-k (deterministic "
+             "centroid model -> full cross-engine oracle)"),
 ]
