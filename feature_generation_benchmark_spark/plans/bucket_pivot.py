@@ -156,7 +156,7 @@ def compile_bucket_pivot(spec: FeatureSpec, df: DataFrame) -> DataFrame:
     pruned = df.select(*spec.input_columns())
     in_scope = pruned.filter(F.col(spec.time_col) <= F.lit(max(spec.windows)))
     celled = in_scope.select(
-        F.col(spec.key),
+        *[F.col(k) for k in spec.keys],
         F.expr(_cell_sql(spec, doms)).alias("__cell"),
         *[F.col(m) for m in spec.measures],
     )
@@ -176,10 +176,10 @@ def compile_bucket_pivot(spec: FeatureSpec, df: DataFrame) -> DataFrame:
             F.first(f"min_{m}").alias(f"min_{m}"),
             F.first(f"max_{m}").alias(f"max_{m}"),
         ]
-    partial = celled.groupBy(spec.key, "__cell").agg(*partial_aggs)
+    partial = celled.groupBy(*spec.keys, "__cell").agg(*partial_aggs)
 
     pivoted = (
-        partial.groupBy(spec.key)
+        partial.groupBy(*spec.keys)
         .pivot("__cell", list(range(n_cells)))
         .agg(*pivot_aggs)
     )
@@ -189,4 +189,4 @@ def compile_bucket_pivot(spec: FeatureSpec, df: DataFrame) -> DataFrame:
         for feat in spec.features()
     ]
     # one Py4J call + one parse each, instead of 2080 F.expr round-trips
-    return pivoted.selectExpr(quote_ident(spec.key), *exprs)
+    return pivoted.selectExpr(*[quote_ident(k) for k in spec.keys], *exprs)

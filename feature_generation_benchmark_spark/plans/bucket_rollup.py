@@ -121,9 +121,9 @@ def compile_bucket_rollup(spec: FeatureSpec, df: DataFrame) -> DataFrame:
             F.min(F.col(m)).alias(_min_col(m)),
             F.max(F.col(m)).alias(_max_col(m)),
         ]
-    partial = bucketed.groupBy(spec.key, *category_cols, _BUCKET).agg(
+    partial = bucketed.groupBy(*spec.keys, *category_cols, _BUCKET).agg(
         *partial_aggs
     )
 
     exprs = [_rollup_expr(spec, feat) for feat in spec.features()]
-    return partial.groupBy(spec.key).agg(*exprs)
+    return partial.groupBy(*spec.keys).agg(*exprs)

@@ -59,7 +59,7 @@ def compile_case_when(
     # parse per feature instead of ~a dozen Py4J calls; same Catalyst tree.
     if not premask:
         exprs = [F.expr(agg_expr_sql(spec, feat)) for feat in spec.features()]
-        return in_scope.groupBy(spec.key).agg(*exprs)
+        return in_scope.groupBy(*spec.keys).agg(*exprs)
 
     mask_exprs = []
     agg_cols = []
@@ -84,5 +84,7 @@ def compile_case_when(
             if spec.round_decimals is not None:
                 expr = f"round({expr}, {spec.round_decimals})"
         agg_cols.append(F.expr(f"{expr} AS {quote_ident(feat.name)}"))
-    masked = in_scope.selectExpr(quote_ident(spec.key), *mask_exprs)
-    return masked.groupBy(spec.key).agg(*agg_cols)
+    masked = in_scope.selectExpr(
+        *[quote_ident(k) for k in spec.keys], *mask_exprs
+    )
+    return masked.groupBy(*spec.keys).agg(*agg_cols)

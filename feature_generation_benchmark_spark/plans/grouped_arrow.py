@@ -23,7 +23,7 @@ from feature_generation_benchmark_spark.spec import Agg, FeatureSpec
 
 def _make_arrow_fn(spec: FeatureSpec):
     features = spec.features()
-    key = spec.key
+    keys = spec.keys
     time_col = spec.time_col
     measures = spec.measures
 
@@ -40,10 +40,14 @@ def _make_arrow_fn(spec: FeatureSpec):
             for g in spec.groupings
             for c in g.cols
         }
-        key_val = table.column(key)[0].as_py()
-
-        arrays: list[pa.Array] = [pa.array([key_val], type=table.schema.field(key).type)]
-        names: list[str] = [key]
+        arrays: list[pa.Array] = [
+            pa.array(
+                [table.column(k)[0].as_py()],
+                type=table.schema.field(k).type,
+            )
+            for k in keys
+        ]
+        names: list[str] = list(keys)
         combo_masks: dict[tuple, np.ndarray] = {}
         window_masks = {w: t <= w for w in spec.windows}
         cell_vals: dict[tuple, np.ndarray] = {}
@@ -87,12 +91,12 @@ def compile_grouped_arrow(spec: FeatureSpec, df: DataFrame) -> DataFrame:
     pruned = df.select(*spec.input_columns())
     in_scope = pruned.filter(F.col(spec.time_col) <= F.lit(max(spec.windows)))
     schema = output_schema(spec, df)
-    wide = in_scope.groupBy(spec.key).applyInArrow(
+    wide = in_scope.groupBy(*spec.keys).applyInArrow(
         _make_arrow_fn(spec), schema
     )
     if spec.round_decimals is not None:
         wide = wide.select(
-            spec.key,
+            *spec.keys,
             *[
                 F.round(F.col(f.name), spec.round_decimals).alias(f.name)
                 if f.agg is not Agg.COUNT

@@ -26,11 +26,12 @@ from feature_generation_benchmark_spark.spec import Agg, FeatureSpec
 
 
 def output_schema(spec: FeatureSpec, df: DataFrame) -> T.StructType:
-    """The 1+N-column output contract (reference builds the same explicit
-    StructType, ``impl/pyspark-pandas-udf.py:98-118``): key keeps its input
-    type; count → long; other aggs → double."""
-    key_field = df.schema[spec.key]
-    fields = [T.StructField(spec.key, key_field.dataType, False)]
+    """The keys+N-column output contract (reference builds the same
+    explicit StructType, ``impl/pyspark-pandas-udf.py:98-118``): key
+    columns keep their input types; count → long; other aggs → double."""
+    fields = [
+        T.StructField(k, df.schema[k].dataType, False) for k in spec.keys
+    ]
     for feat in spec.features():
         dtype = T.LongType() if feat.agg is Agg.COUNT else T.DoubleType()
         fields.append(T.StructField(feat.name, dtype, True))
@@ -39,12 +40,12 @@ def output_schema(spec: FeatureSpec, df: DataFrame) -> T.StructType:
 
 def _make_group_fn(spec: FeatureSpec):
     features = spec.features()
-    key = spec.key
+    keys = spec.keys
     time_col = spec.time_col
     measures = spec.measures
 
     def compute(pdf: pd.DataFrame) -> pd.DataFrame:
-        out: dict[str, object] = {key: pdf[key].iloc[0]}
+        out: dict[str, object] = {k: pdf[k].iloc[0] for k in keys}
         t = pdf[time_col].to_numpy()
         ms = {m: pdf[m].to_numpy() for m in measures}
         # cache masks and value subsets: each (combo, window, measure) cell
@@ -87,7 +88,7 @@ def _make_group_fn(spec: FeatureSpec):
         for name, value in out.items():
             row[name] = pd.array([value], dtype="Float64") if isinstance(
                 value, (float, type(None))
-            ) and name != key else [value]
+            ) and name not in keys else [value]
         return pd.DataFrame(row)
 
     return compute
@@ -98,12 +99,14 @@ def compile_grouped_map(spec: FeatureSpec, df: DataFrame) -> DataFrame:
     pruned = df.select(*spec.input_columns())
     in_scope = pruned.filter(F.col(spec.time_col) <= F.lit(max(spec.windows)))
     schema = output_schema(spec, df)
-    wide = in_scope.groupBy(spec.key).applyInPandas(_make_group_fn(spec), schema)
+    wide = in_scope.groupBy(*spec.keys).applyInPandas(
+        _make_group_fn(spec), schema
+    )
     if spec.round_decimals is not None:
         # Round JVM-side with F.round so all strategies share one rounding
         # rule (Python's round() is banker's rounding — would diverge).
         wide = wide.select(
-            spec.key,
+            *spec.keys,
             *[
                 F.round(F.col(f.name), spec.round_decimals).alias(f.name)
                 if f.agg is not Agg.COUNT

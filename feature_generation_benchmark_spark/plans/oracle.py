@@ -70,15 +70,16 @@ def oracle_sql_for_spec(
     global _QUOTE
     _QUOTE = ident_quote
     try:
-        select_items = [_qident(spec.key)] + [
+        select_items = [_qident(k) for k in spec.keys] + [
             _agg_sql(spec, feat) for feat in spec.features()
         ]
         select_list = ",\n  ".join(select_items)
+        group_by = ", ".join(_qident(k) for k in spec.keys)
         return (
             f"SELECT\n  {select_list}\n"
             f"FROM {from_sql}\n"
             f"WHERE {_qident(spec.time_col)} <= {max(spec.windows)}\n"
-            f"GROUP BY {_qident(spec.key)}"
+            f"GROUP BY {group_by}"
         )
     finally:
         _QUOTE = '"'

@@ -68,7 +68,7 @@ def _pivot_half(
             aggs.append(F.avg(F.col(m)).alias(f"avg_{m}"))
     pivoted = (
         df.withColumn("__pk", key_expr)
-        .groupBy(spec.key)
+        .groupBy(*spec.keys)
         .pivot("__pk", pivot_values)  # explicit values: no discovery job
         .agg(*aggs)
     )
@@ -95,7 +95,7 @@ def _rollup_half(
     the unweighted mean of per-bucket means (``:97-98`` — wrong whenever
     bucket counts differ), min/max via ``least``/``greatest`` (identical
     either way)."""
-    out_cols: list[Column] = [F.col(spec.key)]
+    out_cols: list[Column] = [F.col(k) for k in spec.keys]
     for combo in grouping.combos():
         for w in spec.windows:
             buckets = [b for b in spec.windows if b <= w]
@@ -181,5 +181,5 @@ def compile_pivot_rollup(
     ]
     out = halves[0]
     for h in halves[1:]:
-        out = out.join(h, on=spec.key, how="inner")  # J1: 1 row/key per side
+        out = out.join(h, on=list(spec.keys), how="inner")  # J1: 1 row/key per side
     return out

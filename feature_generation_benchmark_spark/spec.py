@@ -102,21 +102,38 @@ class FeatureSpec:
     ``avg = Σsum/Σcount``, which coincide with SQL null-skipping semantics
     exactly when measures carry no NULLs.
 
+    ``keys`` generalizes the reference's single ``customer_id`` entity key
+    to composite keys (e.g. ``(customer_id, account_id)``); pass either
+    ``key="col"`` (back-compat sugar) or ``keys=("a", "b")``. Every
+    strategy groups on the full key tuple — one output row per distinct
+    key combination.
+
     ``round_decimals``: when set, double-typed outputs (sum/avg/min/max) are
     rounded — used by oracle-checked queries so double summation order
     (Spark partial-agg tree vs DuckDB) cannot flip a value hash.
     """
 
-    key: str
-    time_col: str
+    key: InitVar[str | None] = None
+    time_col: str = ""
     measure: InitVar[str | None] = None
     windows: tuple[int, ...] = ()
     groupings: tuple[Grouping, ...] = ()
     aggs: tuple[Agg, ...] = CANONICAL_AGGS
     round_decimals: int | None = None
     measures: tuple[str, ...] = ()
+    keys: tuple[str, ...] = ()
 
-    def __post_init__(self, measure: str | None) -> None:
+    def __post_init__(self, key: str | None, measure: str | None) -> None:
+        if key is not None:
+            if self.keys:
+                raise ValueError("pass either key= or keys=, not both")
+            object.__setattr__(self, "keys", (key,))
+        if not self.keys:
+            raise ValueError("at least one key column required")
+        if len(set(self.keys)) != len(self.keys):
+            raise ValueError("duplicate key columns")
+        if not self.time_col:
+            raise ValueError("time_col required")
         if measure is not None:
             if self.measures:
                 raise ValueError("pass either measure= or measures=, not both")
@@ -180,7 +197,7 @@ class FeatureSpec:
 
     def input_columns(self) -> list[str]:
         """Minimal input projection (drives column pruning)."""
-        cols = {self.key, self.time_col, *self.measures}
+        cols = {*self.keys, self.time_col, *self.measures}
         for g in self.groupings:
             cols.update(g.cols)
         return sorted(cols)

@@ -54,6 +54,29 @@ _MULTI_ORACLE = oracle_sql_for_spec(
     MULTI_MEASURE_SPEC, events_transactions_from_sql()
 )
 
+#: Composite-key spec: one feature row per (user, event_type) pair —
+#: the multi-key generalization (SURVEY §7.1 names ``FeatureSpec(keys,
+#: measure(s), ...)``); grouping shifts to a derived value band so the
+#: category axis stays independent of the key.
+COMPOSITE_KEY_SPEC = FeatureSpec(
+    keys=("user_id", "event_type"),
+    time_col="t_minus",
+    measure="value_cents",
+    windows=(7, 30),
+    groupings=(
+        Grouping(cols=("value_band",), domains=(("low", "high"),)),
+    ),
+)
+
+_BAND_CUTOFF_CENTS = 500_000
+
+_COMPOSITE_ORACLE = oracle_sql_for_spec(
+    COMPOSITE_KEY_SPEC,
+    "(SELECT *, CASE WHEN value_cents < "
+    f"{_BAND_CUTOFF_CENTS} THEN 'low' ELSE 'high' END AS value_band "
+    f"FROM {events_transactions_from_sql()} t)",
+)
+
 
 def _load(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_t_minus pushes the window cutoff down as a raw ts >= const
@@ -101,6 +124,20 @@ def _multi_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, max_t_minus=max(MULTI_MEASURE_SPEC.windows)
     )
     return compile_features(MULTI_MEASURE_SPEC, df)  # planner-chosen plan
+
+
+def _composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    df = events_transactions(
+        spark, sf_dir, max_t_minus=max(COMPOSITE_KEY_SPEC.windows)
+    ).withColumn(
+        "value_band",
+        F.when(F.col("value_cents") < _BAND_CUTOFF_CENTS, "low").otherwise(
+            "high"
+        ),
+    )
+    return compile_features(COMPOSITE_KEY_SPEC, df)
 
 
 QUERIES = [
@@ -163,5 +200,12 @@ QUERIES = [
         _multi_measure,
         _MULTI_ORACLE,
         "two measures (spend + recency) in one pass, planner-chosen plan",
+    ),
+    QueryDef(
+        "feat_composite_key",
+        _composite_key,
+        _COMPOSITE_ORACLE,
+        "composite (user, event_type) entity key with a derived value-band "
+        "grouping, planner-chosen plan",
     ),
 ]

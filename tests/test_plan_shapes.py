@@ -120,6 +120,45 @@ def test_bucket_pivot_is_two_shuffles(spark, spec, trx_path):
     assert plan.count("Exchange hashpartitioning") == 2, plan
 
 
+def test_multi_measure_adds_no_shuffles(spark, trx_path):
+    """A second measure must widen partial rows, not the plan: same two
+    shuffles, one scan, and the window cutoff still pushed to the scan."""
+    from feature_generation_benchmark_spark.plans import (
+        compile_bucket_pivot,
+        compile_bucket_rollup,
+    )
+
+    spec2 = FeatureSpec(
+        key="customer_id",
+        time_col="t_minus",
+        measures=("trx_amnt", "t_minus_d"),
+        windows=(7, 14, 30),
+        groupings=(Grouping(cols=("card_type",), domains=(("DC", "CC"),)),),
+    )
+    src = spark.read.parquet(trx_path).withColumn(
+        "t_minus_d", F.col("t_minus").cast("double")
+    )
+    for compiler in (compile_bucket_pivot, compile_bucket_rollup):
+        plan = _physical(compiler(spec2, src))
+        assert plan.count("Exchange hashpartitioning") == 2, plan
+        assert plan.count("Scan parquet") == 1, plan
+    cw = _physical(
+        compile_case_when(
+            FeatureSpec(
+                key="customer_id",
+                time_col="t_minus",
+                measures=("trx_amnt",),
+                windows=(7, 14, 30),
+                groupings=(
+                    Grouping(cols=("card_type",), domains=(("DC", "CC"),)),
+                ),
+            ),
+            spark.read.parquet(trx_path),
+        )
+    )
+    assert "LessThanOrEqual(t_minus,30)" in cw
+
+
 def test_doc_chunking_is_shuffle_free(spark):
     """Chunking is a pure per-row flatMap — any Exchange in its plan is a
     regression (the whole point is embarrassing parallelism at 100 TB)."""

@@ -218,6 +218,65 @@ def test_multi_measure_values(spark, multi_transactions):
     assert c1["recency_days_CC_education_720d_avg"] is None
 
 
+COMPOSITE_SPEC = FeatureSpec(
+    keys=("customer_id", "channel"),
+    time_col="t_minus",
+    measure="trx_amnt",
+    windows=(7, 14, 30, 720),
+    groupings=(
+        Grouping(
+            cols=("card_type", "trx_type"),
+            domains=(CARD_TYPES, ("food-and-household", "home", "education")),
+        ),
+    ),
+)
+
+
+def test_composite_key_all_strategies_agree(spark, tiny_transactions):
+    """Composite (customer, channel) entity key: every strategy groups on
+    the full key tuple and produces identical rows."""
+    def keyed(df):
+        cols = sorted(df.columns)
+        return {
+            (r["customer_id"], r["channel"]): tuple(
+                r.asDict()[c] for c in cols
+            )
+            for r in df.collect()
+        }, cols
+
+    canonical = compile_case_when(COMPOSITE_SPEC, tiny_transactions)
+    ra, ca = keyed(canonical)
+    # 1 row per observed (customer, channel) pair with in-scope rows
+    assert set(ra) == {(1, "mobile"), (1, "web"), (2, "web")}
+    for name, compiled in {
+        "bucket_rollup": compile_bucket_rollup(
+            COMPOSITE_SPEC, tiny_transactions
+        ),
+        "bucket_pivot": compile_bucket_pivot(
+            COMPOSITE_SPEC, tiny_transactions
+        ),
+        "grouped_map": compile_grouped_map(COMPOSITE_SPEC, tiny_transactions),
+        "grouped_arrow": compile_grouped_arrow(
+            COMPOSITE_SPEC, tiny_transactions
+        ),
+        "pivot_rollup": compile_pivot_rollup(
+            COMPOSITE_SPEC, tiny_transactions
+        ),
+        "sql_text": compile_sql_text(COMPOSITE_SPEC, tiny_transactions),
+    }.items():
+        rb, cb = keyed(compiled)
+        assert ca == cb, name
+        assert ra.keys() == rb.keys(), name
+        for k in ra:
+            for c, va, vb in zip(ca, ra[k], rb[k]):
+                if isinstance(va, float) and isinstance(vb, float):
+                    assert math.isclose(
+                        va, vb, rel_tol=1e-9, abs_tol=1e-9
+                    ), (name, k, c, va, vb)
+                else:
+                    assert va == vb, (name, k, c, va, vb)
+
+
 def test_planner_choice():
     assert choose_strategy(reference_spec()) == "bucket_pivot"
     tiny = FeatureSpec(
