@@ -82,9 +82,10 @@ SIZES: dict[str, SizeConfig] = {
     # Disk-constrained stand-ins for ``big`` (~18B rows / ~260 GB parquet,
     # beyond a single test box): each keeps ONE of big's two stress axes at
     # its full setting — 730 one-day hive partitions, or 1M distinct
-    # customer keys — while holding total rows near medium's ~1.8B.
+    # customer keys — at a total row count a single box's disk can hold
+    # (input + at-scale shuffle spill + 2,080-col output concurrently).
     "big_parts": SizeConfig(100_000, 730, 1),
-    "big_keys": SizeConfig(1_000_000, 73, 1),
+    "big_keys": SizeConfig(1_000_000, 50, 1),
 }
 
 

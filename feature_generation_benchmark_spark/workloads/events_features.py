@@ -14,6 +14,11 @@ from feature_generation_benchmark_spark.plans import (
     compile_grouped_map,
 )
 from feature_generation_benchmark_spark.plans.planner import compile_features
+from feature_generation_benchmark_spark.plans.incremental import (
+    compile_day_partials,
+    features_asof,
+    merge_day_partials,
+)
 from feature_generation_benchmark_spark.plans.pivot_rollup import (
     compile_pivot_rollup,
 )
@@ -21,6 +26,8 @@ from feature_generation_benchmark_spark.plans.sql_text import compile_sql_text
 from feature_generation_benchmark_spark.plans.oracle import oracle_sql_for_spec
 from feature_generation_benchmark_spark.sources.testdata import (
     EVENT_TYPES,
+    EVENTS_REF_DATE,
+    _epoch_days,
     events_transactions,
     events_transactions_from_sql,
 )
@@ -126,6 +133,28 @@ def _multi_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_features(MULTI_MEASURE_SPEC, df)  # planner-chosen plan
 
 
+def _incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-maintenance path: raw rows → immutable day partials
+    (built as two DISJOINT loads and merged — the daily-increment shape)
+    → features served as-of the reference date. Its oracle is the SAME
+    batch oracle as every other strategy: the incremental pipeline must
+    reproduce the full-recompute result exactly."""
+    from pyspark.sql import functions as F
+
+    ref_days = _epoch_days(EVENTS_REF_DATE)
+    trx = events_transactions(
+        spark, sf_dir, max_t_minus=max(EVENTS_SPEC.windows)
+    ).withColumn("day", (F.lit(ref_days) - F.col("t_minus")).cast("long"))
+    p_even = compile_day_partials(
+        EVENTS_SPEC, trx.filter(F.col("day") % 2 == 0), "day"
+    )
+    p_odd = compile_day_partials(
+        EVENTS_SPEC, trx.filter(F.col("day") % 2 == 1), "day"
+    )
+    merged = merge_day_partials(EVENTS_SPEC, [p_even, p_odd], "day")
+    return features_asof(EVENTS_SPEC, merged, ref_days, "day")
+
+
 def _composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -207,5 +236,13 @@ QUERIES = [
         _COMPOSITE_ORACLE,
         "composite (user, event_type) entity key with a derived value-band "
         "grouping, planner-chosen plan",
+    ),
+    QueryDef(
+        "feat_incremental",
+        _incremental,
+        _ORACLE,
+        "incremental maintenance: day-granular partials, split into two "
+        "loads + merged, served as-of the reference date — must equal the "
+        "batch result",
     ),
 ]

@@ -50,3 +50,37 @@ def test_validation():
 
 def test_agg_domain():
     assert [a.value for a in Agg] == ["count", "sum", "avg", "min", "max"]
+
+
+def test_multi_measure_and_keys_validation():
+    g = Grouping(cols=("a",), domains=(("x", "y"),))
+    with pytest.raises(ValueError, match="either measure="):
+        FeatureSpec("k", "t", "m", (7,), (g,), measures=("m2",))
+    with pytest.raises(ValueError, match="at least one measure"):
+        FeatureSpec("k", "t", None, (7,), (g,))
+    with pytest.raises(ValueError, match="duplicate measures"):
+        FeatureSpec("k", "t", windows=(7,), groupings=(g,),
+                    measures=("m", "m"))
+    with pytest.raises(ValueError, match="either key="):
+        FeatureSpec("k", "t", "m", (7,), (g,), keys=("k2",))
+    with pytest.raises(ValueError, match="at least one key"):
+        FeatureSpec(None, "t", "m", (7,), (g,))
+    with pytest.raises(ValueError, match="duplicate key"):
+        FeatureSpec(None, "t", "m", (7,), (g,), keys=("k", "k"))
+
+
+def test_multi_measure_naming_and_counts():
+    g = Grouping(cols=("a",), domains=(("x", "y"),))
+    single = FeatureSpec("k", "t", "m", (7,), (g,))
+    multi = FeatureSpec(
+        "k", "t", windows=(7,), groupings=(g,), measures=("m1", "m2")
+    )
+    # single-measure names carry NO measure prefix (reference parity)
+    assert [f.name for f in single.features()][:2] == [
+        "x_7d_count", "x_7d_avg"
+    ]
+    assert multi.n_features == 2 * single.n_features
+    names = [f.name for f in multi.features()]
+    assert "m1_x_7d_count" in names and "m2_x_7d_count" in names
+    assert multi.input_columns() == ["a", "k", "m1", "m2", "t"]
+    assert multi.keys == ("k",) and multi.measures == ("m1", "m2")
