@@ -159,6 +159,24 @@ def test_multi_measure_adds_no_shuffles(spark, trx_path):
     assert "LessThanOrEqual(t_minus,30)" in cw
 
 
+def test_incremental_serving_is_single_shuffle(spark, spec, trx_path):
+    """Serving from day partials must cost ONE shuffle over the (tiny)
+    partials — never re-shuffle anything input-sized."""
+    from feature_generation_benchmark_spark.plans.incremental import (
+        compile_day_partials,
+        features_asof,
+    )
+
+    dated = spark.read.parquet(trx_path).withColumn(
+        "day", (F.lit(1000) - F.col("t_minus")).cast("long")
+    )
+    partials = compile_day_partials(spec, dated, "day")
+    assert _physical(partials).count("Exchange hashpartitioning") == 1
+    served = features_asof(spec, partials, 1000, "day")
+    # end-to-end: partials shuffle + the keys re-aggregation
+    assert _physical(served).count("Exchange hashpartitioning") == 2
+
+
 def test_doc_chunking_is_shuffle_free(spark):
     """Chunking is a pure per-row flatMap — any Exchange in its plan is a
     regression (the whole point is embarrassing parallelism at 100 TB)."""
