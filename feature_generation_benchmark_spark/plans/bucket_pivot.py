@@ -51,24 +51,53 @@ from feature_generation_benchmark_spark.spec import Agg, FeatureSpec
 MAX_CELLS = 100_000
 
 
-def _union_domains(spec: FeatureSpec) -> list[tuple[str, tuple[str, ...]]]:
+def _union_domains(
+    spec: FeatureSpec,
+) -> list[tuple[str, tuple[str, ...], bool]]:
     """Union of grouping columns with their (consistent) domains, sorted by
-    column name for a deterministic cell-id layout."""
+    column name for a deterministic cell-id layout.
+
+    The third element marks columns needing an OVERFLOW index: a row whose
+    value for column c is outside c's domain still contributes to every
+    grouping that does not involve c (canonical semantics — the case-when
+    predicates never look at c). Such rows must keep a distinct cell
+    coordinate, so any column absent from at least one grouping gets one
+    extra index slot for "out of domain". Two exemptions keep the pivot at
+    minimal width: columns present in EVERY grouping (out-of-domain there
+    disqualifies the row everywhere — the NULL cell id drops it before
+    aggregation), and columns whose grouping declares ``closed=True``
+    (the spec asserts out-of-domain values cannot occur).
+    """
     doms: dict[str, tuple[str, ...]] = {}
+    closed: dict[str, bool] = {}
     for g in spec.groupings:
         for col, dom in zip(g.cols, g.domains):
             if col in doms and doms[col] != dom:
                 raise ValueError(f"column {col!r} has conflicting domains")
             doms[col] = dom
-    return sorted(doms.items())
+            closed[col] = closed.get(col, False) or g.closed
+    return [
+        (
+            col,
+            dom,
+            not closed[col]
+            and any(col not in g.cols for g in spec.groupings),
+        )
+        for col, dom in sorted(doms.items())
+    ]
 
 
-def _idx_case(col: str, domain: tuple[str, ...]) -> str:
+def _radix(dom: tuple[str, ...], overflow: bool) -> int:
+    return len(dom) + (1 if overflow else 0)
+
+
+def _idx_case(col: str, domain: tuple[str, ...], overflow: bool) -> str:
     whens = " ".join(
         f"WHEN {quote_ident(col)} = {quote_str(v)} THEN {i}"
         for i, v in enumerate(domain)
     )
-    return f"(CASE {whens} END)"
+    tail = f" ELSE {len(domain)}" if overflow else ""
+    return f"(CASE {whens}{tail} END)"
 
 
 def _bucket_idx_case(spec: FeatureSpec) -> str:
@@ -79,33 +108,41 @@ def _bucket_idx_case(spec: FeatureSpec) -> str:
     return f"(CASE {whens} END)"
 
 
-def _cell_sql(spec: FeatureSpec, doms: list[tuple[str, tuple[str, ...]]]) -> str:
-    """One integer per (category values..., bucket): mixed-radix encoding.
-    NULL (out-of-domain value) rows match no explicit pivot value and so
-    contribute to no feature — same semantics as unmatched CASE WHENs."""
+def _cell_sql(
+    spec: FeatureSpec, doms: list[tuple[str, tuple[str, ...], bool]]
+) -> str:
+    """One integer per (category values..., bucket): mixed-radix encoding
+    over each column's radix (domain size, +1 where the overflow slot
+    exists). A NULL cell id — out-of-domain in a column EVERY grouping
+    uses, or out-of-window time — marks a row that contributes to no
+    feature; the compiler filters those before aggregating."""
     expr = ""
-    for col, dom in doms:
-        idx = _idx_case(col, dom)
-        expr = idx if not expr else f"({expr} * {len(dom)} + {idx})"
+    for col, dom, overflow in doms:
+        idx = _idx_case(col, dom, overflow)
+        r = _radix(dom, overflow)
+        expr = idx if not expr else f"({expr} * {r} + {idx})"
     return f"CAST(({expr} * {len(spec.windows)} + {_bucket_idx_case(spec)}) AS INT)"
 
 
 def _cells_for(
     spec: FeatureSpec,
-    doms: list[tuple[str, tuple[str, ...]]],
+    doms: list[tuple[str, tuple[str, ...], bool]],
     feat,
 ) -> list[int]:
     """Pivot-cell ids contributing to one cumulative feature: fix the
     feature's own category values, marginalize over the other union
-    columns, include every bucket ≤ the feature's window."""
+    columns (INCLUDING their overflow slot — out-of-domain there doesn't
+    exclude a row from this feature), include every bucket ≤ the
+    feature's window."""
     fixed = dict(zip(feat.grouping.cols, feat.combo))
     cells = [0]
-    for col, dom in doms:
+    for col, dom, overflow in doms:
+        r = _radix(dom, overflow)
         if col in fixed:
             choices = [dom.index(fixed[col])]
         else:
-            choices = list(range(len(dom)))
-        cells = [c * len(dom) + i for c in cells for i in choices]
+            choices = list(range(r))
+        cells = [c * r + i for c in cells for i in choices]
     max_b = spec.windows.index(feat.window)
     nw = len(spec.windows)
     return [c * nw + b for c in cells for b in range(max_b + 1)]
@@ -145,8 +182,8 @@ def compile_bucket_pivot(spec: FeatureSpec, df: DataFrame) -> DataFrame:
     """Compile ``spec`` into the integer-cell pivot plan."""
     doms = _union_domains(spec)
     n_cells = len(spec.windows)
-    for _, dom in doms:
-        n_cells *= len(dom)
+    for _, dom, overflow in doms:
+        n_cells *= _radix(dom, overflow)
     if n_cells > MAX_CELLS:
         raise ValueError(
             f"{n_cells} cells exceed MAX_CELLS={MAX_CELLS}; "
@@ -155,9 +192,16 @@ def compile_bucket_pivot(spec: FeatureSpec, df: DataFrame) -> DataFrame:
 
     pruned = df.select(*spec.input_columns())
     in_scope = pruned.filter(F.col(spec.time_col) <= F.lit(max(spec.windows)))
+    # NULL cell = in time scope but blocked from every grouping (out of a
+    # closed/everywhere-used domain). Canonical semantics still show the
+    # KEY (with all-empty features) for such rows, so they aggregate into
+    # a dedicated DEAD cell that is pivoted but referenced by no feature.
+    dead_cell = n_cells
     celled = in_scope.select(
         *[F.col(k) for k in spec.keys],
-        F.expr(_cell_sql(spec, doms)).alias("__cell"),
+        F.coalesce(
+            F.expr(_cell_sql(spec, doms)), F.lit(dead_cell)
+        ).alias("__cell"),
         *[F.col(m) for m in spec.measures],
     )
 
@@ -180,7 +224,7 @@ def compile_bucket_pivot(spec: FeatureSpec, df: DataFrame) -> DataFrame:
 
     pivoted = (
         partial.groupBy(*spec.keys)
-        .pivot("__cell", list(range(n_cells)))
+        .pivot("__cell", list(range(n_cells + 1)))  # +1: the dead cell
         .agg(*pivot_aggs)
     )
 

@@ -36,13 +36,14 @@ CASE_WHEN_MAX_FEATURES = 64
 
 
 def _n_union_cells(spec: FeatureSpec) -> int:
-    doms: dict[str, int] = {}
-    for g in spec.groupings:
-        for col, dom in zip(g.cols, g.domains):
-            doms[col] = len(dom)
+    from feature_generation_benchmark_spark.plans.bucket_pivot import (
+        _radix,
+        _union_domains,
+    )
+
     n = len(spec.windows)
-    for d in doms.values():
-        n *= d
+    for _, dom, overflow in _union_domains(spec):
+        n *= _radix(dom, overflow)
     return n
 
 

@@ -56,10 +56,22 @@ class Grouping:
     ``impl/duckdb_pivot-known-values.py:98-115``): compiling the domain into
     the plan avoids a values-discovery scan and keeps the plan static — at
     100 TB a DISTINCT discovery pass is a full extra scan.
+
+    ``closed=True`` additionally asserts the domain is COMPLETE — the data
+    never carries other values for these columns. Physical plans may then
+    drop the out-of-domain escape hatch (``plans/bucket_pivot.py`` skips
+    its per-column overflow cell slot, keeping the pivot at its minimal
+    width). Under the default ``closed=False``, a row that is
+    out-of-domain in some column still counts toward every grouping that
+    does not use that column — exact canonical semantics on any data.
+    If ``closed=True`` is declared and out-of-domain values DO occur,
+    bucket_pivot silently excludes those rows from all features while the
+    other strategies count them — declare closed only when it's true.
     """
 
     cols: tuple[str, ...]
     domains: tuple[tuple[str, ...], ...]
+    closed: bool = False
 
     def __post_init__(self) -> None:
         if len(self.cols) != len(self.domains):
@@ -239,15 +251,27 @@ REFERENCE_WINDOWS: tuple[int, ...] = (7, 14, 21, 30, 90, 180, 360, 720)
 
 
 def reference_spec(round_decimals: int | None = None) -> FeatureSpec:
-    """The full 2,080-feature reference task (``docs/index.md:120-151``)."""
+    """The full 2,080-feature reference task (``docs/index.md:120-151``).
+
+    ``closed=True``: the generator's category domains are complete
+    (``src/lib.rs:28,33-47,51``), so the at-scale pivot plan keeps its
+    minimal 416-cell layout with no out-of-domain overflow slots."""
     return FeatureSpec(
         key="customer_id",
         time_col="t_minus",
         measure="trx_amnt",
         windows=REFERENCE_WINDOWS,
         groupings=(
-            Grouping(cols=("card_type", "trx_type"), domains=(CARD_TYPES, TRX_TYPES)),
-            Grouping(cols=("channel", "trx_type"), domains=(CHANNELS, TRX_TYPES)),
+            Grouping(
+                cols=("card_type", "trx_type"),
+                domains=(CARD_TYPES, TRX_TYPES),
+                closed=True,
+            ),
+            Grouping(
+                cols=("channel", "trx_type"),
+                domains=(CHANNELS, TRX_TYPES),
+                closed=True,
+            ),
         ),
         round_decimals=round_decimals,
     )

@@ -277,6 +277,68 @@ def test_composite_key_all_strategies_agree(spark, tiny_transactions):
                     assert va == vb, (name, k, c, va, vb)
 
 
+def test_out_of_domain_rows_count_for_unrelated_groupings(spark):
+    """Regression (found by tests/test_property_strategies.py): a row
+    out-of-domain in column ``ca`` must still count toward features of a
+    grouping that doesn't use ``ca``. bucket_pivot's union-cell encoding
+    used to NULL the whole cell and silently drop the row everywhere."""
+    spec = FeatureSpec(
+        key="k",
+        time_col="t",
+        measure="m",
+        windows=(1,),
+        groupings=(
+            Grouping(cols=("ca",), domains=(("a1", "a2"),)),
+            Grouping(cols=("cb",), domains=(("b1", "b2"),)),
+        ),
+    )
+    df = spark.createDataFrame(
+        [(0, "a1", "b1", 0, 1.0), (0, "zz", "b1", 0, 3.0)],
+        "k long, ca string, cb string, t long, m double",
+    )
+    for compiler in (
+        compile_case_when,
+        compile_bucket_rollup,
+        compile_bucket_pivot,
+        compile_grouped_map,
+    ):
+        row = compiler(spec, df).collect()[0].asDict()
+        assert row["b1_1d_count"] == 2, compiler.__name__
+        assert row["b1_1d_sum"] == 4.0, compiler.__name__
+        # and the zz row counts toward NO ca-grouping feature
+        assert row["a1_1d_count"] == 1, compiler.__name__
+
+
+def test_closed_domains_keep_minimal_cell_count():
+    """closed=True (reference task: generator domains are complete) must
+    keep the at-scale pivot at its minimal width; the open default pays
+    overflow slots only for columns some grouping omits."""
+    from feature_generation_benchmark_spark.plans.bucket_pivot import (
+        _radix,
+        _union_domains,
+    )
+
+    def n_cells(spec):
+        n = len(spec.windows)
+        for _, dom, overflow in _union_domains(spec):
+            n *= _radix(dom, overflow)
+        return n
+
+    assert n_cells(reference_spec()) == 2 * 13 * 2 * 8  # 416, no overflow
+    open_spec = FeatureSpec(
+        key="k",
+        time_col="t",
+        measure="m",
+        windows=(7,),
+        groupings=(
+            Grouping(cols=("ca",), domains=(("a1", "a2"),)),
+            Grouping(cols=("cb",), domains=(("b1", "b2"),)),
+        ),
+    )
+    # each column absent from the other grouping → +1 overflow slot each
+    assert n_cells(open_spec) == 3 * 3 * 1
+
+
 def test_planner_choice():
     assert choose_strategy(reference_spec()) == "bucket_pivot"
     tiny = FeatureSpec(
