@@ -12,8 +12,10 @@ Usage::
 
 Baselines to compare against (16 vCPU, ``BASELINE.md``): PySpark pivot
 tiny 104.21 s / small 151.60 s / medium 455.49 s; PySpark case-when tiny
-242.84 s. Strategies default to the engine's at-scale plan
-(``bucket_rollup``) plus ``case_when`` for the canonical-semantics anchor.
+242.84 s. Pass strategies explicitly; ``bucket_pivot`` is the planner's
+at-scale default, ``case_when`` the canonical-semantics anchor.
+``big_parts`` / ``big_keys`` isolate the big ladder's two stress axes on
+disk-constrained boxes (see ``sources/generator.py::SIZES``).
 """
 
 from __future__ import annotations
