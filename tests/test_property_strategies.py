@@ -22,6 +22,7 @@ from feature_generation_benchmark_spark.plans import (
     compile_bucket_pivot,
     compile_bucket_rollup,
     compile_case_when,
+    compile_grouped_map,
 )
 from feature_generation_benchmark_spark.spec import FeatureSpec, Grouping
 
@@ -92,6 +93,7 @@ def test_strategies_agree_on_random_specs(spark, case):
     for name, compiler in (
         ("bucket_rollup", compile_bucket_rollup),
         ("bucket_pivot", compile_bucket_pivot),
+        ("grouped_map", compile_grouped_map),  # independent pandas impl
     ):
         got = _collect(compiler(spec, df), spec)
         assert got["__cols__"] == ref["__cols__"], name
