@@ -334,3 +334,78 @@ def cosine_dup_pairs(
             "id_a", "id_b", F.round("cos_sim", round_decimals).alias("cos_sim")
         )
     return out
+
+
+def semdedup_flags(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: float,
+    round_decimals: int | None = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    clustering embeddings with a coarse quantizer and dropping, inside each
+    cluster, every vector that has a lower-id cluster-mate above the cosine
+    threshold. Returns one row per input: ``(id, cell, kept, dup_of,
+    max_cos)`` — ``dup_of`` is the smallest-id duplicate witness.
+
+    Scale posture: pairwise comparison happens only WITHIN a cluster
+    (candidate generation is a cell-id equi-join, never all-pairs), which
+    is exactly the published algorithm's trick; the centroid model is a
+    tiny broadcast literal. Ties in the assignment argmax break toward the
+    lower cell id, matching the SQL oracle twin."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    nrm = np.linalg.norm(C, axis=1, keepdims=True)
+    C = C / np.where(nrm == 0.0, 1.0, nrm)
+
+    @pandas_udf("int")
+    def nearest_cell(v: pd.Series) -> pd.Series:
+        V = np.stack(v.to_numpy())
+        # np.argmax returns the FIRST maximum: lower cell id wins ties
+        return pd.Series(np.argmax(V @ C.T, axis=1).astype(np.int32))
+
+    assigned = df.select(
+        F.col(id_col).alias("__id"),
+        unit_normalize(as_double_array(vec_col)).alias("__v"),
+    ).withColumn("cell", nearest_cell(F.col("__v")))
+
+    x = assigned.select(
+        F.col("__id").alias("id_a"),
+        F.col("__v").alias("va"),
+        F.col("cell").alias("cell_a"),
+    )
+    y = assigned.select(
+        F.col("__id").alias("id_b"),
+        F.col("__v").alias("vb"),
+        F.col("cell").alias("cell_b"),
+    )
+    pairs = (
+        x.join(
+            y,
+            (F.col("cell_a") == F.col("cell_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b", dot(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= F.lit(threshold))
+    )
+    drops = pairs.groupBy("id_b").agg(
+        F.min("id_a").alias("dup_of"), F.max("cos").alias("max_cos")
+    )
+    out = assigned.select("__id", "cell").join(
+        drops, assigned["__id"] == drops["id_b"], "left"
+    )
+    max_cos = (
+        F.round("max_cos", round_decimals)
+        if round_decimals is not None
+        else F.col("max_cos")
+    )
+    return out.select(
+        F.col("__id").alias("vec_id"),
+        F.col("cell").cast("int").alias("cell"),
+        F.col("dup_of").isNull().alias("kept"),
+        "dup_of",
+        max_cos.alias("max_cos"),
+    )

@@ -28,6 +28,7 @@ class QueryDef:
 
 def registry() -> dict[str, QueryDef]:
     from feature_generation_benchmark_spark.workloads import (
+        curation,
         dedup,
         events_features,
         multimodal,
@@ -45,6 +46,7 @@ def registry() -> dict[str, QueryDef]:
         similarity,
         text,
         sampling,
+        curation,
         multimodal,
     ):
         for q in mod.QUERIES:

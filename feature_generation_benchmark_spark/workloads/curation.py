@@ -1,0 +1,538 @@
+"""Corpus-curation workload on ``documents`` / ``events`` (extension
+operators a 100 TB training-data pipeline needs beyond dedup/similarity):
+
+- ``pii_redaction`` — regex PII detection + scrubbing (emails, phone
+  numbers, IPv4 addresses). The synthetic corpus contains no PII, so the
+  query *injects* deterministic PII derived from ``doc_id`` with an
+  expression the DuckDB twin replays verbatim — redaction mechanics are
+  then oracle-checked end-to-end (match counts AND the md5 of the scrubbed
+  text). Pure ``regexp_count``/``regexp_replace`` column ops: JVM-side,
+  shuffle-free, embarrassingly parallel at any scale.
+- ``dup_ngram_spans`` — Gopher-style duplicate n-gram coverage: the
+  fraction of each document's tokens covered by word 3-grams that occur
+  more than once in the corpus. One shuffle to count shingles globally,
+  one join back; interval-union coverage is computed exactly by exploding
+  covered token positions and counting distinct. (At 100 TB the join key
+  would be ``xxhash64(ngram)`` instead of the raw string — same plan
+  shape, narrower shuffle; the string key keeps the oracle byte-exact.)
+- ``winnowing_fingerprint`` — MOSS winnowing (Schleimer/Wilkerson/Aiken,
+  SIGMOD'03): per document, hash every k-token shingle, slide a window of
+  ``w`` consecutive shingle hashes, select each window's minimum; the
+  distinct selected hashes are the document's fingerprint set. Guarantees
+  any shared run of ``w + k - 1`` tokens contributes at least one common
+  fingerprint. Windowed ``min`` over a per-doc sort — one shuffle; the
+  md5-derived shingle hash makes the whole selection cross-engine exact.
+- ``mixture_sampling`` — deterministic source-mixture sampling: given
+  target mixture weights per source and a global token budget, derive
+  per-source acceptance rates from the corpus's own per-source token
+  totals (tiny 20-row aggregate, broadcast back), then keep documents via
+  the md5-keyed acceptance rule (reproducible under repartitioning; no
+  ``rand()``). Rates above 1 clamp to keep-all — the upsampling decision
+  a real mixture pipeline handles by repetition is reported via ``rate``.
+- ``latest_state_compaction`` — CDC-style latest-wins compaction of the
+  event log: one row per user carrying the most recent event (by ``ts``,
+  tie-broken by ``event_id``) plus lifetime aggregates. Single-shuffle
+  ``max(struct(...))`` plan — the upsert/compaction primitive of every
+  incrementally-maintained feature store, with no second window pass.
+
+Reference scope context: the reference benchmark generates features only
+(`impl/*.py`); curation ops are north-star extensions per SURVEY §7.2.
+Money/measure stabilization follows ``workloads/relational.py``: cents as
+integers, timestamps as int64 microseconds, floats rounded before hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from feature_generation_benchmark_spark.functions.textfns import (
+    token_count,
+    tokens,
+    word_ngrams,
+)
+from feature_generation_benchmark_spark.sources.testdata import load_table
+from feature_generation_benchmark_spark.workloads import QueryDef
+
+# --------------------------------------------------------------------------
+# pii_redaction
+# --------------------------------------------------------------------------
+
+#: Patterns are deliberately RE2-safe (no backrefs/lookaround) so Java
+#: regex (Spark) and RE2 (DuckDB) agree; both use leftmost-first matching.
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def _injected_text() -> Column:
+    """Deterministic PII injection (same expression as the SQL twin)."""
+    did = F.col("doc_id")
+    email = F.when(
+        did % 3 == 0,
+        F.concat(
+            F.lit(" mail user"), did.cast("string"), F.lit("@test.org now")
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        did % 4 == 0,
+        F.concat(
+            F.lit(" call 555-123-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        did % 5 == 0,
+        F.concat(
+            F.lit(" node 10."),
+            (did % 256).cast("string"),
+            F.lit("."),
+            (did % 100).cast("string"),
+            F.lit(".7"),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(F.col("text"), email, phone, ip)
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", _injected_text().alias("t"))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), EMAIL_RE, "[EMAIL]"),
+            PHONE_RE,
+            "[PHONE]",
+        ),
+        IPV4_RE,
+        "[IP]",
+    )
+    return t.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(F.col("t"), F.lit(IPV4_RE)).cast("long").alias("n_ips"),
+        F.length(clean).cast("long").alias("clean_len"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+# SQL strings: single-quoted literals pass backslashes through untouched in
+# both engines; DuckDB regexp_replace needs the 'g' flag to match Spark's
+# replace-all default.
+_PII_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@test.org now'
+            ELSE '' END
+    || CASE WHEN doc_id % 4 = 0
+            THEN ' call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' node 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                 || CAST(doc_id % 100 AS VARCHAR) || '.7'
+            ELSE '' END AS t
+  FROM documents
+),
+c AS (
+  SELECT doc_id, t,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(t, '{EMAIL_RE}', '[EMAIL]', 'g'),
+        '{PHONE_RE}', '[PHONE]', 'g'),
+      '{IPV4_RE}', '[IP]', 'g') AS clean
+  FROM t
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(t, '{IPV4_RE}')) AS BIGINT) AS n_ips,
+  CAST(length(clean) AS BIGINT) AS clean_len,
+  md5(clean) AS clean_md5
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# dup_ngram_spans
+# --------------------------------------------------------------------------
+
+_DUP_N = 3  # word n-gram size
+_DUP_MIN_COUNT = 2  # "duplicated" = appears this many times corpus-wide
+
+_TOKED_SQL = """
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+"""
+
+
+def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).filter(F.size("toks") > 0)
+    base = toked.select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens")
+    )
+    ngs = toked.select(
+        "doc_id",
+        F.posexplode(word_ngrams(F.col("toks"), _DUP_N)).alias("pos", "ng"),
+    )
+    dup = (
+        ngs.groupBy("ng")
+        .agg(F.count(F.lit(1)).alias("ng_count"))
+        .filter(F.col("ng_count") >= _DUP_MIN_COUNT)
+        .select("ng")
+    )
+    hits = ngs.join(dup, "ng")  # at 100 TB: key on xxhash64(ng)
+    cov = (
+        hits.select(
+            "doc_id",
+            "pos",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(_DUP_N - 1))
+            ).alias("cp"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct(F.col("pos")).alias("n_dup_ngrams"),
+            F.count_distinct(F.col("cp")).alias("n_covered_tokens"),
+        )
+    )
+    return (
+        base.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_dup_ngrams"), F.lit(0)).cast("long").alias(
+                "n_dup_ngrams"
+            ),
+            F.coalesce(F.col("n_covered_tokens"), F.lit(0)).cast("long").alias(
+                "n_covered_tokens"
+            ),
+            F.round(
+                F.coalesce(F.col("n_covered_tokens"), F.lit(0))
+                / F.col("n_tokens"),
+                6,
+            ).alias("dup_token_fraction"),
+        )
+    )
+
+
+_DUP_NGRAM_ORACLE = f"""
+WITH toked AS ({_TOKED_SQL}),
+nz AS (SELECT doc_id, toks, len(toks) AS n FROM toked WHERE len(toks) > 0),
+ngs AS (
+  SELECT doc_id, s - 1 AS pos,
+         array_to_string(toks[s : s + {_DUP_N - 1}], ' ') AS ng
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, n - {_DUP_N - 1})) AS s
+        FROM nz)
+),
+dup AS (SELECT ng FROM ngs GROUP BY ng HAVING count(*) >= {_DUP_MIN_COUNT}),
+hits AS (SELECT g.doc_id, g.pos FROM ngs g JOIN dup USING (ng)),
+cov AS (
+  SELECT doc_id,
+         CAST(count(DISTINCT pos) AS BIGINT) AS n_dup_ngrams,
+         CAST(count(DISTINCT cp) AS BIGINT) AS n_covered_tokens
+  FROM (SELECT doc_id, pos, unnest(generate_series(pos, pos + {_DUP_N - 1})) AS cp
+        FROM hits)
+  GROUP BY doc_id
+)
+SELECT nz.doc_id, CAST(nz.n AS BIGINT) AS n_tokens,
+       coalesce(cov.n_dup_ngrams, 0) AS n_dup_ngrams,
+       coalesce(cov.n_covered_tokens, 0) AS n_covered_tokens,
+       round(coalesce(cov.n_covered_tokens, 0) / CAST(nz.n AS DOUBLE), 6)
+         AS dup_token_fraction
+FROM nz LEFT JOIN cov USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# winnowing_fingerprint
+# --------------------------------------------------------------------------
+
+_WIN_K = 4  # tokens per shingle
+_WIN_W = 4  # shingle hashes per winnowing window
+_EMPTY_MD5 = "d41d8cd98f00b204e9800998ecf8427e"
+
+
+def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every window of ``_WIN_W`` consecutive shingle hashes contributes
+    its minimum; selections are unioned per document (window starts are
+    rows with ``pos <= n_kgrams - w``, plus ``pos = 0`` so short documents
+    still fingerprint off their single clipped window). md5-hex-prefix
+    hashes are unique per doc in practice, so ``min`` needs no positional
+    tie-break and the SQL twin replays the selection exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).filter(F.size("toks") > 0)
+    base = toked.select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens")
+    )
+    kg = toked.select(
+        "doc_id",
+        (F.size("toks") - F.lit(_WIN_K - 1)).alias("nkg"),
+        F.posexplode(word_ngrams(F.col("toks"), _WIN_K)).alias("pos", "ng"),
+    ).select(
+        "doc_id", "nkg", "pos", F.substring(F.md5("ng"), 1, 8).alias("h")
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, _WIN_W - 1)
+    )
+    sel = (
+        kg.withColumn("winmin", F.min("h").over(win))
+        .filter((F.col("pos") == 0) | (F.col("pos") <= F.col("nkg") - _WIN_W))
+        .select("doc_id", "winmin")
+        .distinct()
+    )
+    agg = sel.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.md5(F.array_join(F.array_sort(F.collect_list("winmin")), "")).alias(
+            "fp_digest"
+        ),
+    )
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_fingerprints"), F.lit(0)).cast("long").alias(
+            "n_fingerprints"
+        ),
+        F.coalesce(F.col("fp_digest"), F.lit(_EMPTY_MD5)).alias("fp_digest"),
+    )
+
+
+_WINNOW_ORACLE = f"""
+WITH toked AS ({_TOKED_SQL}),
+nz AS (SELECT doc_id, toks, len(toks) AS n FROM toked WHERE len(toks) > 0),
+kg AS (
+  SELECT doc_id, n - {_WIN_K - 1} AS nkg, s - 1 AS pos,
+         substr(md5(array_to_string(toks[s : s + {_WIN_K - 1}], ' ')), 1, 8) AS h
+  FROM (SELECT doc_id, toks, n,
+               unnest(generate_series(1, n - {_WIN_K - 1})) AS s
+        FROM nz)
+),
+wm AS (
+  SELECT doc_id, nkg, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING)
+           AS winmin
+  FROM kg
+),
+sel AS (
+  SELECT DISTINCT doc_id, winmin
+  FROM wm WHERE pos = 0 OR pos <= nkg - {_WIN_W}
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints,
+         md5(string_agg(winmin, '' ORDER BY winmin)) AS fp_digest
+  FROM sel GROUP BY doc_id
+)
+SELECT nz.doc_id, CAST(nz.n AS BIGINT) AS n_tokens,
+       coalesce(agg.n_fingerprints, 0) AS n_fingerprints,
+       coalesce(agg.fp_digest, '{_EMPTY_MD5}') AS fp_digest
+FROM nz LEFT JOIN agg USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# mixture_sampling
+# --------------------------------------------------------------------------
+
+#: Target mixture weights (sources absent from the map weigh 1.0). The
+#: boosted sources clamp to rate 1.0 at a 0.5 budget — exercising both the
+#: acceptance-threshold path and the keep-all path.
+MIX_WEIGHTS: dict[str, float] = {
+    "src0": 3.0,
+    "src1": 3.0,
+    "src2": 3.0,
+    "src3": 3.0,
+}
+_MIX_DEFAULT_W = 1.0
+_MIX_N_SOURCES = 20  # src0..src19 in the generated corpus
+_MIX_WSUM = sum(
+    MIX_WEIGHTS.get(f"src{i}", _MIX_DEFAULT_W) for i in range(_MIX_N_SOURCES)
+)
+_MIX_BUDGET_FRAC = 0.5  # exactly representable: budget arithmetic is exact
+
+
+def mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass deterministic mixture sampler. Pass 1 is a 20-row
+    aggregate (per-source token totals + the global total) that computes
+    acceptance rates; pass 2 broadcasts the rates back and filters with
+    the md5-keyed rule, so the big side is scanned once, never shuffled.
+    All rate arithmetic is written identically to the SQL twin (same
+    operation order) — IEEE doubles make it bit-equal cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", token_count("text").cast("long").alias("n_tokens")
+    )
+    src = t.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    tot = t.agg(F.sum("n_tokens").alias("total_tokens"))
+
+    w = F.lit(_MIX_DEFAULT_W)
+    for s, wt in MIX_WEIGHTS.items():
+        w = F.when(F.col("source") == s, F.lit(wt)).otherwise(w)
+    budget = F.floor(F.col("total_tokens") * F.lit(_MIX_BUDGET_FRAC)).cast(
+        "double"
+    )
+    rate = F.least(
+        F.lit(1.0),
+        ((budget * w) / F.lit(_MIX_WSUM)) / F.col("src_tokens").cast("double"),
+    )
+    rates = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        rate.alias("rate"),
+        F.format_string(
+            "%04x", F.floor(rate * F.lit(65536.0)).cast("long")
+        ).alias("thr_hex"),
+    )
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    return (
+        t.join(F.broadcast(rates), "source")
+        .where((F.col("rate") >= 1.0) | (key < F.col("thr_hex")))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            key.alias("sample_key"),
+            F.round(F.col("rate"), 6).alias("rate"),
+        )
+    )
+
+
+def _mixture_oracle() -> str:
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {w!r}" for s, w in MIX_WEIGHTS.items()
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+src AS (SELECT source, sum(n_tokens) AS src_tokens FROM t GROUP BY source),
+tot AS (SELECT sum(n_tokens) AS total_tokens FROM t),
+rates AS (
+  SELECT source,
+    least(1.0,
+          ((CAST(floor(total_tokens * {_MIX_BUDGET_FRAC}) AS DOUBLE)
+            * (CASE {cases} ELSE {_MIX_DEFAULT_W!r} END))
+           / {_MIX_WSUM!r}) / CAST(src_tokens AS DOUBLE)) AS rate
+  FROM src CROSS JOIN tot
+),
+r2 AS (
+  SELECT source, rate,
+         printf('%04x', CAST(floor(rate * 65536.0) AS BIGINT)) AS thr_hex
+  FROM rates
+)
+SELECT t.doc_id, t.source, t.n_tokens,
+       substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 4) AS sample_key,
+       round(r2.rate, 6) AS rate
+FROM t JOIN r2 USING (source)
+WHERE r2.rate >= 1.0
+   OR substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 4) < r2.thr_hex
+"""
+
+
+# --------------------------------------------------------------------------
+# latest_state_compaction
+# --------------------------------------------------------------------------
+
+
+def latest_state_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins compaction in ONE aggregation: ``max(struct(ts_us,
+    event_id, ...))`` carries the newest event's payload through the same
+    shuffle that computes the lifetime aggregates (struct comparison is
+    lexicographic; ``event_id`` is unique, so later fields never decide).
+    This is the plan you want for CDC upsert folding at scale — no second
+    window pass over the log."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        # raw epoch-nanos int64 → integer µs (the engine's time currency)
+        F.expr("ts div 1000").alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    g = ev.groupBy("user_id").agg(
+        F.max(
+            F.struct("ts_us", "event_id", "event_type", "value_cents")
+        ).alias("last"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value_cents").alias("total_value_cents"),
+    )
+    return g.select(
+        "user_id",
+        F.col("last.ts_us").alias("last_ts_us"),
+        F.col("last.event_id").alias("last_event_id"),
+        F.col("last.event_type").alias("last_event_type"),
+        F.col("last.value_cents").alias("last_value_cents"),
+        "n_events",
+        "total_value_cents",
+    )
+
+
+_COMPACTION_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS value_cents
+  FROM events
+),
+r AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn
+  FROM e
+),
+a AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         sum(value_cents) AS total_value_cents
+  FROM e GROUP BY user_id
+)
+SELECT r.user_id, r.ts_us AS last_ts_us, r.event_id AS last_event_id,
+       r.event_type AS last_event_type, r.value_cents AS last_value_cents,
+       a.n_events, a.total_value_cents
+FROM r JOIN a USING (user_id) WHERE r.rn = 1
+"""
+
+
+QUERIES = [
+    QueryDef(
+        "pii_redaction",
+        pii_redaction,
+        _PII_ORACLE,
+        "regex PII detect+scrub (emails/phones/IPs), injected "
+        "deterministically so redaction is oracle-checked end-to-end",
+    ),
+    QueryDef(
+        "dup_ngram_spans",
+        dup_ngram_spans,
+        _DUP_NGRAM_ORACLE,
+        "Gopher-style duplicate n-gram coverage per document",
+    ),
+    QueryDef(
+        "winnowing_fingerprint",
+        winnowing_fingerprint,
+        _WINNOW_ORACLE,
+        "MOSS winnowing fingerprint selection (windowed shingle-hash min)",
+    ),
+    QueryDef(
+        "mixture_sampling",
+        mixture_sampling,
+        _mixture_oracle(),
+        "deterministic source-mixture sampling toward target weights",
+    ),
+    QueryDef(
+        "latest_state_compaction",
+        latest_state_compaction,
+        _COMPACTION_ORACLE,
+        "CDC latest-wins compaction via single-pass max(struct)",
+    ),
+]

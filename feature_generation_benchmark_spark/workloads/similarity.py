@@ -21,6 +21,7 @@ from feature_generation_benchmark_spark.operators.similarity import (
     ivf_topk,
     lsh_topk,
     random_hyperplanes,
+    semdedup_flags,
 )
 from feature_generation_benchmark_spark.sources.testdata import load_table
 from feature_generation_benchmark_spark.workloads import QueryDef
@@ -107,15 +108,10 @@ _LSH_ORACLE = _lsh_oracle()
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q, c = _queries_and_corpus(spark, sf_dir)
-    # coarse quantizer: a tiny deterministic sample as centroids (a real
-    # deployment trains k-means offline; the engine takes centroids as a
-    # broadcast-able literal model either way)
-    cents = [
-        [float(x) for x in r["embedding"]]
-        for r in c.filter(F.col("vec_id") % 97 == 0).orderBy("vec_id")
-        .limit(8).collect()
-    ]
-    return ivf_topk(q, c, "vec_id", "embedding", centroids=cents, k=_K, n_probe=2)
+    return ivf_topk(
+        q, c, "vec_id", "embedding", centroids=_ivf_centroids(c), k=_K,
+        n_probe=2,
+    )
 
 
 # The centroid "model" is itself a deterministic function of the table
@@ -165,9 +161,79 @@ FROM ranked WHERE rn <= {_K}
 """
 
 
+_SEM_T = 0.35
+
+
+def _ivf_centroids(corpus: DataFrame) -> list[list[float]]:
+    """Deterministic centroid model shared by ``ann_ivf_topk`` and
+    ``semdedup``: a tiny fixed sample of the table (a real deployment
+    trains k-means offline; either way the model is a broadcast literal
+    the SQL twin can rebuild)."""
+    return [
+        [float(x) for x in r["embedding"]]
+        for r in corpus.filter(F.col("vec_id") % 97 == 0)
+        .orderBy("vec_id")
+        .limit(8)
+        .collect()
+    ]
+
+
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup_flags(
+        emb, "vec_id", "embedding", centroids=_ivf_centroids(emb),
+        threshold=_SEM_T,
+    )
+
+
+# Same deterministic model replay as the IVF oracle (assignment argmax over
+# unit centroids is scale-invariant; ties break to the lower cell), then the
+# published SemDeDup keep-rule: drop iff a lower-id cluster-mate is above
+# the threshold.
+_SEMDEDUP_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cr AS (
+  SELECT vec_id, v FROM e WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 8
+),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS cv
+  FROM cr
+),
+assign AS (
+  SELECT e.vec_id, e.v, c.cell,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell
+         ) AS rk
+  FROM e CROSS JOIN cents c
+),
+a AS (SELECT vec_id, v, cell FROM assign WHERE rk = 1),
+pairs AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         list_cosine_similarity(x.v, y.v) AS cos
+  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+  WHERE list_cosine_similarity(x.v, y.v) >= {_SEM_T}
+),
+drops AS (
+  SELECT id_b, min(id_a) AS dup_of, max(cos) AS max_cos
+  FROM pairs GROUP BY id_b
+)
+SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell,
+       (drops.dup_of IS NULL) AS kept, drops.dup_of,
+       round(drops.max_cos, 6) AS max_cos
+FROM a LEFT JOIN drops ON drops.id_b = a.vec_id
+"""
+
+
 QUERIES = [
     QueryDef("ann_bruteforce_topk", ann_bruteforce_topk, _BRUTE_ORACLE,
              "exact cosine top-k (baseline)"),
+    QueryDef("semdedup", semdedup, _SEMDEDUP_ORACLE,
+             "SemDeDup semantic dedup: coarse-quantizer clusters + "
+             "intra-cluster cosine keep-rule (cell equi-join candidates)"),
     QueryDef("ann_lsh_topk", ann_lsh_topk, _LSH_ORACLE,
              "random-hyperplane LSH bucketed approximate top-k "
              "(plan-literal planes -> full cross-engine oracle)"),
