@@ -1,0 +1,127 @@
+"""K-means (Lloyd's) training as a pure DataFrame program — the iterative-
+algorithm pattern for embedding-space curation (cluster-balanced sampling,
+SemDeDup cluster models, IVF coarse quantizers are all downstream users).
+
+Each iteration is:
+  assignment  — broadcast the k centroids, argmin of squared L2 distance
+                via ``min(struct(score, cell))`` in ONE aggregation (no
+                window pass). The score drops the ``‖v‖²`` term — it is
+                constant per row, so ``argmin(‖c‖² − 2·v·c)`` picks the
+                same cell and saves a fold per row.
+  update      — per-cell elementwise mean: explode (cell, dim, value),
+                average, re-assemble with ``sort_array(collect_list)``.
+                Centroid coordinates are rounded each iteration — that
+                quantization makes the whole training trajectory
+                bit-reproducible across engines (a ~1e-15 summation-order
+                difference can never move a coordinate rounded to 1e-6),
+                which is what lets a SQL twin replay training exactly.
+
+Everything stays lazy: iterations chain into one logical plan; nothing is
+collected. Scale posture: assignment is a broadcast join (model is k×d
+literals — tiny); the update shuffles (cell, dim) pairs — ``d×`` the row
+count in shuffle *rows* but only ~8 bytes each. At very large d, swap the
+explode update for an Arrow-batched partial-sum UDF; the assignment side
+(the hot path) needs no change.
+
+Reference scope: the reference benchmark has no iterative operator; this is
+a north-star extension (SURVEY §7.2) exercising multi-round plan
+composition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from feature_generation_benchmark_spark.operators.similarity import (
+    as_double_array,
+    dot,
+)
+
+#: Decimal places for per-iteration centroid quantization (see module doc).
+CENTROID_DECIMALS = 6
+
+
+def _assign(corpus: DataFrame, cents: DataFrame) -> DataFrame:
+    """(id, v) × broadcast(cell, cv) → (id, v, cell) by nearest centroid.
+    Ties break toward the lower cell id via the struct's second field."""
+    # ‖c‖² is per-centroid work: fold it once on the k-row side, not per
+    # (row × centroid) pair
+    cents_cc = cents.select(
+        "cell", "cv", dot(F.col("cv"), F.col("cv")).alias("cc")
+    )
+    scored = corpus.crossJoin(F.broadcast(cents_cc)).select(
+        "__id",
+        "__v",
+        F.struct(
+            (F.col("cc") - 2 * dot(F.col("__v"), F.col("cv"))).alias("score"),
+            F.col("cell"),
+        ).alias("s"),
+    )
+    return (
+        scored.groupBy("__id")
+        .agg(F.min("s").alias("best"), F.first("__v").alias("__v"))
+        .select("__id", "__v", F.col("best.cell").alias("cell"))
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    """(id, v, cell) → (cell, cv): rounded elementwise mean per cell."""
+    dims = assigned.select(
+        "cell", F.posexplode("__v").alias("dim", "val")
+    )
+    means = dims.groupBy("cell", "dim").agg(
+        F.round(F.avg("val"), CENTROID_DECIMALS).alias("m")
+    )
+    return means.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))),
+            lambda s: s["m"],
+        ).alias("cv")
+    )
+
+
+def kmeans_train(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    init_centroids: list[list[float]],
+    n_iter: int = 3,
+) -> DataFrame:
+    """Run ``n_iter`` Lloyd's iterations from the given deterministic
+    initialization; return per-cluster stats of the FINAL assignment:
+    ``(cell, n_vecs, inertia, c0)`` where ``inertia`` is the summed squared
+    L2 distance to the final centroid (rounded — double sums drift at
+    ~1e-12 across aggregation orders) and ``c0`` spot-checks the centroid's
+    first coordinate (exact: quantized at update time).
+
+    Empty clusters drop out of the update (no rows → no centroid), matching
+    the SQL twin's GROUP BY semantics."""
+    spark = df.sparkSession
+    corpus = df.select(
+        F.col(id_col).alias("__id"), as_double_array(vec_col).alias("__v")
+    )
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(init_centroids)],
+        "cell int, cv array<double>",
+    )
+    assigned = None
+    for _ in range(n_iter):
+        assigned = _assign(corpus, cents)
+        cents = _update(assigned)
+    final = _assign(corpus, cents)
+    d2 = (
+        dot(F.col("__v"), F.col("__v"))
+        - 2 * dot(F.col("__v"), F.col("cv"))
+        + dot(F.col("cv"), F.col("cv"))
+    )
+    return (
+        final.join(F.broadcast(cents), "cell")
+        .select("cell", d2.alias("d2"), F.col("cv")[0].alias("c0"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.sum("d2"), 4).alias("inertia"),
+            F.first("c0").alias("c0"),
+        )
+    )

@@ -228,9 +228,80 @@ FROM a LEFT JOIN drops ON drops.id_b = a.vec_id
 """
 
 
+_KM_ITERS = 3
+_KM_DIM = 64  # embeddings table dimension (TESTDATA.md)
+
+
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_generation_benchmark_spark.operators.kmeans import (
+        kmeans_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_train(
+        emb, "vec_id", "embedding", init_centroids=_ivf_centroids(emb),
+        n_iter=_KM_ITERS,
+    )
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled Lloyd's twin: one (assign, update) CTE pair per iteration.
+    Per-iteration centroid rounding (CENTROID_DECIMALS) keeps the whole
+    trajectory bit-equal cross-engine — see ``operators/kmeans.py``."""
+    sql = f"""
+WITH e AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 8
+)"""
+    for i in range(_KM_ITERS):
+        sql += f""",
+a{i + 1} AS (
+  SELECT id, v, cell FROM (
+    SELECT e.id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.id ORDER BY
+             (list_dot_product(c.cv, c.cv)
+              - 2 * list_dot_product(e.v, c.cv)) ASC, c.cell ASC) AS rk
+    FROM e CROSS JOIN c{i} c) WHERE rk = 1
+),
+c{i + 1} AS (
+  SELECT cell, list(m ORDER BY dim) AS cv FROM (
+    SELECT cell, dim, round(avg(v[dim]), 6) AS m
+    FROM a{i + 1} CROSS JOIN
+         (SELECT unnest(generate_series(1, {_KM_DIM})) AS dim) d
+    GROUP BY cell, dim)
+  GROUP BY cell
+)"""
+    n = _KM_ITERS
+    sql += f""",
+fin AS (
+  SELECT id, v, cell FROM (
+    SELECT e.id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.id ORDER BY
+             (list_dot_product(c.cv, c.cv)
+              - 2 * list_dot_product(e.v, c.cv)) ASC, c.cell ASC) AS rk
+    FROM e CROSS JOIN c{n} c) WHERE rk = 1
+)
+SELECT f.cell, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(sum(list_dot_product(f.v, f.v)
+                 - 2 * list_dot_product(f.v, c.cv)
+                 + list_dot_product(c.cv, c.cv)), 4) AS inertia,
+       first(c.cv[1]) AS c0
+FROM fin f JOIN c{n} c USING (cell)
+GROUP BY f.cell
+"""
+    return sql
+
+
 QUERIES = [
     QueryDef("ann_bruteforce_topk", ann_bruteforce_topk, _BRUTE_ORACLE,
              "exact cosine top-k (baseline)"),
+    QueryDef("kmeans_embeddings", kmeans_embeddings, _kmeans_oracle(),
+             "Lloyd's k-means training as chained DataFrame iterations "
+             "(per-iteration centroid quantization -> exact SQL replay)"),
     QueryDef("semdedup", semdedup, _SEMDEDUP_ORACLE,
              "SemDeDup semantic dedup: coarse-quantizer clusters + "
              "intra-cluster cosine keep-rule (cell equi-join candidates)"),

@@ -1,0 +1,40 @@
+"""Lloyd's-iteration invariants for ``operators/kmeans.py`` beyond the
+DuckDB oracle: monotone inertia, assignment totality, determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from feature_generation_benchmark_spark.operators.kmeans import kmeans_train
+from feature_generation_benchmark_spark.sources.testdata import load_table
+from feature_generation_benchmark_spark.workloads.similarity import (
+    _ivf_centroids,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _total_inertia(spark, n_iter: int) -> tuple[float, int]:
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    out = kmeans_train(
+        emb, "vec_id", "embedding",
+        init_centroids=_ivf_centroids(emb), n_iter=n_iter,
+    ).agg(
+        F.sum("inertia").alias("i"), F.sum("n_vecs").alias("n")
+    ).collect()[0]
+    return float(out["i"]), int(out["n"])
+
+
+def test_kmeans_inertia_decreases_and_assignment_is_total(spark):
+    i0, n0 = _total_inertia(spark, 0)  # stats of the raw init assignment
+    i3, n3 = _total_inertia(spark, 3)
+    assert n0 == n3 == 500  # every vector assigned exactly once
+    # Lloyd's monotonicity (1e-6 centroid quantization can cost at most a
+    # sliver; give it epsilon headroom)
+    assert i3 <= i0 + 1e-3
+    assert i3 < i0 * 0.9  # and it genuinely converged, not a no-op
+
+
+def test_kmeans_deterministic(spark):
+    a, _ = _total_inertia(spark, 2)
+    b, _ = _total_inertia(spark, 2)
+    assert a == b

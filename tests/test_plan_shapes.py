@@ -186,3 +186,64 @@ def test_doc_chunking_is_shuffle_free(spark):
 
     plan = _physical(doc_chunking(spark, "/root/testdata/sf0.001"))
     assert "Exchange" not in plan, plan
+
+
+def test_pii_redaction_is_shuffle_free(spark):
+    """PII scrub is pure column work — an Exchange would mean a planner
+    regression in what must stay an embarrassingly-parallel map."""
+    from feature_generation_benchmark_spark.workloads.curation import (
+        pii_redaction,
+    )
+
+    plan = _physical(pii_redaction(spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in plan, plan
+
+
+def test_latest_state_compaction_is_single_shuffle(spark):
+    """CDC compaction must fold the latest event AND lifetime aggregates in
+    one hash aggregation — a second Exchange means the max(struct) plan
+    degraded into a window + join."""
+    from feature_generation_benchmark_spark.workloads.curation import (
+        latest_state_compaction,
+    )
+
+    plan = _physical(latest_state_compaction(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_mixture_sampling_broadcasts_rates(spark):
+    """The corpus side must be scanned once and filtered via a BROADCAST of
+    the 20-row rates — a SortMergeJoin here would shuffle the full corpus
+    at 100 TB for a dim-sized model."""
+    from feature_generation_benchmark_spark.workloads.curation import (
+        mixture_sampling,
+    )
+
+    plan = _physical(mixture_sampling(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_semdedup_candidates_are_equi_join(spark):
+    """SemDeDup's intra-cluster comparison must plan as a cell-id equality
+    join — a CartesianProduct/BroadcastNestedLoopJoin would be the
+    all-pairs blowup the clustering exists to avoid."""
+    from feature_generation_benchmark_spark.workloads.similarity import (
+        semdedup,
+    )
+
+    plan = _physical(semdedup(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_dup_ngram_spans_no_cartesian(spark):
+    """Duplicate-ngram coverage joins instances to the duplicated-shingle
+    set by ngram equality; any nested-loop join is a regression."""
+    from feature_generation_benchmark_spark.workloads.curation import (
+        dup_ngram_spans,
+    )
+
+    plan = _physical(dup_ngram_spans(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
