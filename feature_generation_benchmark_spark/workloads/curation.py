@@ -536,3 +536,186 @@ QUERIES = [
         "CDC latest-wins compaction via single-pass max(struct)",
     ),
 ]
+
+
+# --------------------------------------------------------------------------
+# curation_pipeline — the composed end-to-end corpus curation flow
+# --------------------------------------------------------------------------
+
+#: Post-dedup per-predicted-language sampling rates (16ths — exact 4-hex
+#: thresholds on the md5 key space, as in ``workloads/sampling.py``).
+PIPE_RATES: dict[str, float] = {
+    "en": 0.5,
+    "de": 0.75,
+    "es": 0.75,
+    "fr": 0.75,
+    "und": 0.25,
+}
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation flow composed into ONE Spark plan: quality gate →
+    language ID → exact dedup (canonical = min doc_id per fingerprint) →
+    deterministic per-language sampling → per-(lang, source) corpus stats.
+
+    Plan shape (asserted in ``tests/test_plan_shapes.py``): a single scan
+    of ``documents`` — every per-document signal (tokens, quality ratios,
+    language scores, fingerprint, sample key) is computed in one projection
+    — then exactly two shuffles: the dedup window on ``fp`` and the final
+    group-by. The quality filter runs BEFORE the dedup shuffle, so rejected
+    documents never shuffle. At 100 TB that ordering is most of the cost
+    model; every stage reuses an operator already oracle-checked on its own
+    (``text_quality``, ``lang_id``, ``dedup_exact``, ``sample_stratified``).
+    """
+    from feature_generation_benchmark_spark.functions.textfns import (
+        fingerprint_md5,
+        lang_predict,
+    )
+    from feature_generation_benchmark_spark.workloads.text import (
+        _ALL_STOPWORDS,
+        QUALITY_BOUNDS,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", "text", tokens(F.col("text")).alias("toks")
+    )
+    vocab = F.array(*[F.lit(w) for w in _ALL_STOPWORDS])
+    n_tokens = F.size("toks").cast("long")
+    n_chars = F.length("text").cast("long")
+    token_len_sum = F.aggregate(
+        F.transform("toks", lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    stop_hits = F.size(F.filter("toks", lambda x: F.array_contains(vocab, x)))
+    n_distinct = F.size(F.array_distinct("toks"))
+    n_digits = F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]"), F.lit(0)))
+    b = QUALITY_BOUNDS
+    sig = t.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        (token_len_sum / n_tokens).alias("avg_token_len"),
+        (stop_hits / n_tokens).alias("stopword_ratio"),
+        (F.lit(1.0) - n_distinct / n_tokens).alias("dup_token_ratio"),
+        (n_digits / n_chars).alias("digit_char_ratio"),
+        lang_predict(F.col("toks")).alias("lang_pred"),
+        fingerprint_md5("text").alias("fp"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4).alias("skey"),
+    )
+    gated = sig.filter(
+        F.col("n_tokens").between(b["min_tokens"], b["max_tokens"])
+        & F.col("avg_token_len").between(
+            b["min_avg_token_len"], b["max_avg_token_len"]
+        )
+        & (F.col("stopword_ratio") >= b["min_stopword_ratio"])
+        & (F.col("dup_token_ratio") <= b["max_dup_token_ratio"])
+        & (F.col("digit_char_ratio") <= b["max_digit_char_ratio"])
+    )
+    w = Window.partitionBy("fp")
+    deduped = gated.withColumn("mn", F.min("doc_id").over(w)).filter(
+        F.col("doc_id") == F.col("mn")
+    )
+    from feature_generation_benchmark_spark.workloads.sampling import (
+        _hex_threshold,
+    )
+
+    thr = F.lit(None).cast("string")
+    for lang, rate in PIPE_RATES.items():
+        thr = F.when(
+            F.col("lang_pred") == lang, F.lit(_hex_threshold(rate))
+        ).otherwise(thr)
+    sampled = deduped.filter(F.col("skey") < thr)
+    return sampled.groupBy("lang_pred", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens_total"),
+    )
+
+
+def _pipeline_oracle() -> str:
+    from feature_generation_benchmark_spark.functions.textfns import (
+        LANG_STOPWORDS,
+    )
+    from feature_generation_benchmark_spark.workloads.sampling import (
+        _hex_threshold,
+    )
+    from feature_generation_benchmark_spark.workloads.text import (
+        _ALL_STOPWORDS,
+        QUALITY_BOUNDS,
+    )
+
+    b = QUALITY_BOUNDS
+    vocab = ", ".join(f"'{w}'" for w in _ALL_STOPWORDS)
+    score_items = []
+    for lang, words in LANG_STOPWORDS.items():
+        arr = ", ".join(f"'{w}'" for w in words)
+        score_items.append(
+            f"CAST(len(list_filter(toks, x -> list_contains([{arr}], x))) "
+            f"AS BIGINT) AS score_{lang}"
+        )
+    langs = list(LANG_STOPWORDS)
+    g = "greatest(" + ", ".join(f"score_{x}" for x in langs) + ")"
+    case = f"CASE WHEN {g} = 0 THEN 'und' "
+    for lang in langs[:-1]:
+        case += f"WHEN score_{lang} = {g} THEN '{lang}' "
+    case += f"ELSE '{langs[-1]}' END"
+    rate_case = " ".join(
+        f"WHEN '{lang}' THEN '{_hex_threshold(rate)}'"
+        for lang, rate in PIPE_RATES.items()
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, text,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, source, text,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+      / len(toks) AS avg_token_len,
+    CAST(len(list_filter(toks, x -> list_contains([{vocab}], x)))
+      AS DOUBLE) / len(toks) AS stopword_ratio,
+    1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+      AS dup_token_ratio,
+    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text)
+      AS digit_char_ratio,
+    {", ".join(score_items)}
+  FROM t
+),
+gated AS (
+  SELECT doc_id, source, n_tokens, {case} AS lang_pred,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS skey
+  FROM sig
+  WHERE (n_tokens BETWEEN {b["min_tokens"]} AND {b["max_tokens"]})
+    AND (avg_token_len BETWEEN {b["min_avg_token_len"]}
+         AND {b["max_avg_token_len"]})
+    AND stopword_ratio >= {b["min_stopword_ratio"]}
+    AND dup_token_ratio <= {b["max_dup_token_ratio"]}
+    AND digit_char_ratio <= {b["max_digit_char_ratio"]}
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY fp) AS mn FROM gated)
+  WHERE doc_id = mn
+),
+sampled AS (
+  SELECT * FROM deduped
+  WHERE skey < CASE lang_pred {rate_case} END
+)
+SELECT lang_pred, source, CAST(count(*) AS BIGINT) AS n_docs,
+       sum(n_tokens) AS n_tokens_total
+FROM sampled GROUP BY lang_pred, source
+"""
+
+
+QUERIES.append(
+    QueryDef(
+        "curation_pipeline",
+        curation_pipeline,
+        _pipeline_oracle(),
+        "end-to-end curation: quality gate -> lang ID -> exact dedup -> "
+        "deterministic sampling -> corpus stats, one scan + two shuffles",
+    )
+)

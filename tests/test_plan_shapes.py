@@ -247,3 +247,16 @@ def test_dup_ngram_spans_no_cartesian(spark):
     plan = _physical(dup_ngram_spans(spark, "/root/testdata/sf0.001"))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_curation_pipeline_one_scan_two_shuffles(spark):
+    """The composed pipeline's cost model: ONE scan of documents (all
+    per-doc signals in a single projection) and exactly two Exchanges —
+    the dedup window on fp and the final stats group-by."""
+    from feature_generation_benchmark_spark.workloads.curation import (
+        curation_pipeline,
+    )
+
+    plan = _physical(curation_pipeline(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
