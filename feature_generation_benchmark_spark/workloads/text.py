@@ -253,3 +253,121 @@ QUERIES = [
     QueryDef("text_quality", text_quality, _quality_oracle(),
              "Gopher-style quality signals + composite pass/fail gate"),
 ]
+
+
+# --------------------------------------------------------------------------
+# tokenizer-training corpus statistics (r3)
+# --------------------------------------------------------------------------
+
+_VOCAB_K = 25  # top tokens per language
+_PAIR_K = 50  # top adjacent BPE-unit pairs corpus-wide
+
+
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary head: top ``_VOCAB_K`` tokens by frequency
+    (ties broken by token text) — the corpus artifact tokenizer training
+    starts from. Explode → count → per-language top-k window; at 100 TB
+    the count is the only full shuffle and combines map-side (token
+    cardinality ≪ corpus size)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(tokens("text")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _VOCAB_K)
+        .select("lang", "rank", "token", "n")
+    )
+
+
+_VOCAB_ORACLE = f"""
+WITH toks AS (
+  SELECT lang, unnest({_TOKS_SQL}) AS token FROM documents
+),
+c AS (
+  SELECT lang, token, CAST(count(*) AS BIGINT) AS n
+  FROM toks GROUP BY lang, token
+)
+SELECT lang, rank, token, n FROM (
+  SELECT lang, token, n,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n DESC, token) AS rank
+  FROM c)
+WHERE rank <= {_VOCAB_K}
+"""
+
+
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent BPE-unit pair frequencies — the statistic the first BPE
+    merge iteration maximizes. Units follow ``BPE_TOKEN_RE`` (letter runs /
+    digit runs / single punctuation). Pair explosion is a shuffle-free
+    per-row flatMap; the pair count combines map-side; the global top-k is
+    a sort of the (tiny) distinct-pair aggregate."""
+    from feature_generation_benchmark_spark.functions.textfns import (
+        BPE_TOKEN_RE,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    units = docs.select(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(BPE_TOKEN_RE), F.lit(0)
+        ).alias("u")
+    ).filter(F.size("u") >= 2)
+    pairs = units.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("u") - 2),
+                lambda i: F.struct(
+                    F.element_at(F.col("u"), i + 1).alias("a"),
+                    F.element_at(F.col("u"), i + 2).alias("b"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "a", "b")
+        .limit(_PAIR_K)
+    )
+
+
+_BPE_UNITS_SQL = (
+    "regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')"
+)
+
+_PAIR_ORACLE = f"""
+WITH u AS (
+  SELECT {_BPE_UNITS_SQL} AS u FROM documents
+  WHERE len({_BPE_UNITS_SQL}) >= 2
+),
+p AS (
+  SELECT u[s] AS a, u[s + 1] AS b
+  FROM (SELECT u, unnest(generate_series(1, len(u) - 1)) AS s FROM u)
+)
+SELECT a, b, CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY a, b
+ORDER BY n DESC, a, b LIMIT {_PAIR_K}
+"""
+
+QUERIES.append(
+    QueryDef(
+        "vocab_topk",
+        vocab_topk,
+        _VOCAB_ORACLE,
+        "per-language top-k vocabulary (tokenizer-training head)",
+    )
+)
+QUERIES.append(
+    QueryDef(
+        "bpe_pair_stats",
+        bpe_pair_stats,
+        _PAIR_ORACLE,
+        "adjacent BPE-unit pair frequencies (first BPE merge statistic)",
+    )
+)
