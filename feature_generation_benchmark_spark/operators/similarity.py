@@ -350,11 +350,16 @@ def semdedup_flags(
     threshold. Returns one row per input: ``(id, cell, kept, dup_of,
     max_cos)`` — ``dup_of`` is the smallest-id duplicate witness.
 
-    Scale posture: pairwise comparison happens only WITHIN a cluster
-    (candidate generation is a cell-id equi-join, never all-pairs), which
-    is exactly the published algorithm's trick; the centroid model is a
-    tiny broadcast literal. Ties in the assignment argmax break toward the
-    lower cell id, matching the SQL oracle twin."""
+    Scale posture: pairwise comparison happens only WITHIN a cluster —
+    each cell ships once (Arrow) to a worker that computes the cluster's
+    similarity matrix with one vectorized matmul AND reduces it to
+    per-victim (dup_of, max_cos) rows in place, so nothing pair-shaped is
+    ever shuffled. That is the published algorithm's cost model; the
+    centroid model is a tiny broadcast literal. Ties in the assignment
+    argmax break toward the lower cell id, matching the SQL oracle twin.
+    For pathologically large single cells, sub-shard with the block
+    pattern of :func:`cosine_dup_pairs_blocked`."""
+    from pyspark.sql import types as T
     from pyspark.sql.functions import pandas_udf
 
     C = np.asarray(centroids, dtype=np.float64)
@@ -372,28 +377,33 @@ def semdedup_flags(
         unit_normalize(as_double_array(vec_col)).alias("__v"),
     ).withColumn("cell", nearest_cell(F.col("__v")))
 
-    x = assigned.select(
-        F.col("__id").alias("id_a"),
-        F.col("__v").alias("va"),
-        F.col("cell").alias("cell_a"),
+    drops_schema = T.StructType(
+        [
+            T.StructField("id_b", T.LongType()),
+            T.StructField("dup_of", T.LongType()),
+            T.StructField("max_cos", T.DoubleType()),
+        ]
     )
-    y = assigned.select(
-        F.col("__id").alias("id_b"),
-        F.col("__v").alias("vb"),
-        F.col("cell").alias("cell_b"),
-    )
-    pairs = (
-        x.join(
-            y,
-            (F.col("cell_a") == F.col("cell_b"))
-            & (F.col("id_a") < F.col("id_b")),
+
+    def cell_drops(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"id_b": [], "dup_of": [], "max_cos": []}
+            ).astype({"id_b": "int64", "dup_of": "int64", "max_cos": "float64"})
+        order = np.argsort(pdf["__id"].to_numpy())
+        ids = pdf["__id"].to_numpy()[order]
+        V = np.stack(pdf["__v"].to_numpy())[order]
+        S = V @ V.T
+        hit = np.triu(S >= threshold, k=1)  # row i < col j in id order
+        victims = np.where(hit.any(axis=0))[0]
+        # first True down each victim column = the smallest-id witness
+        dup_of = ids[hit[:, victims].argmax(axis=0)]
+        max_cos = np.where(hit, S, -np.inf)[:, victims].max(axis=0)
+        return pd.DataFrame(
+            {"id_b": ids[victims], "dup_of": dup_of, "max_cos": max_cos}
         )
-        .select("id_a", "id_b", dot(F.col("va"), F.col("vb")).alias("cos"))
-        .filter(F.col("cos") >= F.lit(threshold))
-    )
-    drops = pairs.groupBy("id_b").agg(
-        F.min("id_a").alias("dup_of"), F.max("cos").alias("max_cos")
-    )
+
+    drops = assigned.groupBy("cell").applyInPandas(cell_drops, drops_schema)
     out = assigned.select("__id", "cell").join(
         drops, assigned["__id"] == drops["id_b"], "left"
     )
