@@ -134,3 +134,35 @@ def write_bucketed_table(
     if sorted_by:
         writer = writer.sortBy(*sorted_by)
     writer.saveAsTable(name)
+
+
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    mode: str = "overwrite",
+    n_files: int | None = None,
+    compression: str | None = None,
+) -> None:
+    """Range-partitioned, sorted-within-file parquet layout for min/max
+    data skipping.
+
+    ``repartitionByRange`` gives each output file a narrow, (nearly)
+    disjoint slice of the sort key; ``sortWithinPartitions`` clusters rows
+    so every parquet ROW GROUP's min/max statistics span a narrow range
+    too. A later scan with a ``sort_col`` predicate then prunes at two
+    levels — whole files and row groups — instead of reading everything
+    and filtering. For a 100 TB time-series table sorted on event time,
+    a one-day query touches ~1/365 of the bytes; on an unsorted layout
+    every row group straddles the full time range and nothing skips.
+    Verified against parquet footer statistics in ``tests/test_io.py``.
+    """
+    ranged = (
+        df.repartitionByRange(n_files, *sort_cols)
+        if n_files is not None
+        else df.repartitionByRange(*sort_cols)
+    )
+    writer = ranged.sortWithinPartitions(*sort_cols).write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.parquet(path)

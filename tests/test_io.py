@@ -111,3 +111,54 @@ def test_format_rejected(spark):
 
     with pytest.raises(ValueError):
         read_table(spark, "/tmp/x", fmt="avro")
+
+
+def test_sorted_write_produces_skippable_stats(spark, tmp_path):
+    """The sorted layout's claim, checked against parquet FOOTERS: with
+    range partitioning + in-file sort, each row group's [min, max] ts span
+    is a narrow slice; a point/range predicate then skips most row groups.
+    The unsorted layout's row groups each straddle ~the full range."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from feature_generation_benchmark_spark.sources.io import (
+        write_parquet,
+        write_sorted_parquet,
+    )
+
+    n = 200_000
+    df = (
+        spark.range(n)
+        .select(
+            (F.xxhash64("id") % n).alias("ts"),  # scrambled arrival order
+            F.col("id").alias("payload"),
+        )
+    )
+    sorted_dir = str(tmp_path / "sorted")
+    plain_dir = str(tmp_path / "plain")
+    write_sorted_parquet(df, sorted_dir, ["ts"], n_files=32)
+    write_parquet(df.repartition(4), plain_dir)
+
+    def spans(d):
+        total = 0
+        spans = []
+        for f in glob.glob(f"{d}/*.parquet"):
+            meta = pq.ParquetFile(f).metadata
+            for rg in range(meta.num_row_groups):
+                col = meta.row_group(rg).column(0)
+                assert col.path_in_schema == "ts"
+                lo, hi = col.statistics.min, col.statistics.max
+                spans.append(hi - lo)
+                total += 1
+        return total, spans
+
+    n_sorted, sorted_spans = spans(sorted_dir)
+    n_plain, plain_spans = spans(plain_dir)
+    full = max(max(sorted_spans), max(plain_spans))
+    # unsorted row groups straddle ~everything; sorted ones are narrow
+    assert min(plain_spans) > full * 0.5
+    assert max(sorted_spans) < full * 0.5
+    # a range predicate covering 1% of the key space overlaps only a
+    # fraction of sorted row groups but every plain one
+    assert sum(s < full * 0.05 for s in sorted_spans) >= n_sorted // 2
