@@ -779,3 +779,112 @@ QUERIES = [
     QueryDef("incident_window_stats", incident_window_stats, _INCIDENT_ORACLE,
              "point-in-interval join (no equi-key) via time-bucket rewrite"),
 ]
+
+
+# --------------------------------------------------------------------------
+# q4-shaped — EXISTS semi-join with a cross-table date predicate (r3)
+# --------------------------------------------------------------------------
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders from 1996 having at least one line shipped > 90 days after
+    the order date, counted by priority — the TPC-H q4 shape (EXISTS
+    correlated on the fact table) adapted to this schema's columns. Plans
+    as a LEFT SEMI join keyed on ``o_orderkey`` with the date comparison
+    as a join residual: one shuffle pair, no row multiplication, which is
+    exactly what you want the EXISTS to become at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts_ntz("1996-01-01"))
+        & (F.col("o_orderdate") < _ts_ntz("1997-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+        "leftsemi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# q10-shaped — returned-item revenue top-k (multi-join + deterministic sort)
+# --------------------------------------------------------------------------
+
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 20 customers by revenue on returned lines (l_returnflag = 'R'):
+    fact-fact join shuffles once on orderkey; customer and nation ride in
+    as broadcasts. Ties break on c_custkey for a deterministic limit."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            (_cents("l_extendedprice") * (F.lit(100) - _pct("l_discount")))
+            .alias("rev_e4"),
+        )
+    )
+    agg = joined.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.sum("rev_e4").alias("revenue_e4"),
+        F.count(F.lit(1)).alias("n_returned_lines"),
+    )
+    return agg.orderBy(
+        F.col("revenue_e4").desc(), F.col("c_custkey")
+    ).limit(20)
+
+
+_Q10_ORACLE = """
+SELECT c_custkey, c_name, n_name,
+  sum(round(l_extendedprice*100)*(100-round(l_discount*100))) AS revenue_e4,
+  CAST(count(*) AS BIGINT) AS n_returned_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue_e4 DESC, c_custkey
+LIMIT 20
+"""
+
+QUERIES.append(
+    QueryDef(
+        "q4_order_priority",
+        q4_order_priority,
+        _Q4_ORACLE,
+        "EXISTS semi-join with cross-table date residual (TPC-H q4 shape)",
+    )
+)
+QUERIES.append(
+    QueryDef(
+        "q10_returned_revenue",
+        q10_returned_revenue,
+        _Q10_ORACLE,
+        "returned-item revenue top-k over a 4-table join (TPC-H q10 shape)",
+    )
+)

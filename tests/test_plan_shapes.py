@@ -260,3 +260,23 @@ def test_curation_pipeline_one_scan_two_shuffles(spark):
     plan = _physical(curation_pipeline(spark, "/root/testdata/sf0.001"))
     assert plan.count("Scan parquet") == 1, plan
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_q4_exists_plans_as_semi_join(spark):
+    """The EXISTS must stay a LEFT SEMI join (no row multiplication, no
+    distinct-after-inner-join rewrite)."""
+    from feature_generation_benchmark_spark.workloads.relational import (
+        q4_order_priority,
+    )
+
+    plan = _physical(q4_order_priority(spark, "/root/testdata/sf0.001"))
+    assert "LeftSemi" in plan, plan
+
+
+def test_q10_broadcasts_dims(spark):
+    from feature_generation_benchmark_spark.workloads.relational import (
+        q10_returned_revenue,
+    )
+
+    plan = _physical(q10_returned_revenue(spark, "/root/testdata/sf0.001"))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
