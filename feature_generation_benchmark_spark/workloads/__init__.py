@@ -36,12 +36,14 @@ def registry() -> dict[str, QueryDef]:
         sampling,
         similarity,
         text,
+        tpch_extra,
     )
 
     out: dict[str, QueryDef] = {}
     for mod in (
         events_features,
         relational,
+        tpch_extra,
         dedup,
         similarity,
         text,

@@ -1,0 +1,553 @@
+"""Join/subquery-breadth relational queries (TPC-H shapes q7..q22).
+
+Round-2 extension widening the engine's verified join surface beyond the
+reference's 1-row-per-key equi-joins (SURVEY §2.4): nation-pair fact-fact
+joins, outer-join histograms, conditional ratios, distinct-count over
+joins, grouped-HAVING semi-joins, disjunctive predicate pushdown,
+multi-EXISTS decorrelation, and scalar-subquery anti-joins — each against
+the driver's TPC-H-ish testdata schema (adapted where this schema lacks
+TPC-H columns such as partsupp / commit dates) and each with a DuckDB
+oracle twin.
+
+Same numeric discipline as ``workloads/relational.py``: money flows as
+integer-valued doubles (cents / cents×pct ``_e4``), so sums are exact in
+any aggregation order and ratios are single IEEE divisions of identical
+integers on both engines — bit-equal without rounding hacks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feature_generation_benchmark_spark.sources.testdata import load_table
+from feature_generation_benchmark_spark.workloads import QueryDef
+from feature_generation_benchmark_spark.workloads.relational import (
+    _cents,
+    _pct,
+    _ts_ntz,
+)
+
+
+def _rev_e4() -> "F.Column":
+    """price_cents × (100 − disc_pct): exact integer-valued double."""
+    return _cents("l_extendedprice") * (F.lit(100) - _pct("l_discount"))
+
+
+# --------------------------------------------------------------------------
+# q7-shaped — nation-pair shipping volume (fact-fact join + two dim lanes)
+# --------------------------------------------------------------------------
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue shipped between (supplier nation → customer nation) pairs
+    per year, ship years 1996–1997. The only shuffle is the
+    lineitem↔orders join on orderkey; supplier, customer, and both nation
+    copies ride in as broadcasts, so the plan stays one-shuffle at any
+    corpus size (TPC-H q7 shape; no partsupp in this schema)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts_ntz("1996-01-01"))
+        & (F.col("l_shipdate") < _ts_ntz("1998-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == n1.s_nk)
+        .join(F.broadcast(n2), cust.c_nationkey == n2.c_nk)
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            _rev_e4().alias("rev_e4"),
+        )
+    )
+    return joined.groupBy("supp_nation", "cust_nation", "l_year").agg(
+        F.sum("rev_e4").alias("revenue_e4"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_Q7_ORACLE = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(year(l_shipdate) AS INT) AS l_year,
+  sum(round(l_extendedprice*100) * (100 - round(l_discount*100)))
+    AS revenue_e4,
+  CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+# --------------------------------------------------------------------------
+# q9-shaped — product-line profit by supplier nation and year
+# --------------------------------------------------------------------------
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit (revenue − retail-cost proxy; this schema has no
+    ps_supplycost) for parts named like '%red%', grouped by supplier
+    nation × ship year. The part filter broadcasts and prunes the fact
+    scan's join early; all dims broadcast, zero fact-fact shuffles."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("red")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    profit = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("l_year"),
+            (
+                _rev_e4()
+                - F.col("l_quantity") * _cents("p_retailprice") * F.lit(100)
+            ).alias("profit_e4"),
+        )
+    )
+    return profit.groupBy("nation", "l_year").agg(
+        F.sum("profit_e4").alias("profit_e4"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_Q9_ORACLE = """
+SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS l_year,
+  sum(round(l_extendedprice*100) * (100 - round(l_discount*100))
+      - l_quantity * round(p_retailprice*100) * 100) AS profit_e4,
+  CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q13-shaped — customer order-count histogram (outer join + two-level agg)
+# --------------------------------------------------------------------------
+
+def q13_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of customers by how many non-'4-NOT SPECIFIED' orders
+    they placed, INCLUDING zero-order customers — the left outer join is
+    the point (an inner join silently drops the c_count=0 bucket). Level 1
+    shuffles on custkey; level 2 is a tiny agg on the ~dozens of distinct
+    counts."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        # count(col) counts non-null only → 0 for order-less customers
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+_Q13_ORACLE = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                  AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+# --------------------------------------------------------------------------
+# q14-shaped — promo revenue ratio (conditional aggregation over a join)
+# --------------------------------------------------------------------------
+
+def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of September-1997 revenue from PROMO-type parts. Both sums
+    are exact integers; the ratio is ONE IEEE division of identical
+    operands on both engines — bit-equal with no rounding step."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts_ntz("1997-09-01"))
+        & (F.col("l_shipdate") < _ts_ntz("1997-10-01"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        (F.col("p_type") == "PROMO").alias("is_promo"),
+        _rev_e4().alias("rev_e4"),
+    )
+    agg = j.agg(
+        F.sum(F.when(F.col("is_promo"), F.col("rev_e4")).otherwise(F.lit(0.0)))
+        .alias("promo_rev_e4"),
+        F.sum("rev_e4").alias("total_rev_e4"),
+    )
+    return agg.select(
+        "promo_rev_e4",
+        "total_rev_e4",
+        (F.col("promo_rev_e4") / F.col("total_rev_e4")).alias("promo_share"),
+    )
+
+
+_Q14_ORACLE = """
+WITH a AS (
+  SELECT
+    sum(CASE WHEN p_type = 'PROMO'
+        THEN round(l_extendedprice*100) * (100 - round(l_discount*100))
+        ELSE 0 END) AS promo_rev_e4,
+    sum(round(l_extendedprice*100) * (100 - round(l_discount*100)))
+      AS total_rev_e4
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+    AND l_shipdate <  TIMESTAMP '1997-10-01'
+)
+SELECT promo_rev_e4, total_rev_e4,
+       promo_rev_e4 / total_rev_e4 AS promo_share
+FROM a
+"""
+
+
+# --------------------------------------------------------------------------
+# q15-shaped — top-revenue supplier(s) via scalar-subquery max
+# --------------------------------------------------------------------------
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers whose 1997-H1 revenue equals the global maximum. The
+    scalar subquery becomes a 1-row broadcast joined against the per-
+    supplier aggregate — the decorrelation Spark should pick at any scale
+    (a global window max would funnel everything into one partition)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts_ntz("1997-01-01"))
+        & (F.col("l_shipdate") < _ts_ntz("1997-07-01"))
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(_rev_e4()).alias("total_rev_e4"))
+    mx = rev.agg(F.max("total_rev_e4").alias("max_rev_e4"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev_e4 == mx.max_rev_e4)
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev_e4")
+    )
+
+
+_Q15_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey,
+    sum(round(l_extendedprice*100) * (100 - round(l_discount*100)))
+      AS total_rev_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-07-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_rev_e4
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)
+"""
+
+
+# --------------------------------------------------------------------------
+# q16-shaped — supplier variety per part profile (distinct agg over join)
+# --------------------------------------------------------------------------
+
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct suppliers shipping each (brand, type, size) profile,
+    excluding one brand and the PROMO line (supplier↔part association via
+    lineitem; this schema has no partsupp). The distinct-agg shuffles
+    (brand,type,size,suppkey) once, then a cheap second-level count."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q16_ORACLE = """
+SELECT p_brand, p_type, p_size,
+  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+  AND p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+# --------------------------------------------------------------------------
+# q18-shaped — large-quantity orders (grouped HAVING driving a semi-join)
+# --------------------------------------------------------------------------
+
+_Q18_QTY = 250  # ≈ p99 of per-order quantity in the testdata
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total quantity exceeds a threshold, with customer
+    context. The HAVING aggregate doubles as the semi-join: aggregate
+    lineitem once on orderkey, filter, then join orders + broadcast
+    customer against the (small) surviving set — never materializing the
+    unfiltered order×line join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > _Q18_QTY)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", _cents("o_totalprice")
+        .alias("o_totalprice_cents")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            # timestampdiff on NTZ operands is timezone-free — identical
+            # under any session timeZone (unix_micros rejects NTZ)
+            F.expr(
+                "timestampdiff(MICROSECOND, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)"
+            ).alias("o_orderdate_us"),
+            "o_totalprice_cents",
+            "total_qty",
+        )
+    )
+
+
+_Q18_ORACLE = f"""
+SELECT c_custkey, c_name, o_orderkey,
+  epoch_us(o_orderdate) AS o_orderdate_us,
+  round(o_totalprice*100) AS o_totalprice_cents,
+  total_qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > {_Q18_QTY}
+)
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q19-shaped — disjunctive predicate revenue (OR-of-ANDs pushdown)
+# --------------------------------------------------------------------------
+
+def q19_disjunct_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue under an OR of three (brand, size-range, qty-range)
+    conjuncts. Catalyst extracts the common sub-predicates and pushes the
+    part-side disjunction below the broadcast join, so the fact scan only
+    pays the join for candidate parts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#24")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(cond).agg(
+        F.sum(_rev_e4()).alias("revenue_e4"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_Q19_ORACLE = """
+SELECT
+  sum(round(l_extendedprice*100) * (100 - round(l_discount*100)))
+    AS revenue_e4,
+  CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# --------------------------------------------------------------------------
+# q21-shaped — solely-blamed suppliers (multi-EXISTS decorrelated)
+# --------------------------------------------------------------------------
+
+def q21_blamed_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who were the ONLY supplier with returned lines on
+    multi-supplier orders (adapted q21: 'R' return flags stand in for the
+    missing commit/receipt dates). The EXISTS ('another supplier shipped
+    in o') and NOT EXISTS ('another supplier had returns in o') pair
+    decorrelates into ONE aggregation over orderkey — distinct-supplier
+    count and distinct-returning-supplier count — instead of two extra
+    self-joins of the fact table; at 100 TB that's one shuffle versus
+    three."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r_supp"),
+        F.max(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("r_supp"),
+    )
+    blamed = per_order.filter(
+        (F.col("n_supp") > 1) & (F.col("n_r_supp") == 1)
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    agg = (
+        blamed.groupBy("r_supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("r_supp") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "numwait")
+    )
+    return agg.orderBy(F.col("numwait").desc(), F.col("s_suppkey")).limit(20)
+
+
+_Q21_ORACLE = """
+WITH per_order AS (
+  SELECT l_orderkey,
+    count(DISTINCT l_suppkey) AS n_supp,
+    count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+      AS n_r_supp,
+    max(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS r_supp
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM per_order JOIN supplier ON r_supp = s_suppkey
+WHERE n_supp > 1 AND n_r_supp = 1
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# q22-shaped — dormant high-balance customers (scalar subquery + anti-join)
+# --------------------------------------------------------------------------
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with above-average positive balance and no orders since
+    2000-01-01, summarized per nation. The global average is an exact
+    sum-of-cents ÷ count (bit-equal across engines and aggregation
+    orders), broadcast as one row; the 'no recent orders' NOT EXISTS is a
+    left-anti join on custkey."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", _cents("c_acctbal").alias("bal_cents")
+    )
+    avg_bal = cust.filter(F.col("bal_cents") > 0).agg(
+        (F.sum("bal_cents") / F.count("bal_cents")).alias("avg_bal_cents")
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= _ts_ntz("2000-01-01")
+    ).select("o_custkey")
+    rich = cust.join(
+        F.broadcast(avg_bal), cust.bal_cents > F.col("avg_bal_cents")
+    )
+    dormant = rich.join(
+        recent, rich.c_custkey == recent.o_custkey, "left_anti"
+    )
+    return dormant.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum("bal_cents").alias("totacctbal_cents"),
+    )
+
+
+_Q22_ORACLE = """
+WITH c AS (
+  SELECT c_custkey, c_nationkey, round(c_acctbal*100) AS bal_cents
+  FROM customer
+), avg_bal AS (
+  SELECT sum(bal_cents) / count(bal_cents) AS avg_bal_cents
+  FROM c WHERE bal_cents > 0
+)
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+  sum(bal_cents) AS totacctbal_cents
+FROM c, avg_bal
+WHERE bal_cents > avg_bal_cents
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+"""
+
+
+QUERIES = [
+    QueryDef("q7_nation_volume", q7_nation_volume, _Q7_ORACLE,
+             "nation-pair volume: fact-fact join + 4 broadcast dims"),
+    QueryDef("q9_product_profit", q9_product_profit, _Q9_ORACLE,
+             "product profit: LIKE-filtered dim prunes fact early"),
+    QueryDef("q13_order_histogram", q13_order_histogram, _Q13_ORACLE,
+             "outer-join order-count histogram incl. zero bucket"),
+    QueryDef("q14_promo_ratio", q14_promo_ratio, _Q14_ORACLE,
+             "conditional-aggregation revenue ratio, bit-exact division"),
+    QueryDef("q15_top_supplier", q15_top_supplier, _Q15_ORACLE,
+             "scalar-subquery max as 1-row broadcast join"),
+    QueryDef("q16_supplier_variety", q16_supplier_variety, _Q16_ORACLE,
+             "distinct-count over join with NOT-IN style dim filters"),
+    QueryDef("q18_large_orders", q18_large_orders, _Q18_ORACLE,
+             "grouped-HAVING semi-join for large-quantity orders"),
+    QueryDef("q19_disjunct_revenue", q19_disjunct_revenue, _Q19_ORACLE,
+             "OR-of-ANDs disjunctive predicate pushdown"),
+    QueryDef("q21_blamed_suppliers", q21_blamed_suppliers, _Q21_ORACLE,
+             "multi-EXISTS decorrelated to one orderkey aggregation"),
+    QueryDef("q22_dormant_customers", q22_dormant_customers, _Q22_ORACLE,
+             "scalar-subquery threshold + left-anti dormancy join"),
+]
