@@ -888,3 +888,89 @@ QUERIES.append(
         "returned-item revenue top-k over a 4-table join (TPC-H q10 shape)",
     )
 )
+
+
+# --------------------------------------------------------------------------
+# window-function breadth — lag / running sum / ntile / first-last /
+# RANGE-frame rolling aggregate, all in one per-event projection (r2)
+# --------------------------------------------------------------------------
+
+def window_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per purchase event: previous-event delta (lag), running cumulative
+    sum (ROWS frame), within-user quartile (ntile), first/last value over
+    the whole partition, and a 1-hour RANGE-frame rolling sum/count on the
+    microsecond timeline.
+
+    One shuffle on ``user_id`` serves every window — all five frames share
+    the partition key, so Spark evaluates them in a single Window exchange
+    + sort (the shape to preserve at 100 TB: never give each frame its own
+    partitioning). Ordering is (ts_us, event_id) — unique — so lag/ntile
+    are deterministic; the RANGE frame orders by ts_us alone (frames over
+    physical time include tied peers identically on both engines)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id",
+        "event_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        F.round(F.col("value") * F.lit(100), 0).alias("value_cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wfull = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wrange = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        "value_cents",
+        (F.col("value_cents") - F.lag("value_cents", 1).over(w)).alias(
+            "delta_prev_cents"
+        ),
+        F.sum("value_cents").over(wcum).alias("running_sum_cents"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("value_cents").over(wfull).alias("first_value_cents"),
+        F.last("value_cents").over(wfull).alias("last_value_cents"),
+        F.sum("value_cents").over(wrange).alias("rolling_1h_sum_cents"),
+        F.count(F.lit(1)).over(wrange).alias("rolling_1h_n"),
+    )
+
+
+_WINDOW_FUNCS_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+         round(value*100) AS value_cents
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id, event_id, ts_us, value_cents,
+  value_cents - lag(value_cents, 1) OVER w AS delta_prev_cents,
+  sum(value_cents) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_sum_cents,
+  CAST(ntile(4) OVER w AS INT) AS quartile,
+  first_value(value_cents) OVER wf AS first_value_cents,
+  last_value(value_cents) OVER wf AS last_value_cents,
+  sum(value_cents) OVER wr AS rolling_1h_sum_cents,
+  CAST(count(*) OVER wr AS BIGINT) AS rolling_1h_n
+FROM e
+WINDOW
+  w AS (PARTITION BY user_id ORDER BY ts_us, event_id),
+  wf AS (PARTITION BY user_id ORDER BY ts_us, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+  wr AS (PARTITION BY user_id ORDER BY ts_us
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+QUERIES.append(
+    QueryDef(
+        "window_funcs_events",
+        window_funcs_events,
+        _WINDOW_FUNCS_ORACLE,
+        "lag/ntile/first-last/ROWS-cumsum/RANGE-rolling in one window pass",
+    )
+)
