@@ -974,3 +974,38 @@ QUERIES.append(
         "lag/ntile/first-last/ROWS-cumsum/RANGE-rolling in one window pass",
     )
 )
+
+
+# --------------------------------------------------------------------------
+# skew-safe distinct count — two-phase COUNT(DISTINCT) rewrite (r2)
+# --------------------------------------------------------------------------
+
+def skew_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``distinct_users_per_type`` computed through the two-phase
+    skew-safe rewrite (``operators/aggregates.py``): event_type is a
+    genuinely hot grouping key (5 values over the whole corpus), the exact
+    shape where a plain COUNT(DISTINCT) funnels every user_id of a type
+    into one reducer. Result is identical to the plain form — the oracle
+    is the plain SQL."""
+    from feature_generation_benchmark_spark.operators.aggregates import (
+        skew_safe_distinct_count,
+    )
+    ev = load_table(spark, sf_dir, "events")
+    return skew_safe_distinct_count(
+        ev, ["event_type"], "user_id", buckets=64, out_col="n_users"
+    )
+
+
+_SKEW_DISTINCT_ORACLE = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
+QUERIES.append(
+    QueryDef(
+        "skew_distinct_users",
+        skew_distinct_users,
+        _SKEW_DISTINCT_ORACLE,
+        "two-phase skew-safe COUNT(DISTINCT) over a hot grouping key",
+    )
+)

@@ -1,0 +1,79 @@
+"""Skew-safe two-phase COUNT(DISTINCT) — equality with the plain form."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_generation_benchmark_spark.operators.aggregates import (
+    skew_safe_distinct_count,
+)
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # one hot key owning ~90% of rows, many distinct values; plus nulls
+    df = spark.range(0, 5000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot"))
+        .otherwise(F.concat(F.lit("cold"), (F.col("id") % 7).cast("string")))
+        .alias("k"),
+        F.when(F.col("id") % 97 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("id") % 613)
+        .alias("v"),
+    )
+    return df.cache()
+
+
+def _plain(df):
+    return {
+        r["k"]: r["n"]
+        for r in df.groupBy("k")
+        .agg(F.count_distinct("v").alias("n"))
+        .collect()
+    }
+
+
+def test_equals_plain_count_distinct(spark, skewed):
+    got = {
+        r["k"]: r["n_distinct"]
+        for r in skew_safe_distinct_count(skewed, ["k"], "v").collect()
+    }
+    assert got == _plain(skewed)
+
+
+def test_bucket_count_invariance(spark, skewed):
+    base = _plain(skewed)
+    for buckets in (1, 3, 256):
+        got = {
+            r["k"]: r["n_distinct"]
+            for r in skew_safe_distinct_count(
+                skewed, ["k"], "v", buckets=buckets
+            ).collect()
+        }
+        assert got == base, buckets
+
+
+def test_rejects_bad_buckets(spark, skewed):
+    with pytest.raises(ValueError):
+        skew_safe_distinct_count(skewed, ["k"], "v", buckets=0)
+
+
+def test_shuffle_key_carries_value_bucket(spark, skewed):
+    """The phase-1 exchange must partition on (key, value-bucket) — that
+    IS the skew protection; if it ever degrades to key-only partitioning
+    the rewrite silently loses its point."""
+    plan = (
+        skew_safe_distinct_count(skewed, ["k"], "v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # Catalyst folds the __vbucket alias into a _groupingexpression; either
+    # way an exchange must hash-partition on more than the key alone
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert exchanges
+    assert any(
+        "__vbucket" in ln or "_groupingexpression" in ln for ln in exchanges
+    )
