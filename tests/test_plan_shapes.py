@@ -280,3 +280,73 @@ def test_q10_broadcasts_dims(spark):
 
     plan = _physical(q10_returned_revenue(spark, "/root/testdata/sf0.001"))
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_q7_single_fact_fact_shuffle_join(spark):
+    """lineitem↔orders is the only non-broadcast join; supplier, customer
+    and both nation copies must ride in as broadcasts."""
+    from feature_generation_benchmark_spark.workloads.tpch_extra import (
+        q7_nation_volume,
+    )
+
+    plan = _physical(q7_nation_volume(spark, "/root/testdata/sf0.001"))
+    # all four dim lanes broadcast (at sf0.001 even orders does — 5)
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert plan.count("SortMergeJoin") + plan.count(
+        "ShuffledHashJoin"
+    ) <= 1, plan
+
+
+def test_q13_is_outer_join(spark):
+    """The zero-order bucket only exists if the join stays LEFT OUTER."""
+    from feature_generation_benchmark_spark.workloads.tpch_extra import (
+        q13_order_histogram,
+    )
+
+    plan = _physical(q13_order_histogram(spark, "/root/testdata/sf0.001"))
+    assert "LeftOuter" in plan or "RightOuter" in plan, plan
+
+
+def test_q19_disjunction_prunes_part_scan(spark):
+    """The brand disjunction must push to the part scan as a filter (not
+    evaluate post-join): the part side of the broadcast join reads with a
+    brand/size predicate."""
+    from feature_generation_benchmark_spark.workloads.tpch_extra import (
+        q19_disjunct_revenue,
+    )
+
+    plan = _physical(q19_disjunct_revenue(spark, "/root/testdata/sf0.001"))
+    assert "Brand#12" in plan and "PushedFilters" in plan, plan
+
+
+def test_q21_has_no_expand(spark):
+    """The stacked-aggregation form must never regress to the Expand-based
+    double COUNT(DISTINCT) plan."""
+    from feature_generation_benchmark_spark.workloads.tpch_extra import (
+        q21_blamed_suppliers,
+    )
+
+    plan = _physical(q21_blamed_suppliers(spark, "/root/testdata/sf0.001"))
+    assert "Expand" not in plan, plan
+
+
+def test_q22_anti_join_and_broadcast_scalar(spark):
+    from feature_generation_benchmark_spark.workloads.tpch_extra import (
+        q22_dormant_customers,
+    )
+
+    plan = _physical(q22_dormant_customers(spark, "/root/testdata/sf0.001"))
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_window_funcs_single_exchange(spark):
+    """All five window frames share one user_id partitioning: exactly one
+    Exchange and one Sort."""
+    from feature_generation_benchmark_spark.workloads.relational import (
+        window_funcs_events,
+    )
+
+    plan = _physical(window_funcs_events(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Sort ") <= 2, plan
