@@ -208,3 +208,27 @@ def stateful_sessionizer(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes (user
+    profile, document metadata, model routing table…) to an unbounded
+    event stream.
+
+    Stream-static joins are STATELESS — no watermark, no state store: each
+    micro-batch joins against the static side as of that batch (Spark
+    re-plans the static subtree per batch, so a dim refresh on disk is
+    picked up without restarting the query). ``broadcast_dim`` keeps the
+    unbounded side un-shuffled — the only sane shape when the stream is
+    the 100 TB side; set it False only for dims too large to broadcast
+    (then pre-bucket both sides instead). Works identically on a batch
+    frame, so tests assert stream-vs-batch equality.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return events.join(d, on=on, how=how)

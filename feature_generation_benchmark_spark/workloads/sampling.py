@@ -194,6 +194,48 @@ FROM starts
 """
 
 
+# ---------------------------------------------------------------------------
+# train/val/test split — deterministic hash assignment (r2)
+# ---------------------------------------------------------------------------
+
+#: Split boundaries in 16ths of the md5 key space: train 14/16 (87.5%),
+#: val 1/16 (6.25%), test 1/16 — exactly representable as hex cutoffs.
+_SPLIT_TRAIN_END = "e000"
+_SPLIT_VAL_END = "f000"
+
+
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document to train/val/test by md5 hash range —
+    the reproducible split every training pipeline needs: stable under
+    repartitioning, re-runs, and corpus growth (a doc's split never
+    changes when other docs are added), shuffle-free, and exactly
+    reproduced by any engine that has md5."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    split = (
+        F.when(key < _SPLIT_TRAIN_END, F.lit("train"))
+        .when(key < _SPLIT_VAL_END, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select(
+        "doc_id", "lang", key.alias("split_key"), split.alias("split")
+    )
+
+
+_SPLIT_ORACLE = f"""
+SELECT doc_id, lang,
+  substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS split_key,
+  CASE
+    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{_SPLIT_TRAIN_END}'
+      THEN 'train'
+    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{_SPLIT_VAL_END}'
+      THEN 'val'
+    ELSE 'test'
+  END AS split
+FROM documents
+"""
+
+
 QUERIES = [
     QueryDef("doc_chunking", doc_chunking, _CHUNK_ORACLE,
              "overlapping token-window chunking (shuffle-free flatMap)"),
@@ -201,4 +243,6 @@ QUERIES = [
              "deterministic md5-keyed stratified sampling by language"),
     QueryDef("sequence_packing", sequence_packing, _PACKING_ORACLE,
              "token-budget sequence packing per source (window cumsum)"),
+    QueryDef("dataset_split", dataset_split, _SPLIT_ORACLE,
+             "deterministic train/val/test hash split"),
 ]

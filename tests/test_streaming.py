@@ -219,3 +219,42 @@ def test_stream_stream_interval_join(spark, event_dir):
         for r in spark.sql("SELECT * FROM ssjoin").collect()
     )
     assert got == expected
+
+
+def test_stream_static_enrichment(spark, event_dir):
+    """Stream-static broadcast join: stateless, batch result is oracle."""
+    from feature_generation_benchmark_spark.streaming.features import (
+        enrich_stream,
+    )
+
+    dim = (
+        load_table(spark, SF, "events")
+        .select("user_id").distinct()
+        .select(
+            "user_id",
+            (F.col("user_id") % 3).cast("string").alias("segment"),
+        )
+    )
+    static = spark.read.parquet(event_dir)
+    want = sorted(
+        (r["event_id"], r["segment"])
+        for r in enrich_stream(static, dim, on="user_id").select(
+            "event_id", "segment"
+        ).collect()
+    )
+
+    stream = spark.readStream.schema(static.schema).parquet(event_dir)
+    q = (
+        enrich_stream(stream, dim, on="user_id")
+        .select("event_id", "segment")
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["event_id"], r["segment"])
+        for r in spark.table("enriched").collect()
+    )
+    assert got == want and len(got) > 0
