@@ -1009,3 +1009,99 @@ QUERIES.append(
         "two-phase skew-safe COUNT(DISTINCT) over a hot grouping key",
     )
 )
+
+
+# --------------------------------------------------------------------------
+# CUBE + grouping_id — all grouping-set combinations in one pass (r2)
+# --------------------------------------------------------------------------
+
+def cube_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity/revenue totals over EVERY subset of (returnflag,
+    linestatus) — CUBE plans one scan + one Expand×4 + one shuffle instead
+    of four separate aggregations, and ``grouping_id`` disambiguates real
+    NULL group values from the roll-up rows (the reason checking NULL-ness
+    of the key columns is never enough)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").alias("qty"),
+        _cents("l_extendedprice").alias("price_cents"),
+    )
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.sum("qty").alias("sum_qty"),
+        F.sum("price_cents").alias("sum_price_cents"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+    AS gid,
+  sum(l_quantity) AS sum_qty,
+  sum(round(l_extendedprice*100)) AS sum_price_cents,
+  CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+QUERIES.append(
+    QueryDef(
+        "cube_lineitem_stats",
+        cube_lineitem_stats,
+        _CUBE_ORACLE,
+        "CUBE over (returnflag, linestatus) with grouping_id",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# unpivot — wide feature row → long (metric, value) pairs (r2)
+# --------------------------------------------------------------------------
+
+def unpivot_user_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long relayout of a per-user aggregate row — the inverse of
+    the engine's pivot strategies, needed whenever a wide feature-store
+    table feeds a long-format consumer (metric monitoring, sparse
+    training formats). ``unpivot`` is a shuffle-free row-local Expand —
+    rows multiply by the metric count but never leave their partition.
+    All measures are integer-valued doubles so the long `value` column is
+    exact."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.sum(_cents("value")).alias("sum_value_cents"),
+        F.max(_cents("value")).alias("max_value_cents"),
+    )
+    return wide.unpivot(
+        ids=["user_id"],
+        values=["n_events", "sum_value_cents", "max_value_cents"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+_UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT user_id,
+    CAST(count(*) AS DOUBLE) AS n_events,
+    sum(round(value*100)) AS sum_value_cents,
+    max(round(value*100)) AS max_value_cents
+  FROM events GROUP BY user_id
+)
+SELECT user_id, 'n_events' AS metric, n_events AS value FROM wide
+UNION ALL
+SELECT user_id, 'sum_value_cents', sum_value_cents FROM wide
+UNION ALL
+SELECT user_id, 'max_value_cents', max_value_cents FROM wide
+"""
+
+QUERIES.append(
+    QueryDef(
+        "unpivot_user_metrics",
+        unpivot_user_metrics,
+        _UNPIVOT_ORACLE,
+        "wide-to-long unpivot of per-user aggregates (row-local Expand)",
+    )
+)

@@ -312,3 +312,56 @@ QUERIES = [
              "IVF coarse-quantizer approximate top-k (deterministic "
              "centroid model -> full cross-engine oracle)"),
 ]
+
+
+# ---------------------------------------------------------------------------
+# higher-order array expressions — per-vector stats, JVM-side (r2)
+# ---------------------------------------------------------------------------
+
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector dimensionality, squared L2 norm, and min/max component —
+    computed entirely with higher-order array expressions (``transform`` +
+    ``aggregate`` + ``array_min/max``) inside codegen: no UDF, no explode,
+    no shuffle. Components are quantized to 1e-6 ints before squaring/
+    summing, so every aggregate is an exact integer and the DuckDB list-
+    function twin matches bit-for-bit (float32 folds would be at the mercy
+    of each engine's accumulation order)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * F.lit(1e6), 0),
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.aggregate(
+            q, F.lit(0.0), lambda acc, x: acc + x * x
+        ).alias("norm_sq_e12"),
+        F.array_min(q).alias("min_e6"),
+        F.array_max(q).alias("max_e6"),
+    )
+
+
+_EMB_STATS_ORACLE = """
+WITH q AS (
+  SELECT vec_id, label, len(embedding) AS dim,
+    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1e6))
+      AS qe
+  FROM embeddings
+)
+SELECT vec_id, label, CAST(dim AS INT) AS dim,
+  list_sum(list_transform(qe, x -> x * x)) AS norm_sq_e12,
+  list_min(qe) AS min_e6,
+  list_max(qe) AS max_e6
+FROM q
+"""
+
+QUERIES.append(
+    QueryDef(
+        "embedding_stats",
+        embedding_stats,
+        _EMB_STATS_ORACLE,
+        "higher-order array exprs: transform/aggregate/min/max, no UDF",
+    )
+)
