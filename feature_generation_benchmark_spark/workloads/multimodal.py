@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from feature_generation_benchmark_spark.operators.multimodal import (
     attach_media_meta,
     extract_media_features,
+    frame_sample_plan,
     resize_media,
 )
 from feature_generation_benchmark_spark.sources.testdata import load_table
@@ -94,6 +95,37 @@ SELECT doc_id,
 FROM b
 """
 
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("blob")
+    )
+    sampled = frame_sample_plan(blobs, "doc_id", "blob", every_n=10)
+    # driver-facing projection: scalar digest instead of the feature array
+    return sampled.select(
+        "doc_id",
+        "content_sha256",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+    )
+
+
+# video n_frames = 1 + digest[2] % 64 (operators/multimodal.py::_decode_stub);
+# hex chars 5-6 are byte 2 of the sha256 digest; sampled indices are
+# 0, 10, 20 … < n_frames, exactly DuckDB's range(0, n, 10)
+_FRAME_SAMPLE_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, sha256(text) AS hex FROM documents
+), b AS (
+  SELECT doc_id, hex,
+         1 + ({_HEXB.format(hi=5, lo=6)}) % 64 AS n_frames
+  FROM h
+)
+SELECT doc_id, hex AS content_sha256,
+       CAST(unnest(range(0, n_frames, 10)) AS INT) AS frame_idx
+FROM b
+"""
+
+
 _RESIZE_ORACLE = """
 SELECT doc_id,
   CAST(32 AS INT) AS width,
@@ -114,5 +146,11 @@ QUERIES = [
         multimodal_resize,
         _RESIZE_ORACLE,
         "binary-column resize plumbing (decode stub) via mapInPandas",
+    ),
+    QueryDef(
+        "multimodal_frame_sample",
+        multimodal_frame_sample,
+        _FRAME_SAMPLE_ORACLE,
+        "video frame sampling: decode once, explode per-frame indices",
     ),
 ]
