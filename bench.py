@@ -67,6 +67,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # totals are NOT comparable across rounds unless the
+                # benched-query count is equal — coverage grows each round
+                "n_queries": len(timings),
             }
         )
     )

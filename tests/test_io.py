@@ -162,3 +162,44 @@ def test_sorted_write_produces_skippable_stats(spark, tmp_path):
     # a range predicate covering 1% of the key space overlaps only a
     # fraction of sorted row groups but every plain one
     assert sum(s < full * 0.05 for s in sorted_spans) >= n_sorted // 2
+
+
+def test_json_corrupt_records_are_captured_not_dropped(spark):
+    """Ingest robustness: malformed JSON lines land in the corrupt-record
+    column (PERMISSIVE) instead of killing the job or silently vanishing —
+    at 100 TB a raw-text drop has a few bad lines per billion and the
+    pipeline must quarantine them, not crash."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from feature_generation_benchmark_spark.sources.io import read_table
+
+    d = tempfile.mkdtemp(prefix="fgb_io_corrupt_")
+    try:
+        with open(os.path.join(d, "part-0.json"), "w") as f:
+            f.write('{"id": 1, "v": "ok"}\n')
+            f.write('{"id": 2, "v": "also ok"}\n')
+            f.write('{"id": 3, "v": BROKEN\n')
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("v", T.StringType()),
+                T.StructField("_corrupt_record", T.StringType()),
+            ]
+        )
+        df = read_table(
+            spark,
+            d,
+            fmt="json",
+            schema=schema,
+            mode="PERMISSIVE",
+            columnNameOfCorruptRecord="_corrupt_record",
+        ).cache()
+        good = df.filter(F.col("_corrupt_record").isNull())
+        bad = df.filter(F.col("_corrupt_record").isNotNull())
+        assert good.count() == 2
+        assert bad.count() == 1
+        assert "BROKEN" in bad.collect()[0]["_corrupt_record"]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
