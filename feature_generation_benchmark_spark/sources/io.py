@@ -166,3 +166,84 @@ def write_sorted_parquet(
     if compression:
         writer = writer.option("compression", compression)
     writer.parquet(path)
+
+
+def zorder_value(
+    cols: list[str],
+    bounds: list[tuple[float, float]],
+    bits: int = 16,
+):
+    """Morton (Z-curve) interleaved-bit value for N numeric columns.
+
+    Each column is min-max quantized to ``bits`` levels against the given
+    ``bounds`` (clamped outside), then the bit planes are interleaved —
+    column i contributes bit b to output position ``b*N + i``. Points
+    close in EVERY dimension get close z-values, so sorting by z clusters
+    the file layout for predicates on ANY of the columns (single-column
+    sort clusters only its leading column). Pure JVM expressions inside
+    codegen — no UDF.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder needs >= 2 columns (use a plain sort for 1)")
+    if n * bits > 62:
+        raise ValueError(f"{n} cols x {bits} bits exceeds a signed int64")
+    parts = []
+    for i, (c, (lo, hi)) in enumerate(zip(cols, bounds)):
+        if not hi > lo:
+            raise ValueError(f"bad bounds for {c!r}: ({lo}, {hi})")
+        scaled = (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(
+            float(hi - lo)
+        )
+        clamped = F.least(F.greatest(scaled, F.lit(0.0)), F.lit(1.0))
+        q = F.least(
+            (clamped * F.lit(float(1 << bits))).cast("long"),
+            F.lit((1 << bits) - 1),
+        )
+        for b in range(bits):
+            parts.append(
+                F.shiftleft(
+                    F.shiftright(q, b).bitwiseAND(F.lit(1)), b * n + i
+                )
+            )
+    z = parts[0]
+    for p in parts[1:]:
+        z = z.bitwiseOR(p)
+    return z
+
+
+def write_zordered_parquet(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    mode: str = "overwrite",
+    n_files: int | None = None,
+    bits: int = 16,
+    quantile_error: float = 0.01,
+) -> None:
+    """Multi-dimensional clustered parquet layout (Z-order curve).
+
+    ``write_sorted_parquet`` makes row-group min/max stats narrow for ONE
+    column; a predicate on any other column skips nothing. Z-ordering
+    interleaves the bit planes of several columns so every listed column's
+    min/max stays narrow per row group — the layout for tables queried
+    along multiple independent axes (time AND user, brand AND size).
+    Column bounds come from one ``approxQuantile`` pass (p01/p99, driver
+    receives 2 numbers per column — a model literal, not a data collect);
+    outliers clamp to the edge buckets, which only pads the two extreme
+    cells' stats.
+    """
+    qs = df.stat.approxQuantile(cols, [quantile_error, 1 - quantile_error], 0.001)
+    bounds = [(lo, hi) for lo, hi in qs]
+    z = zorder_value(cols, bounds, bits=bits)
+    zdf = df.withColumn("__z", z)
+    ranged = (
+        zdf.repartitionByRange(n_files, "__z")
+        if n_files is not None
+        else zdf.repartitionByRange("__z")
+    )
+    ranged.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(
+        path
+    )

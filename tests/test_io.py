@@ -203,3 +203,46 @@ def test_json_corrupt_records_are_captured_not_dropped(spark):
         assert "BROKEN" in bad.collect()[0]["_corrupt_record"]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_zorder_layout_skips_on_both_dimensions(spark, tmp_path):
+    """Z-order claim, checked against parquet footers: with two
+    independent uniform columns, a narrow predicate on EITHER column
+    overlaps only a minority of row groups; a single-column sort keeps
+    its secondary column's spans at ~full range (no skipping)."""
+    import pyarrow.parquet as pq
+
+    from feature_generation_benchmark_spark.sources.io import (
+        write_sorted_parquet,
+        write_zordered_parquet,
+    )
+
+    n = 200_000
+    df = spark.range(n).select(
+        (F.xxhash64("id") % n).alias("x"),
+        (F.xxhash64("id", F.lit(1)) % n).alias("y"),
+    )
+    zdir = str(tmp_path / "zorder")
+    sdir = str(tmp_path / "sorted_x")
+    write_zordered_parquet(df, zdir, ["x", "y"], n_files=32)
+    write_sorted_parquet(df, sdir, ["x"], n_files=32)
+
+    def col_spans(d, col_idx, col_name):
+        spans = []
+        for f in glob.glob(f"{d}/*.parquet"):
+            meta = pq.ParquetFile(f).metadata
+            for rg in range(meta.num_row_groups):
+                c = meta.row_group(rg).column(col_idx)
+                assert c.path_in_schema == col_name
+                spans.append(c.statistics.max - c.statistics.min)
+        return spans
+
+    full = float(2 * n)  # xxhash64 % n spans ~(-n, n)
+    for idx, name in ((0, "x"), (1, "y")):
+        z_spans = col_spans(zdir, idx, name)
+        # most z-ordered row groups span a minority of either axis
+        frac_narrow = sum(s < full * 0.5 for s in z_spans) / len(z_spans)
+        assert frac_narrow > 0.8, (name, sorted(z_spans)[-5:])
+    # the single-column sort clusters x but leaves y unclustered
+    y_sorted_spans = col_spans(sdir, 1, "y")
+    assert min(y_sorted_spans) > full * 0.45
