@@ -51,3 +51,42 @@ def skew_safe_distinct_count(
         partial.groupBy(*[F.col(c) for c in key_cols])
         .agg(F.sum("__part").alias(out_col))
     )
+
+
+def hll_partials(
+    df: DataFrame,
+    partial_keys: list[str],
+    value_col: str,
+    lg_k: int = 12,
+    sketch_col: str = "hll_sketch",
+) -> DataFrame:
+    """Per-(partial_keys…) HyperLogLog sketch of distinct ``value_col`` —
+    the DECOMPOSABLE form of approx distinct. Materialize these per day/
+    partition once; any later rollup (per week, per key subset, global)
+    merges sketches with :func:`hll_rollup` instead of rescanning raw
+    data. This is the incremental-pipeline analog of the engine's
+    day-partials feature store (``plans/incremental.py``) for distinct
+    counts, where exact partials cannot decompose at all."""
+    return df.groupBy(*[F.col(c) for c in partial_keys]).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias(sketch_col)
+    )
+
+
+def hll_rollup(
+    partials: DataFrame,
+    rollup_keys: list[str],
+    sketch_col: str = "hll_sketch",
+    out_col: str = "n_distinct_approx",
+) -> DataFrame:
+    """Merge sketch partials to any coarser grouping and estimate.
+
+    Union over sketches is lossless at the sketch-accuracy level: the
+    merged estimate tracks the direct raw-data sketch within the sketch's
+    own error (not bit-identical — the DataSketches union gadget uses a
+    wider internal register format), so day partials can serve every later
+    rollup without rescanning raw data. Asserted vs the direct sketch and
+    the exact count in tests/test_aggregates.py."""
+    return partials.groupBy(*[F.col(c) for c in rollup_keys]).agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col(sketch_col)))
+        .alias(out_col)
+    )

@@ -77,3 +77,34 @@ def test_shuffle_key_carries_value_bucket(spark, skewed):
     assert any(
         "__vbucket" in ln or "_groupingexpression" in ln for ln in exchanges
     )
+
+
+def test_hll_partials_merge_equals_direct_sketch(spark, skewed):
+    """Union-of-sketches tracks sketch-of-union within sketch error (the
+    union gadget's wider registers make it near- but not bit-identical),
+    and both land within HLL error of the exact answer."""
+    from feature_generation_benchmark_spark.operators.aggregates import (
+        hll_partials,
+        hll_rollup,
+    )
+
+    df = skewed.withColumn("day", (F.col("v") % 5).cast("int"))
+    partials = hll_partials(df, ["k", "day"], "v")
+    merged = {
+        r["k"]: r["n_distinct_approx"]
+        for r in hll_rollup(partials, ["k"]).collect()
+    }
+    direct = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("v"), F.lit(12))
+            ).alias("n")
+        )
+        .collect()
+    }
+    exact = _plain(skewed)
+    for k, est in merged.items():
+        assert abs(est - direct[k]) <= max(3, 0.02 * exact[k]), (k, est)
+        assert abs(est - exact[k]) <= max(3, 0.05 * exact[k]), (k, est)
