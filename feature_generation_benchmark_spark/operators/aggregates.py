@@ -90,3 +90,63 @@ def hll_rollup(
         F.hll_sketch_estimate(F.hll_union_agg(F.col(sketch_col)))
         .alias(out_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# generic mergeable aggregate state (incremental materialized aggregates)
+# ---------------------------------------------------------------------------
+
+def agg_partials(
+    df: DataFrame, keys: list[str], measures: list[str]
+) -> DataFrame:
+    """Decomposable aggregate state per key: (count, sum, min, max) for
+    each measure. Materialize per ingest batch / day / partition; later
+    batches produce their own partials and :func:`merge_agg_partials`
+    folds them — the generic form of the engine's day-partials feature
+    store (``plans/incremental.py``), usable for ANY grouped rollup: a
+    100 TB fact table is aggregated exactly once per increment, never
+    rescanned. ``avg`` is deliberately NOT part of the state (it does not
+    decompose); :func:`finalize_aggs` derives it as Σsum/Σcount."""
+    aggs = []
+    for m in measures:
+        aggs += [
+            F.count(F.col(m)).alias(f"{m}__n"),
+            F.sum(F.col(m)).alias(f"{m}__sum"),
+            F.min(F.col(m)).alias(f"{m}__min"),
+            F.max(F.col(m)).alias(f"{m}__max"),
+        ]
+    return df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+
+
+def merge_agg_partials(
+    partials: DataFrame, keys: list[str], measures: list[str]
+) -> DataFrame:
+    """Fold any union of partial frames back into one state row per key
+    (count/sum re-sum; min/max re-min/max). Closed under composition:
+    merge(partials(A) ∪ partials(B)) == partials(A ∪ B), asserted in
+    tests/test_aggregates.py."""
+    aggs = []
+    for m in measures:
+        aggs += [
+            F.sum(f"{m}__n").alias(f"{m}__n"),
+            F.sum(f"{m}__sum").alias(f"{m}__sum"),
+            F.min(f"{m}__min").alias(f"{m}__min"),
+            F.max(f"{m}__max").alias(f"{m}__max"),
+        ]
+    return partials.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+
+
+def finalize_aggs(
+    partials: DataFrame, keys: list[str], measures: list[str]
+) -> DataFrame:
+    """State → user-facing count/sum/avg/min/max columns."""
+    cols = [F.col(k) for k in keys]
+    for m in measures:
+        cols += [
+            F.col(f"{m}__n").alias(f"{m}_count"),
+            F.col(f"{m}__sum").alias(f"{m}_sum"),
+            (F.col(f"{m}__sum") / F.col(f"{m}__n")).alias(f"{m}_avg"),
+            F.col(f"{m}__min").alias(f"{m}_min"),
+            F.col(f"{m}__max").alias(f"{m}_max"),
+        ]
+    return partials.select(*cols)

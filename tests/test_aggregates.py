@@ -108,3 +108,57 @@ def test_hll_partials_merge_equals_direct_sketch(spark, skewed):
     for k, est in merged.items():
         assert abs(est - direct[k]) <= max(3, 0.02 * exact[k]), (k, est)
         assert abs(est - exact[k]) <= max(3, 0.05 * exact[k]), (k, est)
+
+
+def test_agg_partials_compose_and_finalize(spark):
+    """merge(partials(A) ∪ partials(B)) == partials(A ∪ B), and the
+    finalized columns equal a direct one-shot aggregation."""
+    from feature_generation_benchmark_spark.operators.aggregates import (
+        agg_partials,
+        finalize_aggs,
+        merge_agg_partials,
+    )
+
+    df = spark.range(0, 4000).select(
+        (F.col("id") % 37).alias("k"),
+        # integer-valued doubles -> exact sums in any order
+        F.round((F.xxhash64("id") % 1000).cast("double"), 0).alias("x"),
+        F.when(F.col("id") % 11 == 0, None)
+        .otherwise((F.col("id") % 97).cast("double"))
+        .alias("y"),
+    )
+    a, b = df.filter("id % 2 = 0"), df.filter("id % 2 = 1")
+    merged = merge_agg_partials(
+        agg_partials(a, ["k"], ["x", "y"]).unionByName(
+            agg_partials(b, ["k"], ["x", "y"])
+        ),
+        ["k"],
+        ["x", "y"],
+    )
+    whole = agg_partials(df, ["k"], ["x", "y"])
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+    fin = {r["k"]: r for r in finalize_aggs(merged, ["k"], ["x", "y"]).collect()}
+    direct = {
+        r["k"]: r
+        for r in df.groupBy("k")
+        .agg(
+            F.count("x").alias("x_count"),
+            F.sum("x").alias("x_sum"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.count("y").alias("y_count"),
+            F.sum("y").alias("y_sum"),
+        )
+        .collect()
+    }
+    for k, r in fin.items():
+        d = direct[k]
+        assert (r["x_count"], r["x_sum"], r["x_min"], r["x_max"]) == (
+            d["x_count"], d["x_sum"], d["x_min"], d["x_max"],
+        )
+        # null-skipping count semantics survive the partials
+        assert (r["y_count"], r["y_sum"]) == (d["y_count"], d["y_sum"])
+        assert r["x_avg"] == d["x_sum"] / d["x_count"]

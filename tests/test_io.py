@@ -246,3 +246,49 @@ def test_zorder_layout_skips_on_both_dimensions(spark, tmp_path):
     # the single-column sort clusters x but leaves y unclustered
     y_sorted_spans = col_spans(sdir, 1, "y")
     assert min(y_sorted_spans) > full * 0.45
+
+
+def test_zorder_value_matches_python_model(spark):
+    """zorder_value's codegen expression == an independent Python Morton
+    interleave over the same quantization, checked on a value grid."""
+    from feature_generation_benchmark_spark.sources.io import zorder_value
+
+    bits = 8
+    bounds = [(0.0, 256.0), (0.0, 256.0)]
+    df = spark.range(0, 1000).select(
+        ((F.col("id") * 7) % 256).cast("double").alias("x"),
+        ((F.col("id") * 13) % 256).cast("double").alias("y"),
+        F.col("id"),
+    )
+    got = {
+        r["id"]: r["z"]
+        for r in df.withColumn(
+            "z", zorder_value(["x", "y"], bounds, bits=bits)
+        ).collect()
+    }
+
+    def model(x, y):
+        def quant(v, lo, hi):
+            s = max(0.0, min(1.0, (v - lo) / (hi - lo)))
+            return min(int(s * (1 << bits)), (1 << bits) - 1)
+
+        qx, qy = quant(x, *bounds[0]), quant(y, *bounds[1])
+        z = 0
+        for b in range(bits):
+            z |= ((qx >> b) & 1) << (2 * b)
+            z |= ((qy >> b) & 1) << (2 * b + 1)
+        return z
+
+    for r in df.collect():
+        assert got[r["id"]] == model(r["x"], r["y"]), r
+
+
+def test_zorder_value_rejects_bad_args(spark):
+    from feature_generation_benchmark_spark.sources.io import zorder_value
+
+    with pytest.raises(ValueError):
+        zorder_value(["x"], [(0.0, 1.0)])
+    with pytest.raises(ValueError):
+        zorder_value(["x", "y"], [(0.0, 1.0), (1.0, 1.0)])
+    with pytest.raises(ValueError):
+        zorder_value(["a", "b", "c", "d"], [(0.0, 1.0)] * 4, bits=16)
