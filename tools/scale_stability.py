@@ -1,0 +1,118 @@
+"""Scale-stability probe for the relational join queries.
+
+Synthesizes an N× fact-side scale-up of the sf0.1 testdata (orderkeys
+shifted per copy so order cardinality actually grows; dimension tables
+unchanged — the realistic shape: facts grow, dims don't) into /tmp, then
+times a set of join-heavy queries at 1× and N× and reports the runtime
+ratio and whether the physical plan shape changed (fact-fact join
+strategy, broadcast count). Linear-ish ratios + stable shapes are the
+evidence that these plans survive a real scale-up; a superlinear ratio or
+a broadcast flipping to a shuffle join is a red flag to investigate.
+
+Usage: python tools/scale_stability.py [factor] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+QUERIES = ("q7_nation_volume", "q13_order_histogram", "q18_large_orders",
+           "q21_blamed_suppliers")
+
+
+def build_scaled(spark, factor: int) -> str:
+    """N× copies of lineitem/orders with disjoint orderkey ranges; other
+    tables symlink-copied unchanged."""
+    out = tempfile.mkdtemp(prefix=f"fgb_scale{factor}x_")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    shift = (orders.agg(F.max("o_orderkey")).collect()[0][0] or 0) + 1
+
+    def copies(df, key):
+        parts = [
+            df.withColumn(key, F.col(key) + F.lit(i * shift))
+            for i in range(factor)
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return u
+
+    copies(li, "l_orderkey").write.mode("overwrite").parquet(
+        f"{out}/lineitem.parquet"
+    )
+    copies(orders, "o_orderkey").write.mode("overwrite").parquet(
+        f"{out}/orders.parquet"
+    )
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "events", "documents", "embeddings"):
+        src = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(src):
+            os.symlink(src, f"{out}/{t}.parquet")
+    return out
+
+
+def plan_shape(df) -> tuple[int, int, int]:
+    p = df._jdf.queryExecution().executedPlan().toString()
+    return (
+        p.count("BroadcastHashJoin"),
+        p.count("SortMergeJoin") + p.count("ShuffledHashJoin"),
+        p.count("Exchange hashpartitioning"),
+    )
+
+
+def main() -> int:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = sys.argv[2:] or QUERIES
+
+    from feature_generation_benchmark_spark.session import get_spark
+    from feature_generation_benchmark_spark.workloads import registry
+
+    spark = get_spark("scale-stability")
+    reg = registry()
+    scaled = build_scaled(spark, factor)
+    print(f"# scaled dataset ({factor}x facts): {scaled}")
+    try:
+        for name in only:
+            fn = reg[name].fn
+            base_shape, big_shape = plan_shape(fn(spark, SF_DIR)), plan_shape(
+                fn(spark, scaled)
+            )
+            t0 = time.time()
+            fn(spark, SF_DIR).write.mode("overwrite").parquet(
+                f"{scaled}/__out_base"
+            )
+            t_base = time.time() - t0
+            t0 = time.time()
+            fn(spark, scaled).write.mode("overwrite").parquet(
+                f"{scaled}/__out_big"
+            )
+            t_big = time.time() - t0
+            ratio = t_big / max(t_base, 1e-9)
+            flag = "" if ratio < factor * 1.5 else "  <-- SUPERLINEAR"
+            shape_note = (
+                "stable"
+                if base_shape == big_shape
+                else f"CHANGED {base_shape}->{big_shape}"
+            )
+            print(
+                f"{name}: 1x {t_base:.2f}s  {factor}x {t_big:.2f}s  "
+                f"ratio {ratio:.1f} (linear would be <={factor})  "
+                f"plan {shape_note}{flag}"
+            )
+    finally:
+        shutil.rmtree(scaled, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
