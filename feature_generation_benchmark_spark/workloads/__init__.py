@@ -31,6 +31,7 @@ def registry() -> dict[str, QueryDef]:
         curation,
         dedup,
         events_features,
+        graph,
         multimodal,
         relational,
         sampling,
@@ -50,6 +51,7 @@ def registry() -> dict[str, QueryDef]:
         sampling,
         curation,
         multimodal,
+        graph,
     ):
         for q in mod.QUERIES:
             if q.name in out:
