@@ -1105,3 +1105,101 @@ QUERIES.append(
         "wide-to-long unpivot of per-user aggregates (row-local Expand)",
     )
 )
+
+
+# --------------------------------------------------------------------------
+# VARIANT semi-structured path (Spark 4) — parse once, extract many (r2)
+# --------------------------------------------------------------------------
+
+def json_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``json_props_stats`` through the Spark 4 VARIANT type:
+    ``parse_json`` decodes the payload ONCE into a binary-encoded variant
+    and every extraction is a cheap path lookup — the modern replacement
+    for N× ``get_json_object`` string re-parses (at 100 TB, parse cost is
+    the whole query). Same output and same oracle as the string-path
+    twin, which is the point: engine-internal representation, identical
+    semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "long")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+QUERIES.append(
+    QueryDef(
+        "json_props_variant",
+        json_props_variant,
+        _JSON_ORACLE,
+        "VARIANT parse-once semi-structured extraction (Spark 4)",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# built-in session_window — verified against first-principles islands (r2)
+# --------------------------------------------------------------------------
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user gap sessions via Spark's BUILT-IN ``session_window``
+    (the streaming-capable operator), verified against the
+    first-principles islands formulation in the oracle — same rule:
+    events belong to one session iff consecutive gaps are < 30 min.
+    Complements ``sessionization_stats`` (window-function islands) and
+    ``stateful_sessionizer`` (applyInPandasWithState): three independent
+    implementations of one semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    out = (
+        ev.select("user_id", ts.alias("ts"), _cents("value").alias("vc"))
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("vc").alias("sum_value_cents"),
+        )
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "sum_value_cents",
+    )
+
+
+_SESSION_WINDOW_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, round(value*100) AS vc
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w >= {_SESSION_GAP_US}
+                 THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+), sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts_us) AS session_start_us,
+  CAST(count(*) AS BIGINT) AS n_events,
+  sum(vc) AS sum_value_cents
+FROM sess GROUP BY user_id, sid
+"""
+
+QUERIES.append(
+    QueryDef(
+        "session_window_stats",
+        session_window_stats,
+        _SESSION_WINDOW_ORACLE,
+        "built-in session_window vs first-principles islands oracle",
+    )
+)
