@@ -555,3 +555,290 @@ QUERIES = [
     QueryDef("q22_dormant_customers", q22_dormant_customers, _Q22_ORACLE,
              "scalar-subquery threshold + left-anti dormancy join"),
 ]
+
+
+# --------------------------------------------------------------------------
+# q2-shaped — cheapest supplier per part (argmin via min(struct))
+# --------------------------------------------------------------------------
+
+def q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each size-15 STANDARD part: the supplier offering the lowest
+    observed unit price (ties → lowest suppkey). The correlated
+    ``WHERE price = (SELECT min(price) …)`` decorrelates into ONE
+    ``min(struct(price, supplier))`` aggregation — no join-back to a
+    per-group subquery, no second pass over offers, deterministic under
+    ties. Unit price is exact: cents × 1000 over integral quantities."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_name")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") > 0
+    )
+    # integer unit price: cents*1000 per unit, floor — exact on both engines
+    unit_e5 = F.expr(
+        "CAST(round(l_extendedprice*100) * 1000 AS BIGINT)"
+        " div CAST(l_quantity AS BIGINT)"
+    )
+    offers = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_partkey", "p_name", unit_e5.alias("unit_e5"), "l_suppkey"
+    )
+    best = offers.groupBy("p_partkey", "p_name").agg(
+        F.min(F.struct("unit_e5", "l_suppkey")).alias("b")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", _cents("s_acctbal").alias("s_acctbal_cents")
+    )
+    return best.select(
+        "p_partkey",
+        "p_name",
+        F.col("b.unit_e5").alias("min_unit_price_e5"),
+        F.col("b.l_suppkey").alias("s_suppkey"),
+    ).join(F.broadcast(supp), "s_suppkey").select(
+        "p_partkey", "p_name", "min_unit_price_e5",
+        "s_suppkey", "s_name", "s_acctbal_cents",
+    )
+
+
+_Q2_ORACLE = """
+WITH offers AS (
+  SELECT p_partkey, p_name,
+         CAST(round(l_extendedprice*100) * 1000 AS BIGINT)
+           // CAST(l_quantity AS BIGINT) AS unit_e5,
+         l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size = 15 AND p_type = 'STANDARD' AND l_quantity > 0
+), best AS (
+  SELECT p_partkey, p_name, unit_e5 AS min_unit_price_e5,
+         l_suppkey AS s_suppkey
+  FROM (SELECT *, row_number() OVER (PARTITION BY p_partkey
+          ORDER BY unit_e5, l_suppkey) AS rk FROM offers)
+  WHERE rk = 1
+)
+SELECT p_partkey, p_name, min_unit_price_e5,
+       s_suppkey, s_name, round(s_acctbal*100) AS s_acctbal_cents
+FROM best JOIN supplier USING (s_suppkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# q8-shaped — market share of one nation inside a region, per year
+# --------------------------------------------------------------------------
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of AMERICA-region customers' STANDARD-part revenue supplied
+    by nation #3, per order year. Conditional-sum ratio over a 6-table
+    join; both sums exact ints, the share one IEEE division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "STANDARD"
+    ).select("p_partkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "AMERICA"
+    )
+    cust_in_region = (
+        cust.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation.n_regionkey == region.r_regionkey,
+                ).select("n_nationkey")
+            ),
+            cust.c_nationkey == F.col("n_nationkey"),
+        ).select("c_custkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_in_region), orders.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select(
+            "o_year",
+            _rev_e4().alias("rev_e4"),
+            (F.col("s_nationkey") == 3).alias("is_target"),
+        )
+    )
+    agg = j.groupBy("o_year").agg(
+        F.sum(F.when(F.col("is_target"), F.col("rev_e4")).otherwise(F.lit(0.0)))
+        .alias("target_rev_e4"),
+        F.sum("rev_e4").alias("total_rev_e4"),
+    )
+    return agg.select(
+        "o_year",
+        "target_rev_e4",
+        "total_rev_e4",
+        (F.col("target_rev_e4") / F.col("total_rev_e4")).alias("mkt_share"),
+    )
+
+
+_Q8_ORACLE = """
+WITH j AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         round(l_extendedprice*100) * (100 - round(l_discount*100)) AS rev_e4,
+         (s_nationkey = 3) AS is_target
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE p_type = 'STANDARD' AND r_name = 'AMERICA'
+)
+SELECT o_year,
+  sum(CASE WHEN is_target THEN rev_e4 ELSE 0 END) AS target_rev_e4,
+  sum(rev_e4) AS total_rev_e4,
+  sum(CASE WHEN is_target THEN rev_e4 ELSE 0 END) / sum(rev_e4)
+    AS mkt_share
+FROM j GROUP BY o_year
+"""
+
+
+# --------------------------------------------------------------------------
+# q11-shaped — important inventory: group value above a global fraction
+# --------------------------------------------------------------------------
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose total traded value exceeds 0.05% of ALL traded value —
+    group sums compared against a scalar-subquery threshold, which plans
+    as a 1-row broadcast over the (already tiny) per-part aggregate.
+    Threshold arithmetic in exact ints: value×10000 > total."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", _rev_e4().alias("rev_e4")
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum("rev_e4").alias("value_e4"))
+    total = per_part.agg(F.sum("value_e4").alias("total_e4"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_e4") * 10000 > F.col("total_e4") * 5)
+        .select("l_partkey", "value_e4")
+    )
+
+
+_Q11_ORACLE = """
+WITH per_part AS (
+  SELECT l_partkey,
+    sum(round(l_extendedprice*100) * (100 - round(l_discount*100)))
+      AS value_e4
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, value_e4
+FROM per_part
+WHERE value_e4 * 10000 > (SELECT sum(value_e4) * 5 FROM per_part)
+"""
+
+
+# --------------------------------------------------------------------------
+# q17-shaped — small-quantity outliers vs per-part average (correlated avg)
+# --------------------------------------------------------------------------
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from Brand#23 lines whose quantity is below 20% of that
+    part's average quantity. The correlated ``(SELECT 0.2*avg(qty) WHERE
+    same part)`` decorrelates into a per-part aggregate joined back —
+    threshold kept exact by comparing ``qty × 5 × count < sum`` (pure
+    integer cross-multiplication, no float avg)."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#23"
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    brand_lines = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).select("p_partkey", "l_quantity", _cents("l_extendedprice").alias("pc"))
+    per_part = brand_lines.groupBy("p_partkey").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    j = brand_lines.join(F.broadcast(per_part), "p_partkey").filter(
+        F.col("l_quantity") * 5 * F.col("n_lines") < F.col("sum_qty")
+    )
+    return j.agg(
+        F.sum("pc").alias("small_qty_revenue_cents"),
+        F.count(F.lit(1)).alias("n_small_lines"),
+    )
+
+
+_Q17_ORACLE = """
+WITH brand_lines AS (
+  SELECT p_partkey, l_quantity, round(l_extendedprice*100) AS pc
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#23'
+), per_part AS (
+  SELECT p_partkey, sum(l_quantity) AS sum_qty,
+         CAST(count(*) AS BIGINT) AS n_lines
+  FROM brand_lines GROUP BY p_partkey
+)
+SELECT sum(pc) AS small_qty_revenue_cents,
+  CAST(count(*) AS BIGINT) AS n_small_lines
+FROM brand_lines JOIN per_part USING (p_partkey)
+WHERE l_quantity * 5 * n_lines < sum_qty
+"""
+
+
+# --------------------------------------------------------------------------
+# q20-shaped — suppliers of heavily-shipped promo parts (nested semi-joins)
+# --------------------------------------------------------------------------
+
+def q20_heavy_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who shipped more than 40 units of at least one PROMO
+    part in 1997 — q20's nested-IN chain (supplier IN (… part IN (…)))
+    as two stacked semi-join-producing aggregates instead of correlated
+    subqueries; the final supplier projection is a semi join so no row
+    multiplication ever happens."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts_ntz("1997-01-01"))
+        & (F.col("l_shipdate") < _ts_ntz("1998-01-01"))
+    )
+    shipped = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 40)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return supp.join(
+        shipped, supp.s_suppkey == shipped.l_suppkey, "leftsemi"
+    ).select("s_suppkey", "s_name", "s_nationkey")
+
+
+_Q20_ORACLE = """
+SELECT s_suppkey, s_name, s_nationkey
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(l_quantity) > 40
+)
+"""
+
+
+QUERIES += [
+    QueryDef("q2_cheapest_supplier", q2_cheapest_supplier, _Q2_ORACLE,
+             "argmin-per-group via min(struct) instead of correlated min"),
+    QueryDef("q8_market_share", q8_market_share, _Q8_ORACLE,
+             "market-share ratio over a 6-table join, bit-exact division"),
+    QueryDef("q11_important_stock", q11_important_stock, _Q11_ORACLE,
+             "global-fraction threshold as integer cross-multiplication"),
+    QueryDef("q17_small_quantity_revenue", q17_small_quantity_revenue,
+             _Q17_ORACLE,
+             "correlated-avg threshold decorrelated, integer compare"),
+    QueryDef("q20_heavy_promo_suppliers", q20_heavy_promo_suppliers,
+             _Q20_ORACLE, "nested-IN chain as stacked semi-joins"),
+]
