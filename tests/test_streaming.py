@@ -258,3 +258,43 @@ def test_stream_static_enrichment(spark, event_dir):
         for r in spark.table("enriched").collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_session_window_stream_equals_batch(spark, event_dir):
+    """The built-in session_window under a real streaming run (watermark +
+    availableNow) must produce the batch result — complete-mode sessions
+    with all data inside the watermark."""
+    static = spark.read.parquet(event_dir)
+
+    def sessions(df):
+        return (
+            df.groupBy(
+                F.session_window("event_ts", "30 minutes").alias("sw"),
+                F.col("user_id"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                "user_id",
+                F.unix_micros(F.col("sw.start")).alias("start_us"),
+                "n",
+            )
+        )
+
+    want = sorted(map(tuple, sessions(static).collect()))
+
+    stream = (
+        spark.readStream.schema(static.schema)
+        .parquet(event_dir)
+        .withWatermark("event_ts", "10 seconds")
+    )
+    q = (
+        sessions(stream)
+        .writeStream.format("memory")
+        .queryName("sw_sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("sw_sessions").collect()))
+    assert got == want and len(got) > 0
