@@ -350,3 +350,34 @@ def test_window_funcs_single_exchange(spark):
     plan = _physical(window_funcs_events(spark, "/root/testdata/sf0.001"))
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("Sort ") <= 2, plan
+
+
+def test_q2_argmin_has_no_window_or_self_join(spark):
+    """min(struct) decorrelation: no Window operator and no second pass
+    over offers (a correlated-min rewrite would show either)."""
+    from feature_generation_benchmark_spark.workloads.tpch_extra import (
+        q2_cheapest_supplier,
+    )
+
+    plan = _physical(q2_cheapest_supplier(spark, "/root/testdata/sf0.001"))
+    assert "Window" not in plan, plan
+    assert plan.count("FileScan parquet") <= 3, plan  # lineitem+part+supplier
+
+
+def test_q11_threshold_is_broadcast_not_window(spark):
+    from feature_generation_benchmark_spark.workloads.tpch_extra import (
+        q11_important_stock,
+    )
+
+    plan = _physical(q11_important_stock(spark, "/root/testdata/sf0.001"))
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q20_is_semi_join(spark):
+    from feature_generation_benchmark_spark.workloads.tpch_extra import (
+        q20_heavy_promo_suppliers,
+    )
+
+    plan = _physical(q20_heavy_promo_suppliers(spark, "/root/testdata/sf0.001"))
+    assert "LeftSemi" in plan, plan
