@@ -842,3 +842,47 @@ QUERIES += [
     QueryDef("q20_heavy_promo_suppliers", q20_heavy_promo_suppliers,
              _Q20_ORACLE, "nested-IN chain as stacked semi-joins"),
 ]
+
+
+# --------------------------------------------------------------------------
+# q12-shaped — priority mix per line status (join + conditional counts)
+# --------------------------------------------------------------------------
+
+def q12_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1997 shipments: per line status (standing in for the schema's
+    missing l_shipmode), how many belong to critical-priority orders vs
+    not — q12's join + CASE-sum shape. Completes the adapted q1–q22
+    ladder: every TPC-H query shape now has an oracle-checked twin here."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts_ntz("1997-01-01"))
+        & (F.col("l_shipdate") < _ts_ntz("1998-01-01"))
+    ).select("l_orderkey", "l_linestatus")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("critical"),
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    return j.groupBy("l_linestatus").agg(
+        F.sum(F.when(F.col("critical"), 1).otherwise(0))
+        .cast("long").alias("high_line_count"),
+        F.sum(F.when(F.col("critical"), 0).otherwise(1))
+        .cast("long").alias("low_line_count"),
+    )
+
+
+_Q12_ORACLE = """
+SELECT l_linestatus,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+"""
+
+QUERIES.append(
+    QueryDef("q12_priority_mix", q12_priority_mix, _Q12_ORACLE,
+             "join + conditional counts (completes the q1-q22 ladder)"),
+)
