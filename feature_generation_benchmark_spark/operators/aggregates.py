@@ -35,16 +35,17 @@ def skew_safe_distinct_count(
     Phase 1 groups by (keys…, ``xxhash64(value) mod buckets``) so the
     shuffle key carries the value hash — a key with billions of values
     spreads over ``buckets`` reducers instead of one. Phase 2 reduces
-    ``buckets`` rows per key to one. NULL values are ignored, matching
-    ``COUNT(DISTINCT)`` SQL semantics.
+    ``buckets`` rows per key to one. NULL values are ignored by the inner
+    ``count_distinct`` (SQL semantics) but their ROWS are kept, so a key
+    whose values are all NULL still appears with count 0 — exactly like
+    plain ``groupBy(k).agg(count_distinct(v))``.
     """
     if buckets < 1:
         raise ValueError(f"buckets must be >= 1, got {buckets}")
     keys: list[Column] = [F.col(c) for c in key_cols]
     bucket = F.pmod(F.xxhash64(F.col(value_col)), F.lit(buckets))
     partial = (
-        df.filter(F.col(value_col).isNotNull())
-        .groupBy(*keys, bucket.alias("__vbucket"))
+        df.groupBy(*keys, bucket.alias("__vbucket"))
         .agg(F.count_distinct(F.col(value_col)).alias("__part"))
     )
     return (

@@ -45,7 +45,10 @@ def pagerank(
     )
     # loop invariants, each read once per iteration: cache so the K-round
     # plan re-reads a materialized RDD instead of recomputing the
-    # distinct/agg subtrees K times (and the lineage stays shallow)
+    # distinct/agg subtrees K times (and the lineage stays shallow).
+    # They must stay cached until the CALLER's action runs, so cleanup is
+    # the caller's: unpersist via spark.catalog.clearCache() (or let LRU
+    # eviction handle it) once the result is materialized.
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))

@@ -236,7 +236,9 @@ def write_zordered_parquet(
     cells' stats.
     """
     qs = df.stat.approxQuantile(cols, [quantile_error, 1 - quantile_error], 0.001)
-    bounds = [(lo, hi) for lo, hi in qs]
+    # constant / heavily-skewed columns collapse to lo == hi: widen so the
+    # column degrades to a constant bit-plane instead of aborting the write
+    bounds = [(lo, hi if hi > lo else lo + 1.0) for lo, hi in qs]
     z = zorder_value(cols, bounds, bits=bits)
     zdf = df.withColumn("__z", z)
     ranged = (

@@ -46,7 +46,9 @@ class SyntheticEventsReader(DataSourceReader):
             raise ValueError("rows must be >= 0, partitions >= 1")
 
     def partitions(self):
-        step = -(-self.rows // self.num_partitions)  # ceil
+        # max(1, ceil): rows=0 must yield the single empty partition, not
+        # a zero range step
+        step = max(1, -(-self.rows // self.num_partitions))
         return [
             _RangePartition(lo, min(lo + step, self.rows), self.seed)
             for lo in range(0, self.rows, step)

@@ -913,7 +913,7 @@ def window_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         F.expr("ts div 1000").alias("ts_us"),
-        F.round(F.col("value") * F.lit(100), 0).alias("value_cents"),
+        _cents("value").alias("value_cents"),
     )
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -162,3 +162,17 @@ def test_agg_partials_compose_and_finalize(spark):
         # null-skipping count semantics survive the partials
         assert (r["y_count"], r["y_sum"]) == (d["y_count"], d["y_sum"])
         assert r["x_avg"] == d["x_sum"] / d["x_count"]
+
+
+def test_all_null_group_appears_with_zero(spark):
+    """A key whose values are all NULL must surface with count 0 —
+    exactly like plain groupBy + count_distinct (and the SQL oracle)."""
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("allnull", None), ("allnull", None)],
+        "k string, v long",
+    )
+    got = {
+        r["k"]: r["n_distinct"]
+        for r in skew_safe_distinct_count(df, ["k"], "v").collect()
+    }
+    assert got == {"a": 2, "allnull": 0}

@@ -292,3 +292,27 @@ def test_zorder_value_rejects_bad_args(spark):
         zorder_value(["x", "y"], [(0.0, 1.0), (1.0, 1.0)])
     with pytest.raises(ValueError):
         zorder_value(["a", "b", "c", "d"], [(0.0, 1.0)] * 4, bits=16)
+
+
+def test_zorder_constant_column_degrades_not_aborts(spark, tmp_path):
+    """A constant (or p01==p99) column must degrade to a constant
+    bit-plane; the other column still clusters."""
+    import pyarrow.parquet as pq
+
+    from feature_generation_benchmark_spark.sources.io import (
+        write_zordered_parquet,
+    )
+
+    n = 50_000
+    df = spark.range(n).select(
+        (F.xxhash64("id") % n).alias("x"), F.lit(7.0).alias("c")
+    )
+    d = str(tmp_path / "zconst")
+    write_zordered_parquet(df, d, ["x", "c"], n_files=8)
+    spans = []
+    for f in glob.glob(f"{d}/*.parquet"):
+        meta = pq.ParquetFile(f).metadata
+        for rg in range(meta.num_row_groups):
+            col = meta.row_group(rg).column(0)
+            spans.append(col.statistics.max - col.statistics.min)
+    assert max(spans) < 2 * n * 0.6  # x still clusters

@@ -49,3 +49,8 @@ def test_filter_pushes_into_planned_scan(spark):
     df = _read(spark, rows=1000, partitions=3).filter("event_type = 'click'")
     n = df.count()
     assert 0 < n < 1000
+
+
+def test_zero_rows_yields_empty_frame(spark):
+    df = _read(spark, rows=0, partitions=4)
+    assert df.count() == 0

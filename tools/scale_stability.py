@@ -20,7 +20,9 @@ import sys
 import tempfile
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 from pyspark.sql import functions as F  # noqa: E402
 
@@ -61,9 +63,18 @@ def build_scaled(spark, factor: int) -> str:
     return out
 
 
-def plan_shape(df) -> tuple[int, int, int]:
+def run_and_final_plan(df) -> tuple[float, tuple[int, int, int]]:
+    """Execute the frame (collect — probe queries all return small
+    results) and read the plan AFTER the action so AQE's FINAL plan is
+    inspected: reading executedPlan before execution shows only the
+    initial plan (isFinalPlan=false), which would hide exactly the
+    runtime join-strategy flips this tool exists to catch."""
+    t0 = time.time()
+    df.collect()
+    dt = time.time() - t0
     p = df._jdf.queryExecution().executedPlan().toString()
-    return (
+    assert "isFinalPlan=false" not in p, "plan not finalized"
+    return dt, (
         p.count("BroadcastHashJoin"),
         p.count("SortMergeJoin") + p.count("ShuffledHashJoin"),
         p.count("Exchange hashpartitioning"),
@@ -84,19 +95,8 @@ def main() -> int:
     try:
         for name in only:
             fn = reg[name].fn
-            base_shape, big_shape = plan_shape(fn(spark, SF_DIR)), plan_shape(
-                fn(spark, scaled)
-            )
-            t0 = time.time()
-            fn(spark, SF_DIR).write.mode("overwrite").parquet(
-                f"{scaled}/__out_base"
-            )
-            t_base = time.time() - t0
-            t0 = time.time()
-            fn(spark, scaled).write.mode("overwrite").parquet(
-                f"{scaled}/__out_big"
-            )
-            t_big = time.time() - t0
+            t_base, base_shape = run_and_final_plan(fn(spark, SF_DIR))
+            t_big, big_shape = run_and_final_plan(fn(spark, scaled))
             ratio = t_big / max(t_base, 1e-9)
             flag = "" if ratio < factor * 1.5 else "  <-- SUPERLINEAR"
             shape_note = (
