@@ -35,9 +35,12 @@ def registry() -> dict[str, QueryDef]:
         multimodal,
         relational,
         sampling,
+        features_eng,
         similarity,
         text,
+        timeseries,
         tpch_extra,
+        udtf_ops,
     )
 
     out: dict[str, QueryDef] = {}
@@ -52,6 +55,9 @@ def registry() -> dict[str, QueryDef]:
         curation,
         multimodal,
         graph,
+        timeseries,
+        features_eng,
+        udtf_ops,
     ):
         for q in mod.QUERIES:
             if q.name in out:

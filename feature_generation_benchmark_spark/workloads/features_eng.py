@@ -1,0 +1,291 @@
+"""Feature-engineering workload — TF-IDF term ranking, hashing-trick
+vectorization, exact heavy hitters, embedding normalization, and exact
+decile summaries.
+
+The classic sklearn-style feature-engineering surface re-expressed as
+distributed Spark plans (the reference engine stops at windowed
+aggregation features; a training pipeline also needs these corpus-level
+transforms). All scoring is integer-quantized (counts, cents, e6-scaled
+scores) so every oracle is a bit-exact DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from feature_generation_benchmark_spark.functions.textfns import tokens
+from feature_generation_benchmark_spark.sources.testdata import load_table
+from feature_generation_benchmark_spark.workloads import QueryDef
+
+_TOKS_SQL = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+)
+
+_TFIDF_K = 3  # top terms kept per document
+_HASH_BUCKETS = 64
+_HH_K = 5  # heavy hitters kept per event type
+
+
+# --------------------------------------------------------------------------
+# TF-IDF: tf per (doc, term), df per term, idf = ln(n_docs/df); top-K terms
+# per doc by quantized score. Three keyed shuffles (doc-term count, term
+# df + join-back, per-doc window) — each combines map-side; n_docs is a
+# 1-row broadcast. At 100 TB term cardinality ≪ corpus size, so the df
+# aggregate stays small relative to the scan.
+# --------------------------------------------------------------------------
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            # e6-quantized tf·idf: the only float ops are one division and
+            # one ln, identical on both engines before quantization
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+                * F.lit(1_000_000),
+                0,
+            )
+            .cast("long")
+            .alias("score_e6"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_e6").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TFIDF_K)
+        .select("doc_id", F.col("rank").cast("long"), "term", "tf", "df", "score_e6")
+    )
+
+
+_TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), nd AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+    CAST(round(tf.tf * ln(CAST(nd.n_docs AS DOUBLE) / df.df) * 1000000)
+         AS BIGINT) AS score_e6
+  FROM tf JOIN df USING (term) CROSS JOIN nd
+)
+SELECT doc_id, rank, term, tf, df, score_e6 FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score_e6 DESC, term) AS rank
+  FROM scored)
+WHERE rank <= {_TFIDF_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# hashing-trick vectorizer: token → md5-derived bucket; the fixed-width
+# sparse feature representation tokenizer-free text models train on.
+# Shuffle-free flatMap + one combining groupBy — scales linearly.
+# --------------------------------------------------------------------------
+
+def feature_hash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10)
+        .cast("long")
+        % _HASH_BUCKETS
+    ).alias("bucket")
+    return (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .select("doc_id", bucket)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_HASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+)
+SELECT doc_id,
+  CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % {_HASH_BUCKETS}
+    AS bucket,
+  CAST(count(*) AS BIGINT) AS n
+FROM toks GROUP BY doc_id, bucket
+"""
+
+
+# --------------------------------------------------------------------------
+# exact heavy hitters: top-K users per event type. Two-phase — the
+# (type, user) count combines map-side; the per-type top-K window runs on
+# the (small) distinct-key aggregate, never the raw stream. The sketch
+# alternative for unbounded key spaces is approx_users_per_type.
+# --------------------------------------------------------------------------
+
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("user_id")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _HH_K)
+        .select("event_type", F.col("rank").cast("long"), "user_id", "n")
+    )
+
+
+_HH_ORACLE = f"""
+WITH c AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, user_id
+)
+SELECT event_type, rank, user_id, n FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY n DESC, user_id) AS rank
+  FROM c)
+WHERE rank <= {_HH_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# per-dimension min-max normalization of the embedding corpus: the 64-row
+# per-dim stats aggregate broadcasts back over the exploded vectors — the
+# fit-then-transform scaler as one plan. All arithmetic is double on both
+# engines (float inputs widen exactly), so values are bit-identical.
+# --------------------------------------------------------------------------
+
+def embedding_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select("vec_id", "dim", F.col("v").cast("double").alias("v"))
+    stats = cells.groupBy("dim").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    return (
+        cells.join(F.broadcast(stats), "dim")
+        .select(
+            "vec_id",
+            F.col("dim").cast("long").alias("dim"),
+            ((F.col("v") - F.col("mn")) / (F.col("mx") - F.col("mn"))).alias(
+                "norm"
+            ),
+        )
+    )
+
+
+_MINMAX_ORACLE = """
+WITH cells AS (
+  SELECT vec_id, u.i - 1 AS dim, CAST(e[u.i] AS DOUBLE) AS v
+  FROM (SELECT vec_id, embedding AS e FROM embeddings),
+       unnest(generate_series(1, len(e))) AS u(i)
+), stats AS (
+  SELECT dim, min(v) AS mn, max(v) AS mx FROM cells GROUP BY dim
+)
+SELECT vec_id, CAST(cells.dim AS BIGINT) AS dim,
+       (v - mn) / (mx - mn) AS norm
+FROM cells JOIN stats ON cells.dim = stats.dim
+"""
+
+
+# --------------------------------------------------------------------------
+# exact decile summary: ntile(10) per event type over (cents, event_id) —
+# rank-based, so bit-exact across engines (no interpolation formula to
+# disagree on). The per-type total sort is the inherent cost of EXACT
+# quantiles (one reducer per type); approx_users_per_type carries the
+# sketch alternative for unbounded group cardinality.
+# --------------------------------------------------------------------------
+
+def value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * F.lit(100), 0).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    return (
+        ev.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .select(
+            "event_type", F.col("decile").cast("long"), "n",
+            "lo_cents", "hi_cents", "sum_cents",
+        )
+    )
+
+
+_DECILE_ORACLE = """
+WITH ev AS (
+  SELECT event_type, event_id, CAST(round(value*100) AS BIGINT) AS cents
+  FROM events
+), ranked AS (
+  SELECT event_type, cents,
+    ntile(10) OVER (PARTITION BY event_type ORDER BY cents, event_id)
+      AS decile
+  FROM ev
+)
+SELECT event_type, CAST(decile AS BIGINT) AS decile,
+  CAST(count(*) AS BIGINT) AS n,
+  min(cents) AS lo_cents,
+  max(cents) AS hi_cents,
+  CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM ranked GROUP BY event_type, decile
+"""
+
+
+QUERIES = [
+    QueryDef(
+        "tfidf_top_terms",
+        tfidf_top_terms,
+        _TFIDF_ORACLE,
+        "per-document top-k TF-IDF terms (e6-quantized scores)",
+    ),
+    QueryDef(
+        "feature_hash_buckets",
+        feature_hash_buckets,
+        _HASH_ORACLE,
+        "hashing-trick token vectorizer (md5 buckets)",
+    ),
+    QueryDef(
+        "heavy_hitters",
+        heavy_hitters,
+        _HH_ORACLE,
+        "exact top-k frequent users per event type, two-phase",
+    ),
+    QueryDef(
+        "embedding_minmax_norm",
+        embedding_minmax_norm,
+        _MINMAX_ORACLE,
+        "per-dimension min-max scaler fit+transform in one plan",
+    ),
+    QueryDef(
+        "value_deciles",
+        value_deciles,
+        _DECILE_ORACLE,
+        "exact rank-based decile summary per event type",
+    ),
+]

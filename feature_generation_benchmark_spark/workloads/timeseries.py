@@ -1,0 +1,236 @@
+"""Time-series / hypertable workload — calendar gap-fill with forward
+fill, OHLC bar resampling, and time-weighted averaging over the ``events``
+table.
+
+These are the hypertable-rollup-style operators a feature pipeline needs
+for irregular event streams (the reference's time model stops at integer
+``t_minus`` day buckets, ``docs/index.md:108-110`` — it has no resample /
+fill / irregular-interval surface at all).
+
+Scale posture: every operator here is keyed by ``user_id`` (or the bar
+key) — one hash-shuffle each, no global sorts, calendar explosion bounded
+by the day span (a constant — e.g. 730 — regardless of corpus size), so
+the plans scale horizontally with the key space at 100 TB.
+
+Determinism: all arithmetic is integer (epoch days / µs, value cents);
+ordering ties inside windows and argmin/argmax structs are broken by
+``event_id`` (unique), so results are bit-identical across engines and
+partition layouts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from feature_generation_benchmark_spark.sources.testdata import load_table
+from feature_generation_benchmark_spark.workloads import QueryDef
+
+_NS_PER_DAY = 86_400 * 10**9
+_US_PER_DAY = 86_400 * 10**6
+_BAR_US = 6 * 3600 * 10**6  # 6-hour bars
+_BAR_NS = _BAR_US * 1000
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, event_id, ts [int64 nanos], cents [long])."""
+    return load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.round(F.col("value") * F.lit(100), 0).cast("long").alias("cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# calendar gap-fill + forward fill (timescale-style ``time_bucket_gapfill``
+# + ``locf``): one row per (user, day) over each user's active span, gap
+# days carry 0 activity and the last observed event value forward
+# --------------------------------------------------------------------------
+
+def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    day = F.expr(f"ts div {_NS_PER_DAY}").alias("day")
+    # per (user, day): activity + that day's LAST event value (argmax by
+    # (ts, event_id) via lexicographic struct max — deterministic, one agg)
+    daily = (
+        ev.select("user_id", day, "ts", "event_id", "cents")
+        .groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("day_cents"),
+            F.max(F.struct("ts", "event_id", "cents"))["cents"].alias(
+                "last_cents"
+            ),
+        )
+    )
+    # each user's calendar: one sequence() per user, bounded by the day
+    # span (a constant at any corpus scale) — never a cross join
+    cal = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+        )
+    )
+    filled = cal.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return filled.select(
+        "user_id",
+        "day",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("day_cents", F.lit(0)).alias("day_cents"),
+        F.last("last_cents", ignorenulls=True).over(w).alias("carried_cents"),
+        F.when(F.col("n_events").isNull(), 1).otherwise(0)
+        .cast("int")
+        .alias("is_gap"),
+    )
+
+
+_GAP_FILL_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(round(value*100) AS BIGINT) AS cents
+  FROM events
+), daily AS (
+  SELECT user_id, ts_us // {_US_PER_DAY} AS day,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(cents) AS BIGINT) AS day_cents,
+         (max({{'ts': ts_us, 'e': event_id, 'v': cents}})).v AS last_cents
+  FROM ev GROUP BY user_id, day
+), cal AS (
+  SELECT user_id, unnest(generate_series(min(day), max(day))) AS day
+  FROM daily GROUP BY user_id
+)
+SELECT cal.user_id, cal.day,
+  coalesce(daily.n_events, 0) AS n_events,
+  coalesce(daily.day_cents, 0) AS day_cents,
+  last_value(daily.last_cents IGNORE NULLS) OVER (
+    PARTITION BY cal.user_id ORDER BY cal.day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS carried_cents,
+  CAST(CASE WHEN daily.n_events IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
+FROM cal LEFT JOIN daily ON cal.user_id = daily.user_id AND cal.day = daily.day
+"""
+
+
+# --------------------------------------------------------------------------
+# OHLC bar resample: irregular events → fixed 6-hour bars per event_type;
+# open/close are argmin/argmax by (ts, event_id) — single-agg struct trick
+# --------------------------------------------------------------------------
+
+def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    bar_start_us = (F.expr(f"ts div {_BAR_NS}") * F.lit(_BAR_US)).alias(
+        "bar_start_us"
+    )
+    return (
+        ev.select("event_type", bar_start_us, "ts", "event_id", "cents")
+        .groupBy("event_type", "bar_start_us")
+        .agg(
+            F.min(F.struct("ts", "event_id", "cents"))["cents"].alias(
+                "open_cents"
+            ),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.max(F.struct("ts", "event_id", "cents"))["cents"].alias(
+                "close_cents"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("volume_cents"),
+        )
+    )
+
+
+_OHLC_ORACLE = f"""
+WITH ev AS (
+  SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+         CAST(round(value*100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type,
+  (ts_us // {_BAR_US}) * {_BAR_US} AS bar_start_us,
+  (min({{'ts': ts_us, 'e': event_id, 'v': cents}})).v AS open_cents,
+  max(cents) AS high_cents,
+  min(cents) AS low_cents,
+  (max({{'ts': ts_us, 'e': event_id, 'v': cents}})).v AS close_cents,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(cents) AS BIGINT) AS volume_cents
+FROM ev GROUP BY event_type, bar_start_us
+"""
+
+
+# --------------------------------------------------------------------------
+# time-weighted average: each event's value holds until the user's next
+# event (step interpolation); weights are exact µs durations, so the only
+# float op is one final division — bit-deterministic
+# --------------------------------------------------------------------------
+
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        "cents",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    dur = (F.lead("ts_us").over(w) - F.col("ts_us")).alias("dur_us")
+    held = ev.select("user_id", "cents", dur).filter(F.col("dur_us").isNotNull())
+    return held.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dur_us").alias("span_us"),
+        F.sum(F.col("dur_us") * F.col("cents")).alias("weighted_sum"),
+        (
+            F.sum(F.col("dur_us") * F.col("cents")).cast("double")
+            / F.sum("dur_us")
+        ).alias("twa_cents"),
+    )
+
+
+_TWA_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(round(value*100) AS BIGINT) AS cents
+  FROM events
+), held AS (
+  SELECT user_id, cents,
+    lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - ts_us
+      AS dur_us
+  FROM ev
+)
+SELECT user_id,
+  CAST(count(*) AS BIGINT) AS n_intervals,
+  CAST(sum(dur_us) AS BIGINT) AS span_us,
+  CAST(sum(dur_us * cents) AS BIGINT) AS weighted_sum,
+  CAST(sum(dur_us * cents) AS DOUBLE) / sum(dur_us) AS twa_cents
+FROM held WHERE dur_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
+QUERIES = [
+    QueryDef(
+        "gap_fill_daily",
+        gap_fill_daily,
+        _GAP_FILL_ORACLE,
+        "calendar gap-fill + last-observation-carried-forward per user",
+    ),
+    QueryDef(
+        "ohlc_bars",
+        ohlc_bars,
+        _OHLC_ORACLE,
+        "irregular events resampled to 6h OHLC bars (argmin/argmax structs)",
+    ),
+    QueryDef(
+        "time_weighted_avg",
+        time_weighted_avg,
+        _TWA_ORACLE,
+        "step-interpolated time-weighted average, exact integer weights",
+    ),
+]
