@@ -123,13 +123,37 @@ def ngram_jaccard_pairs(
             .select("id_a", "id_b")
             .distinct()
         )
-        fa = sh.select(F.col(id_col).alias("id_a"), "shingle")
-        fb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        # verify against the FULL sets — but as per-doc hash ARRAYS, not
+        # exploded rows: candidates × avg set size explodes (sf0.1 skew
+        # fixture: 718k pairs → ~140M rows through the exploded join);
+        # joining one array row per doc side and intersecting JVM-side
+        # (array_intersect) moves only |pairs| + |docs| rows. At corpus
+        # scale the array table is one row per doc — AQE broadcasts it
+        # when small, hash-joins it when not.
+        arrs = sh.groupBy(id_col).agg(
+            F.array_sort(F.collect_list("shingle")).alias("__arr")
+        )
         common = (
-            cand.join(fa, "id_a")
-            .join(fb, ["id_b", "shingle"])
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("common"))
+            cand.join(
+                arrs.select(
+                    F.col(id_col).alias("id_a"), F.col("__arr").alias("__arr_a")
+                ),
+                "id_a",
+            )
+            .join(
+                arrs.select(
+                    F.col(id_col).alias("id_b"), F.col("__arr").alias("__arr_b")
+                ),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("__arr_a", "__arr_b")).alias(
+                    "common"
+                ),
+            )
+            .filter(F.col("common") > 0)
         )
     else:
         # without the prefix: count intersections straight off the

@@ -35,11 +35,24 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 5,
     damping_pct: int = 85,
+    small_state: bool = False,
 ) -> DataFrame:
     """(src, dst) int64 edge list → (node, score_e9) after ``iterations``
-    integer-quantized power steps from a uniform start."""
+    integer-quantized power steps from a uniform start.
+
+    ``small_state=True`` declares the NODE space dim-sized (even when the
+    edge list is huge — e.g. customers×suppliers trade graphs): per-node
+    state (scores, degrees, in-mass) is broadcast into the edge-side joins
+    and each iteration's scores are ``localCheckpoint``ed. That leaves ONE
+    shuffle per iteration (the in-mass re-aggregation over edges) and caps
+    lineage depth at one step, instead of three shuffle joins per
+    iteration over an ever-deeper plan. For web-scale node spaces leave it
+    False: state then stays partitioned and every join is a hash shuffle —
+    the horizontally-scaling posture.
+    """
     if not 0 < damping_pct < 100:
         raise ValueError("damping_pct must be in (0, 100)")
+    bc = F.broadcast if small_state else (lambda df: df)
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
     )
@@ -63,14 +76,14 @@ def pagerank(
     d = damping_pct
     for _ in range(iterations):
         contrib = (
-            e.join(scores.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
+            e.join(bc(scores.withColumnRenamed("node", "src")), "src")
+            .join(bc(deg), "src")
             .selectExpr("dst", "score_e9 div out_deg AS c")
         )
         sums = contrib.groupBy("dst").agg(F.sum("c").alias("in_mass"))
         scores = (
             nodes.crossJoin(F.broadcast(nn))
-            .join(sums, nodes.node == sums.dst, "left")
+            .join(bc(sums), nodes.node == sums.dst, "left")
             .selectExpr(
                 "node",
                 f"CAST(({100 - d}L * {SCALE}L) div (100L * n)"
@@ -78,4 +91,8 @@ def pagerank(
                 " AS score_e9",
             )
         )
+        if small_state:
+            # cut lineage each step: iteration i+1 starts from i's few
+            # thousand materialized rows, not its whole replayed plan
+            scores = scores.localCheckpoint(eager=True)
     return scores

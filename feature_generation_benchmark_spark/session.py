@@ -54,6 +54,28 @@ COMET_CONF: dict[str, str] = {
 }
 
 
+#: Runtime-settable subset of the engine profile, for sessions the engine
+#: did not build (the driver's vanilla session): AQE + coalescing + cached
+#: -plan repartitioning. Iterative operators call this best-effort — on a
+#: vanilla 200-shuffle-partition session a 5-iteration loop over cached
+#: invariants otherwise pays thousands of near-empty tasks.
+_RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    """Best-effort apply of the runtime-settable engine confs (no-op for
+    engine-built sessions, which already carry them)."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+
+
 def default_parallelism() -> int:
     """Cores the driver environment asks us to use (local mode)."""
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -107,6 +129,17 @@ def get_spark(
             str(cores * 8),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE right-size CACHED plans too: by default Spark pins a
+        # cache's output partitioning (uncoalesced, e.g. 256-1024 tiny
+        # partitions for a dim-sized distinct), and every downstream pass
+        # over the cache pays the full task count — the iterative
+        # operators (pagerank, k-means, connected components) re-read
+        # their cached invariants once per iteration, so this compounds.
+        # Measured: pagerank_suppliers sf0.1 16.7 s → 4.2 s warm.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")

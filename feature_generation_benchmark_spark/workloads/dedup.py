@@ -393,6 +393,9 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard edges, then resolve connected components (large-star /
     small-star) so transitively-linked documents share one canonical id —
     the step that turns pair lists into a keep/drop decision per doc."""
+    from feature_generation_benchmark_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)  # iterative star-contraction re-reads caches
     docs = load_table(spark, sf_dir, "documents")
     fp = docs.select("doc_id", fingerprint_md5("text").alias("fp"))
     canon = fp.groupBy("fp").agg(F.min("doc_id").alias("canonical"))

@@ -45,9 +45,17 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_generation_benchmark_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
     edges = _trade_edges(spark, sf_dir).cache()
     scores = pagerank(
-        edges, iterations=_PR_ITERS, damping_pct=_PR_DAMP
+        edges,
+        iterations=_PR_ITERS,
+        damping_pct=_PR_DAMP,
+        # node space = customers + suppliers (dim-sized) even though the
+        # edge list is fact-sized — the broadcast-state iteration applies
+        small_state=True,
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (

@@ -236,7 +236,9 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from feature_generation_benchmark_spark.operators.kmeans import (
         kmeans_train,
     )
+    from feature_generation_benchmark_spark.session import ensure_runtime_confs
 
+    ensure_runtime_confs(spark)  # iterative training re-reads cached input
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_train(
         emb, "vec_id", "embedding", init_centroids=_ivf_centroids(emb),

@@ -381,3 +381,27 @@ def test_q20_is_semi_join(spark):
 
     plan = _physical(q20_heavy_promo_suppliers(spark, "/root/testdata/sf0.001"))
     assert "LeftSemi" in plan, plan
+
+
+def test_dynamic_partition_pruning_on_hive_layout(spark, tmp_path_factory):
+    """A fact table hive-partitioned on part_col, joined to a FILTERED dim
+    on the partition key, must plan a dynamicpruning subquery on the scan —
+    at 100 TB this is the difference between scanning every partition and
+    only the ones the dim filter selects."""
+    root = str(tmp_path_factory.mktemp("dpp"))
+    fact_rows = [(i, f"partition_{i % 8}", float(i)) for i in range(4000)]
+    spark.createDataFrame(
+        fact_rows, "k long, part_col string, v double"
+    ).write.mode("overwrite").partitionBy("part_col").parquet(f"{root}/fact")
+    dim_rows = [(f"partition_{i}", "keep" if i < 2 else "drop") for i in range(8)]
+    spark.createDataFrame(dim_rows, "part_col string, tag string").write.mode(
+        "overwrite"
+    ).parquet(f"{root}/dim")
+
+    fact = spark.read.parquet(f"{root}/fact")
+    dim = spark.read.parquet(f"{root}/dim").filter(F.col("tag") == "keep")
+    joined = fact.join(dim, "part_col").groupBy("tag").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    # and the result only saw the two kept partitions
+    assert joined.collect()[0]["count"] == 1000
