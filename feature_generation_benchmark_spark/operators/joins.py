@@ -175,3 +175,40 @@ def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
 def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
     """Keep left rows with NO key match on the right."""
     return left.join(right, on=on, how="left_anti")
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_text: str,
+    right_text: str,
+    block_on: list,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Record linkage: blocked candidate join + edit-distance verify.
+
+    ``block_on`` is a list of (left_expr, right_expr) Column pairs used as
+    equality blocking keys — candidates come from an EQUI-join on those
+    keys (never a cross join; the classic blocking discipline that makes
+    fuzzy matching feasible at corpus scale). Candidates are then verified
+    with ``levenshtein(left_text, right_text) <= max_distance`` — exact,
+    JVM-side.
+
+    Returns all left columns + all right columns + ``__edit_dist``;
+    callers pick a best match per left row (e.g. a min(struct) argmin).
+    """
+    lt, rt = [], []
+    for i, (le, re_) in enumerate(block_on):
+        lt.append(le.alias(f"__blk_{i}"))
+        rt.append(re_.alias(f"__blk_{i}"))
+    lb = left.select("*", *lt)
+    rb = right.select("*", *rt)
+    keys = [f"__blk_{i}" for i in range(len(block_on))]
+    return (
+        lb.join(rb, on=keys)
+        .withColumn(
+            "__edit_dist", F.levenshtein(F.col(left_text), F.col(right_text))
+        )
+        .filter(F.col("__edit_dist") <= F.lit(max_distance))
+        .drop(*keys)
+    )

@@ -232,3 +232,38 @@ def enrich_stream(
     """
     d = F.broadcast(dim) if broadcast_dim else dim
     return events.join(d, on=on, how=how)
+
+
+def ohlc_stream(
+    events: DataFrame,
+    category: str = "event_type",
+    ts_col: str = "event_ts",
+    id_col: str = "event_id",
+    measure: str = "value",
+    bar: str = "6 hours",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming twin of the batch OHLC bar resample
+    (``workloads/timeseries.py::ohlc_bars``): tumbling event-time bars per
+    category with open/close as argmin/argmax by (ts, id) — the same
+    lexicographic struct min/max, which streaming aggregation state folds
+    incrementally. Watermark bounds bar state; on a batch frame this is
+    the identical aggregation, so tests assert stream-vs-batch equality.
+    """
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    base = src.select(
+        F.col(category),
+        F.col(ts_col),
+        F.col(id_col),
+        F.round(F.col(measure) * F.lit(100), 0).cast("long").alias("cents"),
+    )
+    return base.groupBy(
+        F.window(F.col(ts_col), bar).alias("bar"), F.col(category)
+    ).agg(
+        F.min(F.struct(ts_col, id_col, "cents"))["cents"].alias("open_cents"),
+        F.max("cents").alias("high_cents"),
+        F.min("cents").alias("low_cents"),
+        F.max(F.struct(ts_col, id_col, "cents"))["cents"].alias("close_cents"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("volume_cents"),
+    )

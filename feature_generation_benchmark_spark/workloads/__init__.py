@@ -36,6 +36,7 @@ def registry() -> dict[str, QueryDef]:
         relational,
         sampling,
         features_eng,
+        linkage,
         similarity,
         text,
         timeseries,
@@ -58,6 +59,7 @@ def registry() -> dict[str, QueryDef]:
         timeseries,
         features_eng,
         udtf_ops,
+        linkage,
     ):
         for q in mod.QUERIES:
             if q.name in out:

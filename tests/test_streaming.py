@@ -298,3 +298,44 @@ def test_session_window_stream_equals_batch(spark, event_dir):
     q.awaitTermination(120)
     got = sorted(map(tuple, spark.table("sw_sessions").collect()))
     assert got == want and len(got) > 0
+
+
+def test_ohlc_stream_equals_batch(spark, event_dir):
+    """The OHLC bar resample under a real streaming run (watermark +
+    availableNow) must equal the batch aggregation — including the
+    argmin/argmax struct open/close, which fold through incremental
+    aggregation state."""
+    from feature_generation_benchmark_spark.streaming.features import (
+        ohlc_stream,
+    )
+
+    static = spark.read.parquet(event_dir)
+
+    def canon(df):
+        return sorted(
+            (
+                r["bar"]["start"],
+                r["event_type"],
+                r["open_cents"],
+                r["high_cents"],
+                r["low_cents"],
+                r["close_cents"],
+                r["n_events"],
+                r["volume_cents"],
+            )
+            for r in df.collect()
+        )
+
+    want = canon(ohlc_stream(static))
+    stream = spark.readStream.schema(static.schema).parquet(event_dir)
+    q = (
+        ohlc_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ohlc_bars_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = canon(spark.table("ohlc_bars_stream"))
+    assert got == want and len(got) > 0

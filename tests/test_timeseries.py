@@ -141,3 +141,26 @@ def test_gap_fill_shuffles_only_on_user_keys(spark):
 def test_ohlc_is_single_shuffle(spark):
     plan = _physical(timeseries.ohlc_bars(spark, SF_SMOKE))
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_gap_fill_invariants_on_corpus(spark):
+    """On real testdata: per-user calendars are contiguous, activity mass
+    is conserved vs the raw events, and the carried value is never null
+    (the first calendar day always has events)."""
+    out = timeseries.gap_fill_daily(spark, SF_SMOKE).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+        assert r.carried_cents is not None
+        assert (r.n_events == 0) == (r.is_gap == 1)
+    ev = timeseries._events(spark, SF_SMOKE)
+    from pyspark.sql import functions as F
+
+    want_cents = {
+        r.user_id: r.s
+        for r in ev.groupBy("user_id").agg(F.sum("cents").alias("s")).collect()
+    }
+    for user, rows in by_user.items():
+        days = sorted(r.day for r in rows)
+        assert days == list(range(days[0], days[-1] + 1))
+        assert sum(r.day_cents for r in rows) == want_cents[user]
