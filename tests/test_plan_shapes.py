@@ -405,3 +405,38 @@ def test_dynamic_partition_pruning_on_hive_layout(spark, tmp_path_factory):
     assert "dynamicpruning" in plan.lower(), plan
     # and the result only saw the two kept partitions
     assert joined.collect()[0]["count"] == 1000
+
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _plan_of(fn, spark):
+    return fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_feature_eng_plan_shapes(spark):
+    """Freeze the shuffle budgets of the feature-engineering queries:
+    hashing-trick is flatMap + ONE combining groupBy; heavy hitters is
+    two-phase (combining count, then a window over the aggregate only);
+    TF-IDF is tf/df/join/window (≤4 exchanges) with the 1-row n_docs side
+    as a broadcast (its BroadcastNestedLoopJoin is the intended 1-row
+    cross join, not a blowup)."""
+    from feature_generation_benchmark_spark.workloads import features_eng
+
+    p = _plan_of(features_eng.feature_hash_buckets, spark)
+    assert p.count("Exchange hashpartitioning") == 1, p
+    p = _plan_of(features_eng.heavy_hitters, spark)
+    assert p.count("Exchange hashpartitioning") == 2, p
+    p = _plan_of(features_eng.tfidf_top_terms, spark)
+    assert p.count("Exchange hashpartitioning") <= 4, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_fuzzy_linkage_is_blocked_equi_join(spark):
+    """The linkage candidates must come from the blocking EQUI-join —
+    never a nested-loop/cartesian all-pairs comparison."""
+    from feature_generation_benchmark_spark.workloads import linkage
+
+    p = _plan_of(linkage.fuzzy_part_linkage, spark)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
