@@ -21,6 +21,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 from feature_generation_benchmark_spark.sources.generator import _splitmix64
@@ -55,16 +56,54 @@ class SyntheticEventsReader(DataSourceReader):
         ] or [_RangePartition(0, 0, self.seed)]
 
     def read(self, partition):
+        # rows keyed by GLOBAL index -> identical under any partition count
         for i in range(partition.start, partition.end):
-            # streams keyed by GLOBAL index -> identical rows under any
-            # partition count
-            h = _splitmix64(partition.seed ^ (i << 1))
-            yield (
-                i,
-                h % self.users,
-                _EVENT_TYPES[(h >> 32) % len(_EVENT_TYPES)],
-                round((_splitmix64(h) % 1_000_000) / 100.0, 2),
-            )
+            yield _row_at(i, partition.seed, self.users)
+
+
+def _row_at(i: int, seed: int, users: int):
+    """THE row for global index ``i`` — shared by the batch partitions and
+    the streaming micro-batches, so stream-accumulated data is
+    bit-identical to a batch read of the same range."""
+    h = _splitmix64(seed ^ (i << 1))
+    return (
+        i,
+        h % users,
+        _EVENT_TYPES[(h >> 32) % len(_EVENT_TYPES)],
+        round((_splitmix64(h) % 1_000_000) / 100.0, 2),
+    )
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the connector: offsets are plain row counters, so
+    micro-batches are replayable ranges (``readBetweenOffsets``) — the
+    exactly-once recovery contract. A bounded source (``rows``) simply
+    stops advancing its offset at the end."""
+
+    def __init__(self, options):
+        self.rows = int(options.get("rows", 1000))
+        self.batch_rows = int(options.get("batchRows", 200))
+        self.seed = int(options.get("seed", 42))
+        self.users = int(options.get("users", 100))
+
+    def initialOffset(self):
+        return {"idx": 0}
+
+    def read(self, start):
+        s = int(start["idx"])
+        e = min(s + self.batch_rows, self.rows)
+        # a LIST, not a generator: the (rows, offset) pair crosses the
+        # driver-side prefetch boundary by pickle
+        return (
+            [_row_at(i, self.seed, self.users) for i in range(s, e)],
+            {"idx": e},
+        )
+
+    def readBetweenOffsets(self, start, end):
+        return [
+            _row_at(i, self.seed, self.users)
+            for i in range(int(start["idx"]), int(end["idx"]))
+        ]
 
 
 class SyntheticEventsDataSource(DataSource):
@@ -77,6 +116,9 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema) -> SyntheticEventsReader:
         return SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SyntheticEventsStreamReader:
+        return SyntheticEventsStreamReader(self.options)
 
 
 def register_synthetic_events(spark) -> None:

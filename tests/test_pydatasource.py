@@ -54,3 +54,35 @@ def test_filter_pushes_into_planned_scan(spark):
 def test_zero_rows_yields_empty_frame(spark):
     df = _read(spark, rows=0, partitions=4)
     assert df.count() == 0
+
+
+def test_stream_reader_equals_batch(spark, tmp_path):
+    """The connector's streaming half must deliver exactly the batch
+    dataset: counter offsets advance in batchRows steps, stop at the
+    bound, and the accumulated micro-batches equal a batch read."""
+    rows = 500
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("rows", rows)
+        .option("batchRows", 120)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("synth_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    # Python micro-batch sources don't support availableNow: poll until
+    # the bounded source stops advancing, then stop the query
+    import time
+
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.table("synth_stream").count() >= rows:
+            break
+        time.sleep(1)
+    q.stop()
+    got = sorted(map(tuple, spark.table("synth_stream").collect()))
+    want = sorted(map(tuple, _read(spark, rows=rows).collect()))
+    assert got == want and len(got) == rows
