@@ -267,3 +267,78 @@ def ohlc_stream(
         F.count(F.lit(1)).alias("n_events"),
         F.sum("cents").alias("volume_cents"),
     )
+
+
+class RunningFeatureProcessor:
+    """`transformWithStateInPandas` processor (the Spark 4 successor of
+    ``applyInPandasWithState``, used by :func:`stateful_sessionizer`):
+    per-key running ``{count, sum, min, max}`` over the measure — the
+    streaming feature-store state-maintenance shape, state folded
+    incrementally per micro-batch with typed ValueState.
+
+    Emits the updated state row for every key touched by a batch, so an
+    Update-mode sink always carries each key's latest feature values.
+    """
+
+    OUTPUT_SCHEMA = (
+        "user_id long, n_events long, sum_cents long, "
+        "min_cents long, max_cents long"
+    )
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState(
+            "agg", "n long, s long, mn long, mx long"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        if self._state.exists():
+            n, s, mn, mx = self._state.get()
+        else:
+            n, s, mn, mx = 0, 0, None, None
+        for pdf in rows:
+            cents = (pdf["value"] * 100).round().astype("int64")
+            n += int(len(pdf))
+            s += int(cents.sum())
+            lo, hi = int(cents.min()), int(cents.max())
+            mn = lo if mn is None else min(mn, lo)
+            mx = hi if mx is None else max(mx, hi)
+        self._state.update((n, s, mn, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_cents": [s],
+                "min_cents": [mn],
+                "max_cents": [mx],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_features(events: DataFrame) -> DataFrame:
+    """Wire :class:`RunningFeatureProcessor` over a (streaming) events
+    frame keyed by user_id. Output mode Update: one refreshed feature row
+    per touched key per micro-batch.
+
+    Runtime note: Spark's transformWithState Python worker speaks a
+    protobuf state-server protocol, so executing this (unlike building the
+    plan) requires the ``protobuf`` package; the container this engine is
+    developed in lacks it, so the end-to-end streaming test self-skips
+    there and the fold logic is covered by a direct-drive test."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    # subclass registration kept local so the module imports even if the
+    # stateful-processor API moves between Spark minors
+    proc = type(
+        "_RunningFeatureProcessor",
+        (RunningFeatureProcessor, StatefulProcessor),
+        {},
+    )()
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=RunningFeatureProcessor.OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -339,3 +339,112 @@ def test_ohlc_stream_equals_batch(spark, event_dir):
     q.awaitTermination(120)
     got = canon(spark.table("ohlc_bars_stream"))
     assert got == want and len(got) > 0
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's Python state-server protocol needs "
+    "protobuf, absent in this container (API plumbing + handleInputRows "
+    "logic covered by test_running_feature_processor_logic)",
+)
+def test_transform_with_state_running_features(spark, event_dir, tmp_path):
+    """transformWithStateInPandas (Spark 4 stateful API): per-user running
+    {count,sum,min,max} folded across micro-batches must converge to the
+    batch aggregation — each key's LAST update-mode emission is its total."""
+    from feature_generation_benchmark_spark.streaming.features import (
+        running_features,
+    )
+
+    static = spark.read.parquet(event_dir)
+    want = {
+        r.user_id: (r.n, r.s, r.mn, r.mx)
+        for r in static.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("s"),
+            F.min(F.round(F.col("value") * 100, 0).cast("long")).alias("mn"),
+            F.max(F.round(F.col("value") * 100, 0).cast("long")).alias("mx"),
+        )
+        .collect()
+    }
+
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(event_dir)
+        .select("user_id", "value")
+    )
+    q = (
+        running_features(stream)
+        .writeStream.format("memory")
+        .queryName("running_feats")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # update mode: the emission with the highest n_events per key is the
+    # final state
+    got = {}
+    for r in spark.table("running_feats").collect():
+        cur = got.get(r.user_id)
+        if cur is None or r.n_events > cur[0]:
+            got[r.user_id] = (r.n_events, r.sum_cents, r.min_cents, r.max_cents)
+    assert got == want and len(got) > 0
+
+
+def test_running_feature_processor_logic():
+    """handleInputRows state folding, driven directly: two micro-batches
+    for one key must fold into the same totals as one combined batch."""
+    import pandas as pd
+
+    from feature_generation_benchmark_spark.streaming.features import (
+        RunningFeatureProcessor,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeState()
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self.state
+
+    proc = RunningFeatureProcessor()
+    h = FakeHandle()
+    proc.init(h)
+    b1 = pd.DataFrame({"value": [1.00, 3.00]})
+    b2 = pd.DataFrame({"value": [2.00]})
+    out1 = list(proc.handleInputRows((7,), iter([b1]), None))[0]
+    out2 = list(proc.handleInputRows((7,), iter([b2]), None))[0]
+    assert out1.iloc[0].to_dict() == {
+        "user_id": 7, "n_events": 2, "sum_cents": 400,
+        "min_cents": 100, "max_cents": 300,
+    }
+    assert out2.iloc[0].to_dict() == {
+        "user_id": 7, "n_events": 3, "sum_cents": 600,
+        "min_cents": 100, "max_cents": 300,
+    }
+    assert h.state.v == (3, 600, 100, 300)
