@@ -221,7 +221,11 @@ def value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.col("value") * F.lit(100), 0).cast("long").alias("cents"),
     )
-    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    # explicit NULLS LAST: Spark's bare asc is NULLS FIRST, DuckDB's is
+    # NULLS LAST — pin the contract so it can't diverge on nullable data
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("cents").asc_nulls_last(), F.col("event_id").asc_nulls_last()
+    )
     return (
         ev.withColumn("decile", F.ntile(10).over(w))
         .groupBy("event_type", "decile")
