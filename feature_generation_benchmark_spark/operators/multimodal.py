@@ -62,17 +62,21 @@ def attach_media_meta(
     )
 
 
-def _decode_stub(blob: bytes, media_type: str, decoder: str):
+def _decode_stub(
+    blob: bytes, media_type: str, decoder: str, digest: bytes | None = None
+):
     """THE STUB. A real deployment replaces this with PIL / torchaudio /
     pyav decoding; the deterministic fake derives plausible shapes and an
     8-dim feature vector from the content hash so downstream plumbing is
-    fully exercisable in tests."""
+    fully exercisable in tests. ``digest`` lets callers that already
+    hashed the blob (for content addressing) avoid a second pass."""
     if decoder == "real":
         raise NotImplementedError(
             "media decoding requires codec libraries not present in this "
             "environment; plug PIL/ffmpeg here"
         )
-    digest = hashlib.sha256(blob).digest()
+    if digest is None:
+        digest = hashlib.sha256(blob).digest()
     width = 16 + digest[0] % 240
     height = 16 + digest[1] % 240
     n_frames = 1 if media_type == "image" else 1 + digest[2] % 64
@@ -101,13 +105,16 @@ def extract_media_features(
                 rows = []
                 for doc_id, blob in zip(chunk[id_col], chunk[blob_col]):
                     data = bytes(blob)
-                    w, h, nf, vec = _decode_stub(data, media_type, decoder)
+                    digest = hashlib.sha256(data).digest()
+                    w, h, nf, vec = _decode_stub(
+                        data, media_type, decoder, digest=digest
+                    )
                     rows.append(
                         {
                             "doc_id": int(doc_id),
                             "media_type": media_type,
                             "n_bytes": len(data),
-                            "content_sha256": hashlib.sha256(data).hexdigest(),
+                            "content_sha256": digest.hex(),
                             "width": w,
                             "height": h,
                             "n_frames": nf,
