@@ -14,13 +14,21 @@ def read_parquet(
     spark: SparkSession,
     path: str,
     columns: list[str] | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Hive-partitioned (or flat) parquet dataset scan (S1/S2/S4).
 
     ``columns`` narrows the projection at plan level so pruning reaches the
-    scan (``ReadSchema`` in explain output).
+    scan (``ReadSchema`` in explain output). ``merge_schema`` unions the
+    schemas of all footers — the schema-evolution read for datasets whose
+    files were written across column additions (older files surface NULL
+    for the new columns). Off by default: merging footers costs a
+    metadata pass over every file, which matters at 100 TB file counts.
     """
-    df = spark.read.parquet(path)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(path)
     if columns is not None:
         df = df.select(*columns)
     return df

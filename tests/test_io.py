@@ -316,3 +316,23 @@ def test_zorder_constant_column_degrades_not_aborts(spark, tmp_path):
             col = meta.row_group(rg).column(0)
             spans.append(col.statistics.max - col.statistics.min)
     assert max(spans) < 2 * n * 0.6  # x still clusters
+
+
+def test_merge_schema_reads_evolved_dataset(spark, tmp_path):
+    """Schema evolution: files written before a column was added must
+    surface NULL for it under merge_schema=True, and the union schema
+    must include every column ever written."""
+    from feature_generation_benchmark_spark.sources.io import read_parquet
+
+    root = str(tmp_path / "evolved")
+    spark.createDataFrame([(1, "a")], "k long, v string").write.parquet(
+        f"{root}/part=old"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "k long, v string, score double"
+    ).write.parquet(f"{root}/part=new")
+
+    df = read_parquet(spark, root, merge_schema=True)
+    assert {f.name for f in df.schema.fields} >= {"k", "v", "score"}
+    rows = {r.k: r for r in df.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
