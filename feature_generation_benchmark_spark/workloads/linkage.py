@@ -39,8 +39,13 @@ def _corrupt(name, key):
 
 def fuzzy_part_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
-    clean = part.select(
-        F.col("p_partkey").alias("clean_key"), F.col("p_name").alias("clean_name")
+    # link against the DISTINCT-name catalog, not raw rows: the part table
+    # repeats each name across many keys, and raw-vs-raw linkage costs
+    # (dups-per-name)² per name. A deduped reference catalog (canonical
+    # key = min partkey per name) is both the realistic target and keeps
+    # candidates at |dirty| × names-per-block.
+    clean = part.groupBy(F.col("p_name").alias("clean_name")).agg(
+        F.min("p_partkey").alias("clean_key")
     )
     dirty = part.select(
         F.col("p_partkey").alias("dirty_key"),
@@ -93,7 +98,8 @@ WITH dirty AS (
                 AS BIGINT) % 3) AS pos
     FROM part)
 ), clean AS (
-  SELECT p_partkey AS clean_key, p_name AS clean_name FROM part
+  SELECT p_name AS clean_name, min(p_partkey) AS clean_key
+  FROM part GROUP BY p_name
 ), cand AS (
   SELECT d.dirty_key, d.dirty_name, c.clean_key, c.clean_name,
          levenshtein(d.dirty_name, c.clean_name) AS dist
