@@ -293,3 +293,48 @@ QUERIES = [
         "exact rank-based decile summary per event type",
     ),
 ]
+
+
+# --------------------------------------------------------------------------
+# exact interpolated percentiles (the percentile_cont surface): Spark's
+# `percentile` and DuckDB's `quantile_cont` share the (n-1)·p linear
+# interpolation, and on integer cents the interpolation arithmetic is the
+# same IEEE expression on both engines — bit-equal without rounding. The
+# rank-based sibling is value_deciles; the sketch sibling for unbounded
+# cardinality is approx_users_per_type.
+# --------------------------------------------------------------------------
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * F.lit(100), 0).cast("long").alias("cents"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.percentile("cents", 0.5).alias("p50_cents"),
+        F.percentile("cents", 0.9).alias("p90_cents"),
+        F.percentile("cents", 0.99).alias("p99_cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_PCTL_ORACLE = """
+WITH ev AS (
+  SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents FROM events
+)
+SELECT event_type,
+  quantile_cont(cents, 0.5)  AS p50_cents,
+  quantile_cont(cents, 0.9)  AS p90_cents,
+  quantile_cont(cents, 0.99) AS p99_cents,
+  CAST(count(*) AS BIGINT) AS n
+FROM ev GROUP BY event_type
+"""
+
+
+QUERIES.append(
+    QueryDef(
+        "value_percentiles",
+        value_percentiles,
+        _PCTL_ORACLE,
+        "exact interpolated percentiles (percentile_cont parity)",
+    )
+)
