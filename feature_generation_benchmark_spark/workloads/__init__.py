@@ -36,6 +36,7 @@ def registry() -> dict[str, QueryDef]:
         relational,
         sampling,
         features_eng,
+        funnel,
         linkage,
         similarity,
         text,
@@ -60,6 +61,7 @@ def registry() -> dict[str, QueryDef]:
         features_eng,
         udtf_ops,
         linkage,
+        funnel,
     ):
         for q in mod.QUERIES:
             if q.name in out:

@@ -1,0 +1,110 @@
+"""Ordered conversion-funnel workload — per-user view → click → purchase
+sequencing with strict event-time ordering.
+
+``observe_funnel`` (functions/metrics.py) counts stage rows in flight;
+this workload answers the harder sequenced question: how many users
+completed each stage IN ORDER, and how long conversion took. Stage
+anchors are earliest-qualifying events (first view; first click AFTER
+that view; first purchase AFTER that click), computed as conditional
+min-aggregations joined back per user — every shuffle is user-keyed, so
+the plan scales with the user space.
+
+Determinism: stage times are exact epoch µs; ties cannot occur within a
+stage (min over a set is unique) and durations are integer differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feature_generation_benchmark_spark.sources.testdata import load_table
+from feature_generation_benchmark_spark.workloads import QueryDef
+
+_STAGES = ("view", "click", "purchase")
+
+
+def funnel_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("ts div 1000").alias("ts_us"),
+    )
+    s1 = ev.filter(F.col("event_type") == _STAGES[0]).groupBy("user_id").agg(
+        F.min("ts_us").alias("t_view")
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == _STAGES[1])
+        .join(s1, "user_id")
+        .filter(F.col("ts_us") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_click"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == _STAGES[2])
+        .join(s2, "user_id")
+        .filter(F.col("ts_us") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_purchase"))
+    )
+    full = s1.join(s2, "user_id", "left").join(s3, "user_id", "left")
+    return full.agg(
+        F.count(F.lit(1)).alias("n_viewed"),
+        F.count("t_click").alias("n_clicked"),
+        F.count("t_purchase").alias("n_purchased"),
+        F.sum(
+            F.when(
+                F.col("t_purchase").isNotNull(),
+                F.col("t_purchase") - F.col("t_view"),
+            )
+        ).alias("total_convert_us"),
+        F.max(
+            F.when(
+                F.col("t_purchase").isNotNull(),
+                F.col("t_purchase") - F.col("t_view"),
+            )
+        ).alias("max_convert_us"),
+    )
+
+
+_FUNNEL_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+), s1 AS (
+  SELECT user_id, min(ts_us) AS t_view
+  FROM ev WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts_us) AS t_click
+  FROM ev e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts_us > s1.t_view
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts_us) AS t_purchase
+  FROM ev e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts_us > s2.t_click
+  GROUP BY e.user_id
+)
+SELECT
+  CAST(count(*) AS BIGINT) AS n_viewed,
+  CAST(count(s2.t_click) AS BIGINT) AS n_clicked,
+  CAST(count(s3.t_purchase) AS BIGINT) AS n_purchased,
+  CAST(sum(CASE WHEN s3.t_purchase IS NOT NULL
+                THEN s3.t_purchase - s1.t_view END) AS BIGINT)
+    AS total_convert_us,
+  CAST(max(CASE WHEN s3.t_purchase IS NOT NULL
+                THEN s3.t_purchase - s1.t_view END) AS BIGINT)
+    AS max_convert_us
+FROM s1
+LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
+"""
+
+
+QUERIES = [
+    QueryDef(
+        "funnel_conversions",
+        funnel_conversions,
+        _FUNNEL_ORACLE,
+        "ordered view->click->purchase funnel with strict time sequencing",
+    ),
+]
