@@ -108,3 +108,49 @@ QUERIES = [
         "ordered view->click->purchase funnel with strict time sequencing",
     ),
 ]
+
+
+_NS_PER_DAY = 86_400 * 10**9
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day
+    (cohort), counted distinct on each later activity day offset. The
+    classic growth-analytics rollup; exact integer day arithmetic, and
+    the only wide shuffle is keyed by (cohort, age, user) — bounded by
+    users × active days."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"ts div {_NS_PER_DAY}").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    aged = ev.join(first, "user_id").select(
+        "user_id",
+        "cohort_day",
+        (F.col("day") - F.col("cohort_day")).alias("age_days"),
+    )
+    return aged.groupBy("cohort_day", "age_days").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+_RETENTION_ORACLE = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+), first AS (
+  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id
+)
+SELECT cohort_day, ev.day - cohort_day AS age_days,
+       CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users
+FROM ev JOIN first USING (user_id)
+GROUP BY cohort_day, age_days
+"""
+
+
+QUERIES.append(
+    QueryDef(
+        "cohort_retention",
+        cohort_retention,
+        _RETENTION_ORACLE,
+        "first-activity cohorts x day-offset distinct-user retention matrix",
+    )
+)
