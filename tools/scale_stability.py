@@ -1,4 +1,5 @@
-"""Scale-stability probe for the relational join queries.
+"""Scale-stability probe for the relational join queries and the
+event/document operators (r2c).
 
 Synthesizes an N× fact-side scale-up of the sf0.1 testdata (orderkeys
 shifted per copy so order cardinality actually grows; dimension tables
@@ -30,6 +31,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 QUERIES = ("q7_nation_volume", "q13_order_histogram", "q18_large_orders",
            "q21_blamed_suppliers")
 
+#: event/document operators probed through a wrapping count aggregate:
+#: their full outputs grow with the scale factor, so collect() would ship
+#: millions of rows; the count executes every join/window/agg stage and
+#: (because the WRAPPED frame is what runs) its AQE plan finalizes for
+#: inspection — the one extra global agg appears identically at 1x and
+#: Nx, so shape comparison stays valid. (A noop/count on the ORIGINAL
+#: frame plans a separate query and leaves it unfinalized.) Events scale on BOTH event and user cardinality — the axis
+#: gap-fill/funnel/cohort plans must scale on.
+NOOP_QUERIES = ("gap_fill_daily", "heavy_hitters", "funnel_conversions",
+                 "cohort_retention", "tfidf_top_terms", "ohlc_bars")
+
 
 def build_scaled(spark, factor: int) -> str:
     """N× copies of lineitem/orders with disjoint orderkey ranges; other
@@ -55,21 +67,45 @@ def build_scaled(spark, factor: int) -> str:
     copies(orders, "o_orderkey").write.mode("overwrite").parquet(
         f"{out}/orders.parquet"
     )
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ev_shift = (ev.agg(F.max("event_id")).collect()[0][0] or 0) + 1
+    u_shift = (ev.agg(F.max("user_id")).collect()[0][0] or 0) + 1
+    ev_parts = [
+        ev.withColumn("event_id", F.col("event_id") + F.lit(i * ev_shift))
+        .withColumn("user_id", F.col("user_id") + F.lit(i * u_shift))
+        for i in range(factor)
+    ]
+    ev_u = ev_parts[0]
+    for part in ev_parts[1:]:
+        ev_u = ev_u.unionByName(part)
+    ev_u.write.mode("overwrite").parquet(f"{out}/events.parquet")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    d_shift = (docs.agg(F.max("doc_id")).collect()[0][0] or 0) + 1
+    d_parts = [
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * d_shift))
+        for i in range(factor)
+    ]
+    d_u = d_parts[0]
+    for part in d_parts[1:]:
+        d_u = d_u.unionByName(part)
+    d_u.write.mode("overwrite").parquet(f"{out}/documents.parquet")
     for t in ("region", "nation", "customer", "supplier", "part",
-              "events", "documents", "embeddings"):
+              "embeddings"):
         src = f"{SF_DIR}/{t}.parquet"
         if os.path.exists(src):
             os.symlink(src, f"{out}/{t}.parquet")
     return out
 
 
-def run_and_final_plan(df) -> tuple[float, tuple[int, int, int]]:
+def run_and_final_plan(df, action="collect") -> tuple[float, tuple[int, int, int]]:
     """Execute the frame (collect — probe queries all return small
     results) and read the plan AFTER the action so AQE's FINAL plan is
     inspected: reading executedPlan before execution shows only the
     initial plan (isFinalPlan=false), which would hide exactly the
     runtime join-strategy flips this tool exists to catch."""
     t0 = time.time()
+    if action != "collect":
+        df = df.agg(F.count(F.lit(1)))
     df.collect()
     dt = time.time() - t0
     p = df._jdf.queryExecution().executedPlan().toString()
@@ -95,8 +131,9 @@ def main() -> int:
     try:
         for name in only:
             fn = reg[name].fn
-            t_base, base_shape = run_and_final_plan(fn(spark, SF_DIR))
-            t_big, big_shape = run_and_final_plan(fn(spark, scaled))
+            action = "noop" if name in NOOP_QUERIES else "collect"
+            t_base, base_shape = run_and_final_plan(fn(spark, SF_DIR), action)
+            t_big, big_shape = run_and_final_plan(fn(spark, scaled), action)
             ratio = t_big / max(t_base, 1e-9)
             flag = "" if ratio < factor * 1.5 else "  <-- SUPERLINEAR"
             shape_note = (
