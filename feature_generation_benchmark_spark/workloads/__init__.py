@@ -38,6 +38,7 @@ def registry() -> dict[str, QueryDef]:
         features_eng,
         funnel,
         linkage,
+        pit,
         similarity,
         text,
         timeseries,
@@ -62,6 +63,7 @@ def registry() -> dict[str, QueryDef]:
         udtf_ops,
         linkage,
         funnel,
+        pit,
     ):
         for q in mod.QUERIES:
             if q.name in out:
