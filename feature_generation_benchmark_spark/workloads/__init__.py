@@ -39,6 +39,7 @@ def registry() -> dict[str, QueryDef]:
         funnel,
         linkage,
         pit,
+        quality,
         similarity,
         text,
         timeseries,
@@ -64,6 +65,7 @@ def registry() -> dict[str, QueryDef]:
         linkage,
         funnel,
         pit,
+        quality,
     ):
         for q in mod.QUERIES:
             if q.name in out:
