@@ -139,3 +139,43 @@ def test_time_weighted_avg_matches_model(spark, tmp_path_factory, rows):
             assert gtwa is None or math.isnan(gtwa)
         else:
             assert gtwa == twa  # single IEEE division both sides
+
+
+def _model_ohlc(rows):
+    _BAR_US = 6 * 3600 * 10**6
+    bars = {}
+    for user, eid, us, cents in rows:
+        bar = (us // _BAR_US) * _BAR_US
+        b = bars.setdefault(bar, [])
+        b.append((us, eid, cents))
+    want = {}
+    for bar, evs in bars.items():
+        evs.sort(key=lambda t: (t[0], t[1]))
+        cs = [c for _, _, c in evs]
+        want[bar] = (
+            evs[0][2],
+            max(cs),
+            min(cs),
+            evs[-1][2],
+            len(evs),
+            sum(cs),
+        )
+    return want
+
+
+@given(rows=event_logs())
+@settings(**_SETTINGS)
+def test_ohlc_matches_model(spark, tmp_path_factory, rows):
+    path = _write_events(spark, tmp_path_factory, rows)
+    got = {
+        r.bar_start_us: (
+            r.open_cents,
+            r.high_cents,
+            r.low_cents,
+            r.close_cents,
+            r.n_events,
+            r.volume_cents,
+        )
+        for r in timeseries.ohlc_bars(spark, path).collect()
+    }
+    assert got == _model_ohlc(rows)
