@@ -164,3 +164,23 @@ def test_gap_fill_invariants_on_corpus(spark):
         days = sorted(r.day for r in rows)
         assert days == list(range(days[0], days[-1] + 1))
         assert sum(r.day_cents for r in rows) == want_cents[user]
+
+
+def test_twa_is_single_user_keyed_shuffle(spark):
+    """Window + aggregation share the user_id partitioning: ONE exchange."""
+    plan = _physical(timeseries.time_weighted_avg(spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "user_id" in plan.split("Exchange hashpartitioning(")[1], plan
+
+
+def test_pit_shuffles_only_on_user_keys(spark):
+    """Point-in-time backfill: labels/history join and the feature agg are
+    both user-keyed — no unbounded-axis shuffle, no nested-loop join."""
+    from feature_generation_benchmark_spark.workloads import pit
+
+    plan = _physical(pit.point_in_time_features(spark, SF_SMOKE))
+    import re
+
+    ex = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert ex and all("user_id" in e for e in ex), plan
+    assert "CartesianProduct" not in plan, plan
