@@ -60,11 +60,13 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "orders_custkey_not_null"
         ),
     )
-    # lineitem → orders referential integrity: one anti-join, one count
+    # lineitem → orders referential integrity: one left join against the
+    # DISTINCT key set (a duplicated target key must not multiply fact
+    # rows — n_checked is the lineitem row count by contract)
     li = (
         lineitem.select("l_orderkey")
         .join(
-            orders.select("o_orderkey"),
+            orders.select("o_orderkey").distinct(),
             F.col("l_orderkey") == F.col("o_orderkey"),
             "left",
         )
@@ -118,7 +120,8 @@ WITH o AS (
 ), li AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
          CAST(count(*) FILTER (o_orderkey IS NULL) AS BIGINT) AS orphans
-  FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+  FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+    ON l_orderkey = o_orderkey
 ), e AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
          CAST(count(*) FILTER (event_type NOT IN

@@ -1,0 +1,60 @@
+"""Data-quality expectations: violations must actually be DETECTED — the
+oracle comparison runs on clean testdata where every check passes, so
+this fixture injects one violation of each kind and asserts the counts."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from feature_generation_benchmark_spark.workloads.quality import (
+    dq_expectations,
+)
+
+
+@pytest.fixture(scope="module")
+def dirty_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("dq") / "dir")
+    spark.createDataFrame(
+        [
+            (1, 10, 100.0, "O"),
+            (1, 11, 50.0, "F"),     # duplicate o_orderkey
+            (2, 12, -5.0, "O"),     # non-positive totalprice
+            (3, None, 20.0, "O"),   # null custkey
+        ],
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderstatus string",
+    ).write.parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        [(1, 1, 5.0), (99, 2, 7.0)],  # 99 → orphan (no such order)
+        "l_orderkey long, l_linenumber long, l_quantity double",
+    ).write.parquet(f"{d}/lineitem.parquet")
+    ts = dt.datetime(2024, 1, 5)
+    spark.createDataFrame(
+        [
+            (1, ts, 7, "click", 1.0, "{}"),
+            (2, ts, 7, "hover", 2.0, "{}"),   # out-of-domain type
+            (3, ts, 8, "view", -1.0, "{}"),   # negative value
+            (4, ts, 8, "view", None, "{}"),   # null value
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+    return d
+
+
+def test_violations_are_detected(spark, dirty_dir):
+    rows = {r.check: r for r in dq_expectations(spark, dirty_dir).collect()}
+    expect = {
+        "orders_key_unique": (4, 1),
+        "orders_price_positive": (4, 1),
+        "orders_custkey_not_null": (4, 1),
+        "lineitem_fk_orders": (2, 1),
+        "events_type_in_domain": (4, 1),
+        "events_value_in_range": (4, 2),
+    }
+    assert set(rows) == set(expect)
+    for check, (n, v) in expect.items():
+        r = rows[check]
+        assert (r.n_checked, r.violations, r.passed) == (n, v, False), check
