@@ -59,6 +59,11 @@ def main() -> None:
 
     shutil.rmtree(out_root, ignore_errors=True)
     total = round(sum(timings.values()), 3)
+    # The one-JSON-line driver contract: make sure the line starts at
+    # column 0 of a fresh line (r2's artifact was truncated by \r progress
+    # spam sharing the line) and hits the pipe immediately.
+    sys.stderr.flush()
+    print(flush=True)
     print(
         json.dumps(
             {
@@ -71,7 +76,8 @@ def main() -> None:
                 # benched-query count is equal — coverage grows each round
                 "n_queries": len(timings),
             }
-        )
+        ),
+        flush=True,
     )
 
 

@@ -3,11 +3,12 @@ algorithm pattern for embedding-space curation (cluster-balanced sampling,
 SemDeDup cluster models, IVF coarse quantizers are all downstream users).
 
 Each iteration is:
-  assignment  — broadcast the k centroids, argmin of squared L2 distance
-                via ``min(struct(score, cell))`` in ONE aggregation (no
-                window pass). The score drops the ``‖v‖²`` term — it is
-                constant per row, so ``argmin(‖c‖² − 2·v·c)`` picks the
-                same cell and saves a fold per row.
+  assignment  — broadcast the k×d model as ONE array-of-structs column,
+                argmin of squared L2 distance row-locally via
+                ``array_min(transform(...))`` — no shuffle at all. The
+                score drops the ``‖v‖²`` term — it is constant per row,
+                so ``argmin(‖c‖² − 2·v·c)`` picks the same cell and saves
+                a fold per row.
   update      — per-cell elementwise mean: explode (cell, dim, value),
                 average, re-assemble with ``sort_array(collect_list)``.
                 Centroid coordinates are rounded each iteration — that
@@ -17,8 +18,8 @@ Each iteration is:
                 which is what lets a SQL twin replay training exactly.
 
 Everything stays lazy: iterations chain into one logical plan; nothing is
-collected. Scale posture: assignment is a broadcast join (model is k×d
-literals — tiny); the update shuffles (cell, dim) pairs — ``d×`` the row
+collected. Scale posture: assignment is a zero-shuffle broadcast of a
+1-row model frame; the update shuffles (cell, dim) pairs — ``d×`` the row
 count in shuffle *rows* but only ~8 bytes each. At very large d, swap the
 explode update for an Arrow-batched partial-sum UDF; the assignment side
 (the hot path) needs no change.
@@ -43,25 +44,37 @@ CENTROID_DECIMALS = 6
 
 
 def _assign(corpus: DataFrame, cents: DataFrame) -> DataFrame:
-    """(id, v) × broadcast(cell, cv) → (id, v, cell) by nearest centroid.
-    Ties break toward the lower cell id via the struct's second field."""
+    """(id, v) × broadcast model → (id, v, cell) by nearest centroid.
+    Ties break toward the lower cell id via the struct's second field.
+
+    ZERO-SHUFFLE assignment: the k centroids are first collapsed into ONE
+    array-of-structs row (k×d doubles — tiny) that reaches every corpus
+    row via a broadcast nested-loop join of a 1-row frame; the argmin is
+    then taken row-locally with ``array_min`` over a ``transform``. The
+    earlier formulation (crossJoin against k centroid ROWS then
+    ``groupBy(__id)``) k-multiplied the corpus and re-shuffled every
+    (id, vector) pair once per iteration — at 100× data the assignment
+    shuffle dominates training; this plan's only exchange per iteration
+    is the (cell, dim) centroid update."""
     # ‖c‖² is per-centroid work: fold it once on the k-row side, not per
-    # (row × centroid) pair
-    cents_cc = cents.select(
-        "cell", "cv", dot(F.col("cv"), F.col("cv")).alias("cc")
-    )
-    scored = corpus.crossJoin(F.broadcast(cents_cc)).select(
-        "__id",
-        "__v",
+    # (row × centroid) pair. cell leads the struct so array_sort gives a
+    # deterministic model order.
+    model = cents.select(
         F.struct(
-            (F.col("cc") - 2 * dot(F.col("__v"), F.col("cv"))).alias("score"),
-            F.col("cell"),
-        ).alias("s"),
+            "cell", "cv", dot(F.col("cv"), F.col("cv")).alias("cc")
+        ).alias("c")
+    ).agg(F.array_sort(F.collect_list("c")).alias("__model"))
+    best = F.array_min(
+        F.transform(
+            F.col("__model"),
+            lambda c: F.struct(
+                (c["cc"] - 2 * dot(F.col("__v"), c["cv"])).alias("score"),
+                c["cell"].alias("cell"),
+            ),
+        )
     )
-    return (
-        scored.groupBy("__id")
-        .agg(F.min("s").alias("best"), F.first("__v").alias("__v"))
-        .select("__id", "__v", F.col("best.cell").alias("cell"))
+    return corpus.crossJoin(F.broadcast(model)).select(
+        "__id", "__v", best["cell"].alias("cell")
     )
 
 

@@ -151,6 +151,10 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # Console progress bars write \r-separated spam that has truncated
+        # a driver-captured BENCH artifact (r2: `parsed: null`); the engine
+        # never wants them.
+        .config("spark.ui.showConsoleProgress", "false")
     )
     if profile == "comet":
         jar = comet_jar()

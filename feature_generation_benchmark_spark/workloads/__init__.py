@@ -26,6 +26,42 @@ class QueryDef:
     bench: bool = True
 
 
+def _green_check_counts() -> dict[str, int]:
+    """How many times each query has a GREEN driver correctness row.
+
+    The driver's gate verifies only the FIRST 50 ``queries()`` entries per
+    round, so registry order decides which queries get driver-visible
+    correctness evidence. We read the committed ``CORRECTNESS_r*.json``
+    artifacts and count, per query, the rounds where it was green —
+    ``hash_match`` true, or a rows-only-by-design check (``no_oracle``)
+    that returned rows. Queries that were never checked, crashed, or were
+    hash-red count 0 and rotate to the front of the registry so every
+    round the least-driver-verified queries occupy the checked window.
+    """
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[2]
+    counts: dict[str, int] = {}
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            data = json.loads(p.read_text())
+        except Exception:
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, rec in data.items():
+            if not isinstance(rec, dict):
+                continue
+            green = bool(rec.get("hash_match")) or (
+                rec.get("err") == "no_oracle"
+                and (rec.get("spark_rows") or 0) > 0
+            )
+            if green:
+                counts[name] = counts.get(name, 0) + 1
+    return counts
+
+
 def registry() -> dict[str, QueryDef]:
     from feature_generation_benchmark_spark.workloads import (
         curation,
@@ -71,4 +107,10 @@ def registry() -> dict[str, QueryDef]:
             if q.name in out:
                 raise ValueError(f"duplicate query name {q.name}")
             out[q.name] = q
-    return out
+    # Rotate least-driver-verified queries to the front (stable within
+    # equal counts) so the driver's 50-row correctness window always
+    # covers the queries with the fewest green rows on record.
+    counts = _green_check_counts()
+    idx = {name: i for i, name in enumerate(out)}
+    ordered = sorted(out, key=lambda n: (counts.get(n, 0), idx[n]))
+    return {n: out[n] for n in ordered}

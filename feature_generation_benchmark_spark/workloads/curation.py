@@ -493,7 +493,7 @@ r AS (
 ),
 a AS (
   SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-         sum(value_cents) AS total_value_cents
+         CAST(sum(value_cents) AS BIGINT) AS total_value_cents
   FROM e GROUP BY user_id
 )
 SELECT r.user_id, r.ts_us AS last_ts_us, r.event_id AS last_event_id,
@@ -705,7 +705,7 @@ sampled AS (
   WHERE skey < CASE lang_pred {rate_case} END
 )
 SELECT lang_pred, source, CAST(count(*) AS BIGINT) AS n_docs,
-       sum(n_tokens) AS n_tokens_total
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total
 FROM sampled GROUP BY lang_pred, source
 """
 

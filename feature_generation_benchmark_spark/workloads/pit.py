@@ -6,15 +6,23 @@ STRICTLY BEFORE its own timestamp — per-row as-of semantics, not a global
 cutoff (that is ``features_asof``'s serving path). Getting this join
 right is what prevents training-serving skew / label leakage.
 
-Plan shape: labels and events equi-join on user_id (ONE keyed shuffle
-pair), with the window predicate as a join-time filter; features are
-conditional aggregations per (user, label) — decomposable, map-side
-combining. At 100 TB the join is user-hash-partitioned and the history
-side can additionally be pre-bounded by the max window via partition
-pruning (``events_transactions(max_t_minus=...)`` precedent).
+Plan shape (round-3 rewrite): NO label×history join at all. Labels are
+unioned with the event stream (label rows carry zeroed measures) and the
+trailing features are sliding RANGE frames over ONE user-keyed window —
+``rangeBetween(-W, -1)`` on exact µs timestamps, evaluated incrementally
+by Spark's sliding-frame machinery (add/remove rows as the frame slides,
+O(events) per user after the sort). The earlier equi-join formulation
+multiplied each label by its 30-day history, which is quadratic per hot
+user (a user with H events and P labels materialized P×H join rows);
+the window formulation is a single hash-partition shuffle on user_id and
+linear per user, so a hot key costs sort + one pass, never a blowup.
+Both 7d and 30d frames share one Window operator (same partitioning and
+ordering → one shuffle, one sort, two frames).
 
-Determinism: exact integer µs timestamps and cents; strict ``<`` bound
-means a label's own event never leaks into its features.
+Determinism: exact integer µs timestamps and cents; the frame upper
+bound ``-1`` on integer µs is exactly the strict ``<`` bound, so a
+label's own event never leaks into its features; range frames are
+defined by VALUE, so ordering ties cannot change the result.
 """
 
 from __future__ import annotations
@@ -29,6 +37,8 @@ _WINDOWS_US = {"7d": 7 * 86_400 * 10**6, "30d": 30 * 86_400 * 10**6}
 
 
 def point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
@@ -36,50 +46,60 @@ def point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("ts div 1000").alias("ts_us"),
         F.round(F.col("value") * F.lit(100), 0).cast("long").alias("cents"),
     )
+    # Event rows contribute their measures; label rows (one per purchase
+    # event, which ALSO stays in the stream as a measure-bearing event
+    # row) contribute zero so they never count toward another label's
+    # trailing features.
+    measures = ev.select(
+        "user_id",
+        F.lit(None).cast(ev.schema["event_id"].dataType).alias("label_id"),
+        "ts_us",
+        F.lit(1).alias("is_event"),
+        "cents",
+        (F.col("event_type") == "error").cast("int").alias("is_error"),
+    )
     labels = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
         F.col("event_id").alias("label_id"),
-        F.col("ts_us").alias("label_ts_us"),
+        "ts_us",
+        F.lit(0).alias("is_event"),
+        F.lit(0).cast("long").alias("cents"),
+        F.lit(0).alias("is_error"),
     )
-    hist = ev.select("user_id", "ts_us", "event_type", "cents")
-    joined = labels.join(hist, "user_id").filter(
-        (F.col("ts_us") < F.col("label_ts_us"))
-        & (
-            F.col("ts_us")
-            >= F.col("label_ts_us") - F.lit(_WINDOWS_US["30d"])
+    u = measures.unionByName(labels)
+    cols = []
+    for win in ("7d", "30d"):
+        # frame [ts - W, ts - 1]: inclusive lower bound == `>=`, the -1
+        # upper bound on integer µs == strict `<` (no self-leakage)
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts_us")
+            .rangeBetween(-_WINDOWS_US[win], -1)
         )
-    )
-    in7 = F.col("ts_us") >= F.col("label_ts_us") - F.lit(_WINDOWS_US["7d"])
-    aggs = []
-    for win, cond in (("7d", in7), ("30d", F.lit(True))):
-        aggs += [
-            F.count(F.when(cond, 1)).alias(f"n_events_{win}"),
-            F.sum(F.when(cond, F.col("cents"))).alias(f"sum_cents_{win}"),
-            F.count(
-                F.when(cond & (F.col("event_type") == "error"), 1)
+        cols += [
+            F.coalesce(F.sum("is_event").over(w), F.lit(0)).cast(
+                "long"
+            ).alias(f"n_events_{win}"),
+            F.coalesce(F.sum("cents").over(w), F.lit(0)).alias(
+                f"sum_cents_{win}"
+            ),
+            F.coalesce(F.sum("is_error").over(w), F.lit(0)).cast(
+                "long"
             ).alias(f"n_errors_{win}"),
         ]
-    feats = joined.groupBy("user_id", "label_id", "label_ts_us").agg(*aggs)
-    # labels with NO prior history inside the window must still appear
-    # (all-zero features) — the left join back is the leakage-proof
-    # equivalent of the reference task's "every key appears" contract
-    return labels.join(
-        feats, ["user_id", "label_id", "label_ts_us"], "left"
-    ).select(
-        "user_id",
-        "label_id",
-        "label_ts_us",
-        *[
-            F.coalesce(F.col(c), F.lit(0)).alias(c)
-            for c in (
-                "n_events_7d",
-                "sum_cents_7d",
-                "n_errors_7d",
-                "n_events_30d",
-                "sum_cents_30d",
-                "n_errors_30d",
-            )
-        ],
+    out = u.select(
+        "user_id", "label_id", F.col("ts_us").alias("label_ts_us"), *cols
+    )
+    order = [
+        "n_events_7d",
+        "sum_cents_7d",
+        "n_errors_7d",
+        "n_events_30d",
+        "sum_cents_30d",
+        "n_errors_30d",
+    ]
+    return out.filter(F.col("label_id").isNotNull()).select(
+        "user_id", "label_id", "label_ts_us", *order
     )
 
 

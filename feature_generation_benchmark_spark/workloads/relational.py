@@ -653,7 +653,7 @@ WITH e AS (
 )
 SELECT event_type,
   CAST(count(*) AS BIGINT) AS n_events,
-  sum(k) AS sum_k,
+  CAST(sum(k) AS BIGINT) AS sum_k,
   CAST(sum(k) AS DOUBLE) / count(k) AS avg_k,
   min(k) AS min_k,
   max(k) AS max_k

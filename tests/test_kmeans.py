@@ -34,6 +34,29 @@ def test_kmeans_inertia_decreases_and_assignment_is_total(spark):
     assert i3 < i0 * 0.9  # and it genuinely converged, not a no-op
 
 
+def test_assignment_is_zero_shuffle(spark):
+    """The per-iteration assignment must not shuffle the corpus: the k×d
+    model reaches rows as one broadcast array column and the argmin is
+    row-local (``array_min(transform(...))``). A hashpartitioning
+    Exchange here means the plan regressed to the k-multiplying
+    crossJoin + groupBy(__id) shape that re-shuffles every (id, vector)
+    pair once per iteration."""
+    from feature_generation_benchmark_spark.operators.kmeans import _assign
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("__id"),
+        F.col("embedding").cast("array<double>").alias("__v"),
+    )
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(_ivf_centroids(emb))],
+        "cell int, cv array<double>",
+    )
+    plan = _assign(corpus, cents)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_kmeans_deterministic(spark):
     a, _ = _total_inertia(spark, 2)
     b, _ = _total_inertia(spark, 2)

@@ -41,6 +41,51 @@ def pit_events(spark, tmp_path_factory):
     return d
 
 
+def test_pit_single_shuffle_no_join(spark, pit_events):
+    """The round-3 plan: labels union events → ONE user-keyed window pass.
+    A join in the plan means the quadratic label×history formulation came
+    back; a second hashpartitioning Exchange means the 7d/30d frames
+    stopped sharing the Window operator."""
+    df = point_in_time_features(spark, pit_events)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_pit_hot_user_is_linear(spark, tmp_path_factory):
+    """Crafted hot user: 2,000 events, half of them purchases (=1,000
+    labels) inside one 30d span. The old join plan materialized ~1M
+    label×history rows for this user; the window plan's output is exactly
+    n_labels rows and each trailing count matches the closed form."""
+    base = dt.datetime(1970, 6, 1)
+    rows = [
+        (
+            i,
+            base + dt.timedelta(minutes=i),
+            1,
+            "purchase" if i % 2 == 0 else "view",
+            1.00,
+            "{}",
+        )
+        for i in range(2000)
+    ]
+    d = str(tmp_path_factory.mktemp("pit_hot") / "dir")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+    out = point_in_time_features(spark, d).collect()
+    assert len(out) == 1000
+    # all 2,000 events sit inside any 7d window, so label i (event_id
+    # 2i... even ids) has exactly `its position in the stream` prior events
+    by_id = {r.label_id: r for r in out}
+    for label_id in (0, 2, 1000, 1998):
+        r = by_id[label_id]
+        assert r.n_events_7d == r.n_events_30d == label_id
+        assert r.sum_cents_7d == 100 * label_id
+
+
 def test_pit_no_leakage_and_windows(spark, pit_events):
     out = {r.label_id: r for r in point_in_time_features(spark, pit_events).collect()}
     assert set(out) == {4, 7}

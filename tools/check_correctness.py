@@ -2,18 +2,33 @@
 
 Runs every ``__spark_entry__.queries()`` entry on Spark and its
 ``oracle_sql()`` twin on DuckDB at the given sf dir, then compares
-row count, column names/order-insensitive values (rounded), and dtypes.
+row count, column names, and values.
+
+DRIVER-FAITHFUL CANONICALIZATION (round-3 rewrite): the driver fetches
+both sides through pandas, sorts columns by name, and hashes values in a
+dtype-sensitive way — DuckDB ``sum(BIGINT)`` returns HUGEINT which pandas
+renders as float64 (``99111.0``) while Spark's ``sum(long)`` stays int64
+(``99111``), flipping the hash on dtype alone even when the numbers are
+equal. The round-2 gate compared via ``fetchall()`` (HUGEINT -> Python
+int -> equal) and let exactly that class of bug survive a round. This
+version fetches both sides as pandas (``toPandas()`` / ``.df()``) and
+canonicalizes each cell as a (type-class, value) pair so int-vs-float
+mismatches fail the gate. Floats are rounded to 6 decimals for the
+verdict, but any exact-repr drift under the rounding is printed as a
+warning so ulp-level differences stay visible.
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import decimal
 import math
 import sys
 import time
 
 import duckdb
+import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
@@ -23,22 +38,59 @@ TABLES = (
 )
 
 
-def normalize(rows: list[tuple], colnames: list[str]) -> list[tuple]:
-    """Order-insensitive, float-tolerant canonical form."""
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+def canon_cell(v, exact: bool = False):
+    """Dtype-class-sensitive canonical form of one pandas cell.
 
-    def canon(v):
-        if isinstance(v, bool):
-            return v
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "NaN"
-            return round(v, 6)
-        return v
+    Returns (tag, value) so that an int64 99111 and a float64 99111.0
+    canonicalize differently — mirroring the driver's pandas value hash.
+    """
+    if v is None:
+        return ("0",)
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            # pandas renders SQL NULL in numeric columns as NaN on BOTH
+            # sides; treat NaN as the float-column null.
+            return ("0",)
+        return ("f", repr(f) if exact else round(f, 6))
+    if isinstance(v, decimal.Decimal):
+        return ("dec", str(v))
+    if isinstance(v, (bytes, bytearray)):
+        return ("y", bytes(v))
+    if isinstance(v, str):
+        return ("s", v)
+    if isinstance(v, dict):
+        return (
+            "m",
+            tuple(
+                sorted(
+                    (str(k), canon_cell(x, exact)) for k, x in v.items()
+                )
+            ),
+        )
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return ("a", tuple(canon_cell(x, exact) for x in v))
+    try:
+        if v != v:  # pd.NaT and friends
+            return ("0",)
+    except Exception:
+        pass
+    return ("s", str(v))
 
-    out = [tuple(canon(r[i]) for i in order) for r in rows]
-    out.sort(key=repr)
-    return out
+
+def canon_pdf(pdf, exact: bool = False) -> list[tuple]:
+    """Driver-mimic canonical form: columns sorted by name, rows sorted."""
+    pdf = pdf[sorted(pdf.columns)]
+    rows = [
+        tuple(canon_cell(v, exact) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    ]
+    rows.sort(key=repr)
+    return rows
 
 
 def main() -> int:
@@ -80,29 +132,27 @@ def main() -> int:
             continue
         t0 = time.time()
         sdf = fn(spark, sf_dir)
-        spark_cols = sdf.columns
-        spark_rows = [tuple(r) for r in sdf.collect()]
+        spark_pdf = sdf.toPandas()
         t_spark = time.time() - t0
+        n_spark = len(spark_pdf)
         if name not in oracles:
-            print(f"{name}: rows={len(spark_rows)} (rows-only, no oracle) "
+            print(f"{name}: rows={n_spark} (rows-only, no oracle) "
                   f"[{t_spark:.1f}s]")
-            if len(spark_rows) == 0:
+            if n_spark == 0:
                 failures.append((name, "0 rows"))
             continue
-        res = con.execute(oracles[name])
-        duck_cols = [d[0] for d in res.description]
-        duck_rows = res.fetchall()
+        duck_pdf = con.execute(oracles[name]).df()
 
         problems = []
-        if sorted(spark_cols) != sorted(duck_cols):
-            extra = set(spark_cols) - set(duck_cols)
-            miss = set(duck_cols) - set(spark_cols)
+        if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+            extra = set(spark_pdf.columns) - set(duck_pdf.columns)
+            miss = set(duck_pdf.columns) - set(spark_pdf.columns)
             problems.append(f"columns differ extra={extra} missing={miss}")
-        if len(spark_rows) != len(duck_rows):
-            problems.append(f"rowcount {len(spark_rows)} vs {len(duck_rows)}")
+        if n_spark != len(duck_pdf):
+            problems.append(f"rowcount {n_spark} vs {len(duck_pdf)}")
         if not problems:
-            a = normalize(spark_rows, spark_cols)
-            b = normalize(duck_rows, duck_cols)
+            a = canon_pdf(spark_pdf)
+            b = canon_pdf(duck_pdf)
             if a != b:
                 n_bad = sum(1 for x, y in zip(a, b) if x != y)
                 problems.append(f"values differ in {n_bad}/{len(a)} rows")
@@ -115,8 +165,19 @@ def main() -> int:
                         ][:5]
                         print(f"  first diff row: {diffs}")
                         break
+            else:
+                # rounded-equal: surface any exact-repr float drift as a
+                # warning (the driver's hash may be exact).
+                ax = canon_pdf(spark_pdf, exact=True)
+                bx = canon_pdf(duck_pdf, exact=True)
+                if ax != bx:
+                    n_drift = sum(1 for x, y in zip(ax, bx) if x != y)
+                    print(
+                        f"  WARN {name}: float drift under 1e-6 in "
+                        f"{n_drift}/{len(ax)} rows (rounded-equal)"
+                    )
         status = "OK" if not problems else "FAIL " + "; ".join(problems)
-        print(f"{name}: rows={len(spark_rows)} {status} [{t_spark:.1f}s]")
+        print(f"{name}: rows={n_spark} {status} [{t_spark:.1f}s]")
         if problems:
             failures.append((name, problems))
 
