@@ -43,14 +43,19 @@ class SentenceSplit:
             yield idx, sent, len(toks)
 
 
-def register_udtfs(spark) -> None:
-    """Idempotently register the engine's UDTFs on ``spark``."""
+def register_udtfs(spark, use_arrow: bool = True) -> None:
+    """Idempotently register the engine's UDTFs on ``spark``.
+
+    ``use_arrow=True`` (default) requests Spark 4's Arrow-optimized UDTF
+    evaluation — output rows cross the Python boundary as Arrow batches
+    instead of pickled rows, the same ~10× transfer win as pandas UDFs.
+    Falls back to the pickled path on builds without the parameter.
+    """
     from pyspark.sql.functions import udtf
 
-    spark.udtf.register(
-        "sentence_split",
-        udtf(
-            SentenceSplit,
-            returnType="sent_idx BIGINT, sentence STRING, n_tokens BIGINT",
-        ),
-    )
+    schema = "sent_idx BIGINT, sentence STRING, n_tokens BIGINT"
+    try:
+        fn = udtf(SentenceSplit, returnType=schema, useArrow=use_arrow)
+    except TypeError:  # older API without useArrow
+        fn = udtf(SentenceSplit, returnType=schema)
+    spark.udtf.register("sentence_split", fn)

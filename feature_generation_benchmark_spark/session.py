@@ -124,9 +124,14 @@ def get_spark(
         # bucket_pivot at 1.2B rows: 808 s at 32 partitions vs 634 s at
         # 256 — per-task spill was the bottleneck), while AQE merges the
         # excess away for small stages at no measurable cost.
+        # (factor overridable via SPARK_GRAFT_INIT_PARTITION_FACTOR for
+        # A/B probes; 8 is the measured volume-sized default)
         .config(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            str(cores * 8),
+            str(
+                cores
+                * int(os.environ.get("SPARK_GRAFT_INIT_PARTITION_FACTOR", "8"))
+            ),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Let AQE right-size CACHED plans too: by default Spark pins a

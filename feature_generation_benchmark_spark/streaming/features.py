@@ -296,7 +296,17 @@ class RunningFeatureProcessor:
         else:
             n, s, mn, mx = 0, 0, None, None
         for pdf in rows:
-            cents = (pdf["value"] * 100).round().astype("int64")
+            if len(pdf) == 0:  # empty Arrow chunk: min()/max() would NaN
+                continue
+            # round HALF_UP (away from zero) to match the engine-wide
+            # Spark F.round cents rule — pandas Series.round() is
+            # banker's half-even and diverges on x.xx5 values
+            import numpy as np
+
+            scaled = pdf["value"].to_numpy(dtype="float64") * 100.0
+            cents = (
+                np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)
+            ).astype("int64")
             n += int(len(pdf))
             s += int(cents.sum())
             lo, hi = int(cents.min()), int(cents.max())

@@ -446,8 +446,14 @@ SELECT id AS doc_id, min(root) AS component FROM r GROUP BY id
 QUERIES = [
     QueryDef("dedup_exact", dedup_exact, _EXACT_ORACLE,
              "exact dedup via md5 fingerprint group-by"),
+    # bench=False: the exact-pairs inverted-index path is the labeled
+    # correctness baseline; the headline jaccard cost in BENCH is the
+    # prefix-filtered AllPairs entry below — the plan that survives a
+    # Zipfian corpus at scale.
     QueryDef("dedup_ngram_jaccard", dedup_ngram_jaccard, _JACCARD_ORACLE,
-             "exact pairwise Jaccard via shingle inverted index"),
+             "exact pairwise Jaccard via shingle inverted index "
+             "(correctness baseline; prefix path is the benched plan)",
+             bench=False),
     QueryDef("dedup_ngram_jaccard_prefix", dedup_ngram_jaccard_prefix,
              _JACCARD_PREFIX_ORACLE,
              "AllPairs prefix-filtered Jaccard on a skewed (hot-shingle) "

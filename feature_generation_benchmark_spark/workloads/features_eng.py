@@ -186,9 +186,12 @@ def embedding_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.col("dim").cast("long").alias("dim"),
-            ((F.col("v") - F.col("mn")) / (F.col("mx") - F.col("mn"))).alias(
-                "norm"
-            ),
+            # a constant dimension has mx == mn: 0/0 is engine-dependent
+            # (NULL vs NaN) — pin it to NULL on both sides
+            F.when(
+                F.col("mx") > F.col("mn"),
+                (F.col("v") - F.col("mn")) / (F.col("mx") - F.col("mn")),
+            ).alias("norm"),
         )
     )
 
@@ -202,7 +205,7 @@ WITH cells AS (
   SELECT dim, min(v) AS mn, max(v) AS mx FROM cells GROUP BY dim
 )
 SELECT vec_id, CAST(cells.dim AS BIGINT) AS dim,
-       (v - mn) / (mx - mn) AS norm
+       CASE WHEN mx > mn THEN (v - mn) / (mx - mn) END AS norm
 FROM cells JOIN stats ON cells.dim = stats.dim
 """
 

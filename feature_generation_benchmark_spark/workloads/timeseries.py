@@ -186,9 +186,13 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_intervals"),
         F.sum("dur_us").alias("span_us"),
         F.sum(F.col("dur_us") * F.col("cents")).alias("weighted_sum"),
-        (
+        # a user whose ≥2 events all share one µs timestamp has span 0:
+        # 0/0 is engine-dependent (NULL vs NaN) — pin it to NULL on both
+        # sides so the result is deterministic
+        F.when(
+            F.sum("dur_us") > 0,
             F.sum(F.col("dur_us") * F.col("cents")).cast("double")
-            / F.sum("dur_us")
+            / F.sum("dur_us"),
         ).alias("twa_cents"),
     )
 
@@ -208,7 +212,9 @@ SELECT user_id,
   CAST(count(*) AS BIGINT) AS n_intervals,
   CAST(sum(dur_us) AS BIGINT) AS span_us,
   CAST(sum(dur_us * cents) AS BIGINT) AS weighted_sum,
-  CAST(sum(dur_us * cents) AS DOUBLE) / sum(dur_us) AS twa_cents
+  CASE WHEN sum(dur_us) > 0
+       THEN CAST(sum(dur_us * cents) AS DOUBLE) / sum(dur_us)
+       END AS twa_cents
 FROM held WHERE dur_us IS NOT NULL
 GROUP BY user_id
 """

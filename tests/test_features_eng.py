@@ -121,3 +121,25 @@ def test_sentence_split_lateral_join(spark):
         (1, "a b", 2),
         (2, "c", 1),
     ]
+
+
+def test_sentence_split_arrow_equals_pickled(spark):
+    """The Arrow-optimized UDTF evaluation (the registered default) must
+    emit exactly the rows of the pickled row-at-a-time path."""
+    df = spark.createDataFrame(
+        [(1, "a b. c!"), (2, None), (3, "!!!"), (4, "x? y z.  w")],
+        "doc_id long, text string",
+    )
+    q = (
+        "SELECT d.doc_id, s.sent_idx, s.sentence, s.n_tokens "
+        "FROM {d} d, LATERAL sentence_split(d.text) s "
+        "ORDER BY d.doc_id, s.sent_idx"
+    )
+    register_udtfs(spark, use_arrow=True)
+    arrow_rows = [tuple(r) for r in spark.sql(q, d=df).collect()]
+    register_udtfs(spark, use_arrow=False)
+    pickled_rows = [tuple(r) for r in spark.sql(q, d=df).collect()]
+    # restore the engine default registration for other tests
+    register_udtfs(spark)
+    assert arrow_rows == pickled_rows
+    assert len(arrow_rows) == 5

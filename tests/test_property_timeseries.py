@@ -112,8 +112,8 @@ def _model_twa(rows):
             den += dur
         if den == 0:
             # all events share one timestamp: every duration is 0 — the
-            # operator drops such users only if ALL leads are null, which
-            # cannot happen with >=2 events; it emits a 0/0 division
+            # operator keeps the user (>=2 events always leave >=1
+            # interval row) and pins the 0-span average to NULL
             want[user] = (len(evs) - 1, 0, 0, None)
         else:
             want[user] = (len(evs) - 1, den, num, num / den)
@@ -134,9 +134,8 @@ def test_time_weighted_avg_matches_model(spark, tmp_path_factory, rows):
         gn, gden, gnum, gtwa = got[user]
         assert (gn, gden, gnum) == (n, den, num)
         if twa is None:
-            import math
-
-            assert gtwa is None or math.isnan(gtwa)
+            # span-0 users are pinned to NULL (deterministic, oracle-equal)
+            assert gtwa is None
         else:
             assert gtwa == twa  # single IEEE division both sides
 

@@ -74,15 +74,27 @@ def test_stream_reader_equals_batch(spark, tmp_path):
         .start()
     )
     # Python micro-batch sources don't support availableNow: poll until
-    # the bounded source stops advancing, then stop the query
+    # the bounded source stops advancing, then stop the query. The
+    # deadline is a STALL timeout (any progress resets it), so slow-host
+    # sessions don't flake as long as micro-batches keep landing.
     import time
 
-    deadline = time.time() + 120
+    stall_s = 120
+    deadline = time.time() + stall_s
+    seen = -1
     while time.time() < deadline:
-        if spark.table("synth_stream").count() >= rows:
+        n = spark.table("synth_stream").count()
+        if n >= rows:
             break
+        if n > seen:
+            seen = n
+            deadline = time.time() + stall_s
         time.sleep(1)
     q.stop()
+    n = spark.table("synth_stream").count()
+    assert n >= rows, (
+        f"stream stalled: {n}/{rows} rows after {stall_s}s without progress"
+    )
     got = sorted(map(tuple, spark.table("synth_stream").collect()))
     want = sorted(map(tuple, _read(spark, rows=rows).collect()))
     assert got == want and len(got) == rows

@@ -448,3 +448,20 @@ def test_running_feature_processor_logic():
         "min_cents": 100, "max_cents": 300,
     }
     assert h.state.v == (3, 600, 100, 300)
+    # HALF_UP rounding (engine-wide F.round rule): 0.125*100 = 12.5 → 13,
+    # where pandas' banker's round() would give 12; empty chunks are
+    # skipped, not crashed on (min of empty → NaN)
+    proc2 = RunningFeatureProcessor()
+    proc2.init(FakeHandle())
+    out3 = list(
+        proc2.handleInputRows(
+            (9,),
+            iter([pd.DataFrame({"value": [0.125]}),
+                  pd.DataFrame({"value": []})]),
+            None,
+        )
+    )[0]
+    assert out3.iloc[0].to_dict() == {
+        "user_id": 9, "n_events": 1, "sum_cents": 13,
+        "min_cents": 13, "max_cents": 13,
+    }

@@ -16,6 +16,24 @@ tiny 104.21 s / small 151.60 s / medium 455.49 s; PySpark case-when tiny
 at-scale default, ``case_when`` the canonical-semantics anchor.
 ``big_parts`` / ``big_keys`` isolate the big ladder's two stress axes on
 disk-constrained boxes (see ``sources/generator.py::SIZES``).
+
+NOISE-PROOF PROTOCOL (round 3 — this host's deliverable CPU swings up to
+~7× between minutes, so single cold readings are not trustworthy):
+
+- the generated dataset persists under ``SPARK_GRAFT_DATA_CACHE``
+  (default ``/tmp/fgb_ref_cache``) keyed by (size, seed) and is reused
+  across runs — generation noise never contaminates the query anchor;
+- each strategy runs ``SPARK_GRAFT_REPS`` times (default 3) in ONE
+  session; the per-rep times and their median are reported — the median
+  of same-session reps is the load-bearing number;
+- an all-core integer burn probe runs before and after the reps and its
+  wall time is recorded next to the anchor, so any reader can rescale a
+  reading taken in a slow host window (healthy ≈ ``probe_ref_sec``).
+
+Env: ``SPARK_GRAFT_REPS``, ``SPARK_GRAFT_DATA_CACHE``,
+``SPARK_GRAFT_KEEP_CACHE=0`` to delete after the run,
+``SPARK_GRAFT_INIT_PARTITION_FACTOR`` (session.py) for the
+initialPartitionNum A/B.
 """
 
 from __future__ import annotations
@@ -52,6 +70,29 @@ STRATEGIES = {
 }
 
 
+def _burn(loops: int) -> None:
+    x = 0
+    for i in range(loops):
+        x += i
+
+
+def burn_probe(loops: int = 10**8) -> float:
+    """Wall time of an all-core Python integer burn — the host-capacity
+    calibration recorded beside every anchor. On a healthy window this
+    box measures ~4-6 s; a 3-7× higher reading means the anchor ran in a
+    degraded window and should be rescaled or re-measured."""
+    import multiprocessing as mp
+
+    n = os.cpu_count() or 8
+    t0 = time.time()
+    procs = [mp.Process(target=_burn, args=(loops,)) for _ in range(n)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+    return round(time.time() - t0, 2)
+
+
 def _default_heap_gb() -> int:
     """~70% of machine RAM: the at-scale runs are single-JVM local mode, so
     the driver heap IS the executor heap; the tests' 8g default starves a
@@ -65,36 +106,60 @@ def main() -> None:
     size = sys.argv[1] if len(sys.argv) > 1 else "tiny"
     strategies = sys.argv[2:] or ["bucket_rollup"]
     seed = int(os.environ.get("SPARK_GRAFT_SEED", "42"))
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
+    cache_root = os.environ.get(
+        "SPARK_GRAFT_DATA_CACHE", "/tmp/fgb_ref_cache"
+    )
+    keep_cache = os.environ.get("SPARK_GRAFT_KEEP_CACHE", "1") != "0"
 
     os.environ.setdefault("SPARK_DRIVER_MEMORY", f"{_default_heap_gb()}g")
     spark = get_spark(f"fgb-reference-{size}")
     spec = reference_spec()
-    root = tempfile.mkdtemp(prefix=f"fgb_ref_{size}_")
-    data_path = os.path.join(root, "transactions")
+    out_root = tempfile.mkdtemp(prefix=f"fgb_ref_{size}_")
 
-    t0 = time.time()
-    write_dataset(generate_size(spark, size, seed=seed), data_path)
-    gen_s = time.time() - t0
+    # persisted dataset: generate once per (size, seed), reuse thereafter
+    data_path = os.path.join(cache_root, f"{size}_seed{seed}", "transactions")
+    marker = data_path + ".complete"
+    gen_s = None
+    if not os.path.exists(marker):
+        shutil.rmtree(data_path, ignore_errors=True)
+        t0 = time.time()
+        write_dataset(generate_size(spark, size, seed=seed), data_path)
+        gen_s = round(time.time() - t0, 2)
+        with open(marker, "w") as f:
+            f.write("ok")
     rows = spark.read.parquet(data_path).count()
 
+    probe_before = burn_probe()
     result = {
         "metric": "reference_task_wall_clock",
         "unit": "sec",
         "size": size,
         "rows": rows,
         "n_features": spec.n_features,
-        "generate_sec": round(gen_s, 2),
+        "generate_sec": gen_s,  # None → served from the persisted cache
+        "reps": reps,
+        "probe_before_sec": probe_before,
         "strategies": {},
     }
     try:
         for name in strategies:
-            out_path = os.path.join(root, f"out_{name}")
-            t0 = time.time()
-            df = STRATEGIES[name](spec, spark.read.parquet(data_path))
-            df.write.mode("overwrite").parquet(out_path)
-            result["strategies"][name] = round(time.time() - t0, 2)
+            times = []
+            for rep in range(reps):
+                out_path = os.path.join(out_root, f"out_{name}_{rep}")
+                t0 = time.time()
+                df = STRATEGIES[name](spec, spark.read.parquet(data_path))
+                df.write.mode("overwrite").parquet(out_path)
+                times.append(round(time.time() - t0, 2))
+            result["strategies"][name] = {
+                "median": sorted(times)[len(times) // 2],
+                "times": times,
+            }
+        result["probe_after_sec"] = burn_probe()
     finally:
-        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(out_root, ignore_errors=True)
+        if not keep_cache:
+            shutil.rmtree(os.path.dirname(data_path), ignore_errors=True)
 
     print(json.dumps(result))
 

@@ -31,14 +31,19 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 QUERIES = ("q7_nation_volume", "q13_order_histogram", "q18_large_orders",
            "q21_blamed_suppliers")
 
-#: event/document operators probed through a wrapping count aggregate:
+#: event/document operators probed through a wrapping CHECKSUM aggregate:
 #: their full outputs grow with the scale factor, so collect() would ship
-#: millions of rows; the count executes every join/window/agg stage and
-#: (because the WRAPPED frame is what runs) its AQE plan finalizes for
-#: inspection — the one extra global agg appears identically at 1x and
-#: Nx, so shape comparison stays valid. (A noop/count on the ORIGINAL
-#: frame plans a separate query and leaves it unfinalized.) Events scale on BOTH event and user cardinality — the axis
-#: gap-fill/funnel/cohort plans must scale on.
+#: millions of rows. The checksum (sum of xxhash64 over EVERY output
+#: column) forces all columns to be produced, so Catalyst cannot prune
+#: cardinality-preserving stages — a bare count(1) wrapper let it
+#: eliminate gap_fill_daily's LOCF window AND its calendar left join
+#: (key-unique unreferenced right side), timing a reduced plan. Because
+#: the WRAPPED frame is what runs, its AQE plan finalizes for inspection;
+#: the one extra global agg appears identically at 1x and Nx, so shape
+#: comparison stays valid. (A wrapper on the ORIGINAL frame plans a
+#: separate query and leaves it unfinalized.) Events scale on BOTH event
+#: and user cardinality — the axis gap-fill/funnel/cohort plans must
+#: scale on.
 NOOP_QUERIES = ("gap_fill_daily", "heavy_hitters", "funnel_conversions",
                  "cohort_retention", "tfidf_top_terms", "ohlc_bars")
 
@@ -105,7 +110,14 @@ def run_and_final_plan(df, action="collect") -> tuple[float, tuple[int, int, int
     runtime join-strategy flips this tool exists to catch."""
     t0 = time.time()
     if action != "collect":
-        df = df.agg(F.count(F.lit(1)))
+        # checksum referencing every output column — keeps all joins/
+        # windows/aggregates in the executed plan (count(1) lets Catalyst
+        # prune cardinality-preserving stages entirely)
+        # bit_xor, not sum: ANSI mode raises on long-sum overflow and
+        # hash values cover the full int64 range
+        df = df.select(
+            F.xxhash64(*df.columns).alias("__h")
+        ).agg(F.bit_xor("__h"))
     df.collect()
     dt = time.time() - t0
     p = df._jdf.queryExecution().executedPlan().toString()
