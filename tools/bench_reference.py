@@ -144,16 +144,20 @@ def main() -> None:
     }
     try:
         for name in strategies:
-            times = []
+            times, rep_probes = [], []
             for rep in range(reps):
                 out_path = os.path.join(out_root, f"out_{name}_{rep}")
                 t0 = time.time()
                 df = STRATEGIES[name](spec, spark.read.parquet(data_path))
                 df.write.mode("overwrite").parquet(out_path)
                 times.append(round(time.time() - t0, 2))
+                # short per-rep probe: each reading carries its own host-
+                # capacity calibration (the host can swing 4x mid-run)
+                rep_probes.append(burn_probe(loops=3 * 10**7))
             result["strategies"][name] = {
                 "median": sorted(times)[len(times) // 2],
                 "times": times,
+                "rep_probes_sec": rep_probes,
             }
         result["probe_after_sec"] = burn_probe()
     finally:
