@@ -96,6 +96,102 @@ def brute_force_topk(
     return ranked.select("query_id", "neighbor_id", sim.alias("cos_sim"))
 
 
+def brute_force_topk_partial(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    round_decimals: int | None = 6,
+) -> DataFrame:
+    """EXACT cosine top-k that survives a 100× corpus — same results as
+    :func:`brute_force_topk`, different physical shape.
+
+    The plain form scores N×Q pairs with an interpreted fold and then
+    SHUFFLES all N×Q scored rows into the per-query ranking window — the
+    shuffle is what dies at scale. Here the query set (the small side by
+    contract — a serving/eval batch) is collected into a tiny Q×d model
+    matrix (the IVF-centroid broadcast-literal precedent), each corpus
+    partition scores its rows with one numpy GEMM per Arrow batch and
+    keeps a bounded per-query top-k across batches (``mapInPandas``,
+    O(Q×k) state), and only those P×Q×k candidate rows reach the global
+    merge window. Shuffle volume: P×Q×k, independent of corpus size.
+
+    Tie-breaking (cos_sim desc, neighbor_id asc) and the round-6 output
+    contract match the plain form and the DuckDB oracle.
+    """
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), as_double_array(vec_col).alias("qv")
+    ).collect()
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double"
+        )
+    qids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in q_rows])
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    Q = Q / np.where(qn == 0.0, 1.0, qn)
+
+    def partition_topk(batches):
+        # bounded running state: per query, at most k (sim, nid) pairs
+        best_sims = np.full((len(qids), k), -np.inf)
+        best_nids = np.full((len(qids), k), np.iinfo(np.int64).max)
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            seen = True
+            nids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            V = np.stack(pdf["cv"].to_numpy())
+            vn = np.linalg.norm(V, axis=1, keepdims=True)
+            V = V / np.where(vn == 0.0, 1.0, vn)
+            sims = Q @ V.T  # (Q, batch)
+            sims[qids[:, None] == nids[None, :]] = -np.inf  # self-match
+            cand_sims = np.concatenate([best_sims, sims], axis=1)
+            cand_nids = np.concatenate(
+                [best_nids, np.broadcast_to(nids, (len(qids), len(nids)))],
+                axis=1,
+            )
+            # top-k per query by (sim desc, nid asc): lexsort is stable,
+            # last key dominates
+            order = np.lexsort((cand_nids, -cand_sims), axis=1)[:, :k]
+            rows = np.arange(len(qids))[:, None]
+            best_sims = cand_sims[rows, order]
+            best_nids = cand_nids[rows, order]
+        if not seen:
+            return
+        qcol = np.repeat(qids, k)
+        scol = best_sims.ravel()
+        ncol = best_nids.ravel()
+        keep = np.isfinite(scol)
+        yield pd.DataFrame(
+            {
+                "query_id": qcol[keep],
+                "neighbor_id": ncol[keep],
+                "cos_sim": scol[keep],
+            }
+        )
+
+    candidates = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(vec_col).alias("cv"),
+    ).mapInPandas(
+        partition_topk, "query_id long, neighbor_id long, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    ranked = candidates.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    sim = (
+        F.round(F.col("cos_sim"), round_decimals)
+        if round_decimals is not None
+        else F.col("cos_sim")
+    )
+    return ranked.select("query_id", "neighbor_id", sim.alias("cos_sim"))
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic unit-free hyperplanes (seeded NumPy) compiled into the
     plan as literals — no discovery job, identical across runs."""

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from feature_generation_benchmark_spark.operators.similarity import (
     brute_force_topk,
+    brute_force_topk_partial,
     ivf_topk,
     lsh_topk,
     random_hyperplanes,
@@ -36,8 +37,13 @@ def _queries_and_corpus(spark: SparkSession, sf_dir: str):
 
 
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT top-k, served on the scale-safe partial-top-k plan (r3):
+    per-partition GEMM scoring + bounded local top-k, so the merge
+    shuffle carries P×Q×k candidate rows instead of N×Q scored rows.
+    ``brute_force_topk`` (the window-over-all-pairs form) remains the
+    didactic baseline, equality-tested against this plan."""
     q, c = _queries_and_corpus(spark, sf_dir)
-    return brute_force_topk(q, c, "vec_id", "embedding", k=_K)
+    return brute_force_topk_partial(q, c, "vec_id", "embedding", k=_K)
 
 
 _BRUTE_ORACLE = f"""
@@ -300,7 +306,8 @@ GROUP BY f.cell
 
 QUERIES = [
     QueryDef("ann_bruteforce_topk", ann_bruteforce_topk, _BRUTE_ORACLE,
-             "exact cosine top-k (baseline)"),
+             "exact cosine top-k on the partial-top-k plan (per-partition "
+             "GEMM + bounded local top-k; merge shuffle is P*Q*k rows)"),
     QueryDef("kmeans_embeddings", kmeans_embeddings, _kmeans_oracle(),
              "Lloyd's k-means training as chained DataFrame iterations "
              "(per-iteration centroid quantization -> exact SQL replay)"),

@@ -69,6 +69,44 @@ def test_bruteforce_neighbors_same_cluster(spark, emb):
         assert r["neighbor_id"] % 3 == r["query_id"] % 3
 
 
+def test_partial_topk_equals_plain(spark, emb):
+    """The scale-safe partial-top-k plan must return exactly the plain
+    window-over-all-pairs results (ids AND rounded sims), including
+    self-match exclusion and (sim desc, id asc) tie-breaking."""
+    from feature_generation_benchmark_spark.operators.similarity import (
+        brute_force_topk_partial,
+    )
+
+    q = emb.filter(F.col("vec_id") < 3)
+    # repartition the corpus so multiple partitions genuinely contribute
+    corpus = emb.repartition(5)
+    plain = sorted(
+        map(tuple, brute_force_topk(q, emb, "vec_id", "embedding", k=4).collect())
+    )
+    partial = sorted(
+        map(
+            tuple,
+            brute_force_topk_partial(
+                q, corpus, "vec_id", "embedding", k=4
+            ).collect(),
+        )
+    )
+    assert partial == plain and len(plain) > 0
+
+
+def test_partial_topk_single_merge_shuffle(spark, emb):
+    """Plan guard: the only Exchange is the P×Q×k candidate merge — the
+    corpus itself never shuffles (that is the whole point of the plan)."""
+    from feature_generation_benchmark_spark.operators.similarity import (
+        brute_force_topk_partial,
+    )
+
+    q = emb.filter(F.col("vec_id") < 3)
+    df = brute_force_topk_partial(q, emb.repartition(5), "vec_id", "embedding", k=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_lsh_recall_against_bruteforce(spark, emb):
     q = emb.filter(F.col("vec_id") < 3)
     exact = {
