@@ -107,6 +107,42 @@ def test_partial_topk_single_merge_shuffle(spark, emb):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
+def test_partial_topk_ties_with_duplicate_vectors(spark):
+    """Exact-duplicate vectors produce exactly tied cosines; the partial
+    plan's per-partition heaps and the global merge must both break ties
+    toward the lower neighbor_id, matching the plain window form."""
+    from feature_generation_benchmark_spark.operators.similarity import (
+        brute_force_topk_partial,
+    )
+
+    # 4 distinct directions, each repeated 6 times → heavy tie pressure
+    rows = [
+        (i, [float((i % 4 == d) * 2 + 1) for d in range(4)])
+        for i in range(24)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    emb = spark.createDataFrame(rows, schema)
+    q = emb.filter(F.col("vec_id") < 4)
+    plain = sorted(
+        map(tuple, brute_force_topk(q, emb, "vec_id", "embedding", k=5).collect())
+    )
+    for parts in (1, 3, 7):
+        partial = sorted(
+            map(
+                tuple,
+                brute_force_topk_partial(
+                    q, emb.repartition(parts), "vec_id", "embedding", k=5
+                ).collect(),
+            )
+        )
+        assert partial == plain, parts
+
+
 def test_lsh_recall_against_bruteforce(spark, emb):
     q = emb.filter(F.col("vec_id") < 3)
     exact = {
