@@ -56,6 +56,14 @@ def unit_normalize(a: Column) -> Column:
     return F.zip_with(a, F.array_repeat(inv, F.size(a)), lambda x, s: x * s)
 
 
+def _valid_vector(a: Column) -> Column:
+    """NULL or zero-norm vectors have no defined cosine; both top-k forms
+    exclude them up front (NaN-vs-NULL ranking of undefined similarities
+    is engine-dependent — Spark sorts NaN above +inf — so admitting them
+    would make results formulation-dependent)."""
+    return a.isNotNull() & (l2_norm(a) > 0)
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -67,13 +75,14 @@ def brute_force_topk(
     """Exact cosine top-k: corpus × queries nested-loop (broadcast the
     queries — the small side), rank per query, keep k.
 
-    Output: (query_id, neighbor_id, cos_sim). Self-matches excluded.
+    Output: (query_id, neighbor_id, cos_sim). Self-matches excluded;
+    NULL/zero-norm vectors excluded on both sides (``_valid_vector``).
     """
-    q = queries.select(
+    q = queries.filter(_valid_vector(as_double_array(vec_col))).select(
         F.col(id_col).alias("query_id"),
         unit_normalize(as_double_array(vec_col)).alias("qv"),
     )
-    c = corpus.select(
+    c = corpus.filter(_valid_vector(as_double_array(vec_col))).select(
         F.col(id_col).alias("neighbor_id"),
         unit_normalize(as_double_array(vec_col)).alias("cv"),
     )
@@ -118,11 +127,19 @@ def brute_force_topk_partial(
     merge window. Shuffle volume: P×Q×k, independent of corpus size.
 
     Tie-breaking (cos_sim desc, neighbor_id asc) and the round-6 output
-    contract match the plain form and the DuckDB oracle.
+    contract match the plain form and the DuckDB oracle; NULL/zero-norm
+    vectors are excluded on both sides (``_valid_vector``), same as the
+    plain form.
+
+    NOTE: the query side MATERIALIZES at plan-build time (it is the
+    model, like the IVF centroid collect) — building this plan runs a
+    small Spark job over ``queries``.
     """
-    q_rows = queries.select(
-        F.col(id_col).alias("qid"), as_double_array(vec_col).alias("qv")
-    ).collect()
+    q_rows = (
+        queries.filter(_valid_vector(as_double_array(vec_col)))
+        .select(F.col(id_col).alias("qid"), as_double_array(vec_col).alias("qv"))
+        .collect()
+    )
     if not q_rows:
         return corpus.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, cos_sim double"
@@ -172,7 +189,9 @@ def brute_force_topk_partial(
             }
         )
 
-    candidates = corpus.select(
+    candidates = corpus.filter(
+        _valid_vector(as_double_array(vec_col))
+    ).select(
         F.col(id_col).alias("neighbor_id"),
         as_double_array(vec_col).alias("cv"),
     ).mapInPandas(

@@ -300,12 +300,19 @@ class RunningFeatureProcessor:
                 continue
             # round HALF_UP (away from zero) to match the engine-wide
             # Spark F.round cents rule — pandas Series.round() is
-            # banker's half-even and diverges on x.xx5 values
+            # banker's half-even and diverges on x.xx5 values. Done as
+            # rint (half-even) with exact-.5 fixed up afterwards: the
+            # naive floor(|x|+0.5) carries in binary for doubles just
+            # below n+0.5 (0.49999999999999994+0.5 == 1.0) where Spark's
+            # BigDecimal HALF_UP yields n; exact halves ARE representable
+            # so the equality test below is safe.
             import numpy as np
 
             scaled = pdf["value"].to_numpy(dtype="float64") * 100.0
-            cents = (
-                np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)
+            t = np.trunc(scaled)
+            is_half = np.abs(scaled - t) == 0.5
+            cents = np.where(
+                is_half, t + np.sign(scaled), np.rint(scaled)
             ).astype("int64")
             n += int(len(pdf))
             s += int(cents.sum())

@@ -49,8 +49,11 @@ def point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Event rows contribute their measures; label rows (one per purchase
     # event, which ALSO stays in the stream as a measure-bearing event
     # row) contribute zero so they never count toward another label's
-    # trailing features.
-    measures = ev.select(
+    # trailing features. NULL-user events contribute NOTHING (the window
+    # partitioner would otherwise pool all NULL keys into one pseudo-user
+    # and leak features across anonymous sessions; the join-based oracle
+    # drops NULL keys, so NULL-user labels keep their all-zero rows).
+    measures = ev.filter(F.col("user_id").isNotNull()).select(
         "user_id",
         F.lit(None).cast(ev.schema["event_id"].dataType).alias("label_id"),
         "ts_us",

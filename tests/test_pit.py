@@ -86,6 +86,29 @@ def test_pit_hot_user_is_linear(spark, tmp_path_factory):
         assert r.sum_cents_7d == 100 * label_id
 
 
+def test_pit_null_users_do_not_pool(spark, tmp_path_factory):
+    """NULL-user labels must get all-zero features (the oracle's equi-join
+    drops NULL keys) — the window partitioner must not pool anonymous
+    sessions into one pseudo-user and leak features between them."""
+    base = dt.datetime(1970, 6, 1)
+    rows = [
+        (1, base, None, "view", 5.00, "{}"),
+        (2, base + dt.timedelta(hours=1), None, "purchase", 1.00, "{}"),
+        (3, base, 7, "view", 2.00, "{}"),
+        (4, base + dt.timedelta(hours=1), 7, "purchase", 1.00, "{}"),
+    ]
+    d = str(tmp_path_factory.mktemp("pit_null") / "dir")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+    out = {r.label_id: r for r in point_in_time_features(spark, d).collect()}
+    assert set(out) == {2, 4}
+    assert (out[2].n_events_30d, out[2].sum_cents_30d) == (0, 0)  # no leak
+    assert (out[4].n_events_30d, out[4].sum_cents_30d) == (1, 200)
+
+
 def test_pit_no_leakage_and_windows(spark, pit_events):
     out = {r.label_id: r for r in point_in_time_features(spark, pit_events).collect()}
     assert set(out) == {4, 7}

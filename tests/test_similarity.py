@@ -143,6 +143,45 @@ def test_partial_topk_ties_with_duplicate_vectors(spark):
         assert partial == plain, parts
 
 
+def test_topk_excludes_null_and_zero_vectors(spark):
+    """NULL and zero-norm corpus vectors have no defined cosine; both
+    forms must exclude them (not crash, not rank them) and still agree."""
+    from feature_generation_benchmark_spark.operators.similarity import (
+        brute_force_topk_partial,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.1, 0.0, 0.0]),
+        (2, [0.9, 0.2, 0.0, 0.0]),
+        (3, None),
+        (4, [0.0, 0.0, 0.0, 0.0]),
+        (5, [0.5, 0.5, 0.0, 0.0]),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    emb = spark.createDataFrame(rows, schema)
+    q = emb.filter(F.col("vec_id") == 0)
+    plain = sorted(
+        map(tuple, brute_force_topk(q, emb, "vec_id", "embedding", k=10).collect())
+    )
+    partial = sorted(
+        map(
+            tuple,
+            brute_force_topk_partial(
+                q, emb.repartition(3), "vec_id", "embedding", k=10
+            ).collect(),
+        )
+    )
+    assert partial == plain
+    neighbor_ids = {r[1] for r in plain}
+    assert neighbor_ids == {1, 2, 5}  # 3 (NULL) and 4 (zero) excluded
+
+
 def test_lsh_recall_against_bruteforce(spark, emb):
     q = emb.filter(F.col("vec_id") < 3)
     exact = {

@@ -465,3 +465,19 @@ def test_running_feature_processor_logic():
         "user_id": 9, "n_events": 1, "sum_cents": 13,
         "min_cents": 13, "max_cents": 13,
     }
+    # negative halves round away from zero (-0.125*100 = -12.5 → -13),
+    # and a just-below-half value must NOT round up the way
+    # floor(|x|+0.5) can when the +0.5 addition carries in binary
+    proc3 = RunningFeatureProcessor()
+    proc3.init(FakeHandle())
+    out4 = list(
+        proc3.handleInputRows(
+            (11,),
+            iter([pd.DataFrame({"value": [-0.125, 0.0049999999999999]})]),
+            None,
+        )
+    )[0]
+    assert out4.iloc[0].to_dict() == {
+        "user_id": 11, "n_events": 2, "sum_cents": -13,
+        "min_cents": -13, "max_cents": 0,
+    }

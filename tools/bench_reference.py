@@ -117,8 +117,18 @@ def main() -> None:
     spec = reference_spec()
     out_root = tempfile.mkdtemp(prefix=f"fgb_ref_{size}_")
 
-    # persisted dataset: generate once per (size, seed), reuse thereafter
-    data_path = os.path.join(cache_root, f"{size}_seed{seed}", "transactions")
+    # persisted dataset: generate once per (size, seed, generator code),
+    # reuse thereafter — the generator-source fingerprint in the key means
+    # a code change can never silently serve stale data into an anchor
+    import hashlib
+
+    from feature_generation_benchmark_spark.sources import generator as _gen
+
+    with open(_gen.__file__, "rb") as f:
+        gen_fp = hashlib.md5(f.read()).hexdigest()[:8]
+    data_path = os.path.join(
+        cache_root, f"{size}_seed{seed}_{gen_fp}", "transactions"
+    )
     marker = data_path + ".complete"
     gen_s = None
     if not os.path.exists(marker):
@@ -154,8 +164,10 @@ def main() -> None:
                 # short per-rep probe: each reading carries its own host-
                 # capacity calibration (the host can swing 4x mid-run)
                 rep_probes.append(burn_probe(loops=3 * 10**7))
+            import statistics
+
             result["strategies"][name] = {
-                "median": sorted(times)[len(times) // 2],
+                "median": round(statistics.median(times), 2),
                 "times": times,
                 "rep_probes_sec": rep_probes,
             }

@@ -58,7 +58,9 @@ def canon_cell(v, exact: bool = False):
             return ("0",)
         return ("f", repr(f) if exact else round(f, 6))
     if isinstance(v, decimal.Decimal):
-        return ("dec", str(v))
+        # normalize scale: Decimal('1.50') == Decimal('1.5') numerically
+        # and under Python/pandas hashing — don't fail on trailing zeros
+        return ("dec", str(v.normalize()))
     if isinstance(v, (bytes, bytearray)):
         return ("y", bytes(v))
     if isinstance(v, str):
