@@ -73,6 +73,7 @@ def registry() -> dict[str, QueryDef]:
         sampling,
         features_eng,
         funnel,
+        intervals,
         linkage,
         pit,
         quality,
@@ -100,6 +101,7 @@ def registry() -> dict[str, QueryDef]:
         udtf_ops,
         linkage,
         funnel,
+        intervals,
         pit,
         quality,
     ):

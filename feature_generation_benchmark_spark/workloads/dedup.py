@@ -485,3 +485,106 @@ QUERIES = [
              "connected components over dup pairs (large-star/small-star)",
              bench=False),
 ]
+
+
+# --------------------------------------------------------------------------
+# chunk-granularity exact dedup (r3b) — the "paragraph dedup" step of a
+# pretraining pipeline (ExactSubstr-lite at fixed chunk granularity): the
+# corpus is cut into non-overlapping token chunks, chunks repeated
+# ANYWHERE in the corpus are counted, and each doc reports its duplicated-
+# chunk fraction. The synthetic corpus has no line structure, so fixed
+# token windows stand in for paragraphs.
+# --------------------------------------------------------------------------
+
+#: Non-overlapping chunk width in tokens; small enough that the synthetic
+#: ~40-word vocab actually produces cross-doc repeats at sf0.01.
+_DEDUP_CHUNK_TOKENS = 4
+#: A doc is kept while at most this fraction of its chunks is duplicated.
+_DEDUP_CHUNK_MAX_RATIO = 0.5
+
+
+def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-chunk fraction + keep flag.
+
+    Plan: tokenize → row-local slice into non-overlapping 4-token chunks
+    (shuffle-free flatMap) → count every chunk string corpus-wide (one
+    chunk-keyed shuffle; combines map-side; chunk cardinality ≪ chunk
+    rows) → join counts back (second chunk-keyed shuffle — co-partitioned
+    with the count, so AQE plans a local join) → per-doc agg. At 100 TB
+    the chunk-count table is the dedup state; everything else streams.
+    Trailing sub-width tokens form a final short chunk so every token is
+    covered (matches the oracle's list-slice semantics)."""
+    from feature_generation_benchmark_spark.functions.textfns import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens("text").alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    w = _DEDUP_CHUNK_TOKENS
+    chunks = toked.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 1, F.lit(w)),
+                lambda s: F.array_join(F.slice(F.col("toks"), s + 1, w), " "),
+            )
+        ).alias("chunk"),
+    )
+    counts = chunks.groupBy("chunk").agg(F.count(F.lit(1)).alias("n_occ"))
+    per_doc = (
+        chunks.join(counts, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum((F.col("n_occ") > 1).cast("long")).alias("dup_chunks"),
+        )
+    )
+    ratio = F.col("dup_chunks") / F.col("n_chunks")
+    return per_doc.select(
+        "doc_id",
+        "n_chunks",
+        F.col("dup_chunks").cast("long").alias("dup_chunks"),
+        ratio.alias("dup_chunk_ratio"),
+        (ratio <= _DEDUP_CHUNK_MAX_RATIO).alias("keep"),
+    )
+
+
+_CHUNK_DEDUP_ORACLE = f"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+nz AS (SELECT doc_id, toks, len(toks) AS n FROM toked WHERE len(toks) > 0),
+chunks AS (
+  SELECT doc_id,
+         array_to_string(toks[s + 1 : s + {_DEDUP_CHUNK_TOKENS}], ' ')
+           AS chunk
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(0, n - 1, {_DEDUP_CHUNK_TOKENS})) AS s
+        FROM nz)
+),
+c AS (SELECT chunk, count(*) AS n_occ FROM chunks GROUP BY chunk),
+per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dup_chunks
+  FROM chunks JOIN c USING (chunk)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_chunks, dup_chunks,
+  CAST(dup_chunks AS DOUBLE) / n_chunks AS dup_chunk_ratio,
+  CAST(dup_chunks AS DOUBLE) / n_chunks <= {_DEDUP_CHUNK_MAX_RATIO} AS keep
+FROM per_doc
+"""
+
+QUERIES.append(
+    QueryDef(
+        "dedup_chunk_exact",
+        dedup_chunk_exact,
+        _CHUNK_DEDUP_ORACLE,
+        "chunk-granularity exact dedup: per-doc duplicated-chunk fraction",
+    )
+)

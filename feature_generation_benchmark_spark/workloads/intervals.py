@@ -1,0 +1,125 @@
+"""Interval-overlap analytics WITHOUT a range join — the sweep-line
+pattern.
+
+"How many intervals are open on each day" is usually written as a range
+join (calendar × intervals on ``day BETWEEN open AND close``) — O(N × D)
+rows moved and a non-equi join Spark can only execute as a broadcast
+nested loop. The sweep-line decomposition turns it into two linear passes:
+every interval emits a +1 at its open day and a −1 after its close day,
+the deltas aggregate per (key, day) — ONE equi-shuffle with map-side
+combine — and a cumulative window sum over the (bounded, calendar-sized)
+delta table reconstructs the concurrency curve. At 100 TB the only
+full-data exchanges are the per-order close-date aggregation and the
+delta aggregation, both keyed and combining; the window runs over at most
+``|keys| × |days|`` rows — a constant-bounded frame regardless of corpus
+size.
+
+The reference has no interval surface at all (its time model is integer
+``t_minus`` day buckets); this is extension surface in the spirit of the
+hypertable operators in ``workloads/timeseries.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from feature_generation_benchmark_spark.sources.testdata import load_table
+from feature_generation_benchmark_spark.workloads import QueryDef
+
+#: Integer epoch-day origin shared with the oracle (dates are exchanged as
+#: exact integers — the repo-wide dtype-parity convention).
+_EPOCH = "1970-01-01"
+
+
+def open_orders_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrently-open orders per (priority, day) by sweep line.
+
+    An order is "open" from ``o_orderdate`` through the latest
+    ``l_shipdate`` of its lineitems (inclusive). Output: one row per
+    (o_orderpriority, day) where the count changes, with the net change
+    and the running number of open orders.
+
+    Plan shape: per-order close date (orderkey-keyed agg) → inner join
+    back to orders (orderkey-keyed, co-partitioned) → ±1 delta union
+    (shuffle-free projections) → (priority, day) agg → cumulative sum on
+    a Window partitioned by priority over the bounded delta table."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("open_d"),
+    )
+    close = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("close_d"))
+    )
+    iv = orders.join(
+        close, orders["o_orderkey"] == close["l_orderkey"]
+    ).select("o_orderpriority", "open_d", "close_d")
+    epoch = F.lit(_EPOCH).cast("date")
+    opens = iv.select(
+        "o_orderpriority",
+        F.datediff("open_d", epoch).alias("day"),
+        F.lit(1).alias("delta"),
+    )
+    closes = iv.select(
+        "o_orderpriority",
+        (F.datediff("close_d", epoch) + F.lit(1)).alias("day"),
+        F.lit(-1).alias("delta"),
+    )
+    deltas = (
+        opens.unionByName(closes)
+        .groupBy("o_orderpriority", "day")
+        .agg(F.sum("delta").cast("long").alias("net_change"))
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return deltas.select(
+        "o_orderpriority",
+        F.col("day").cast("long").alias("day"),
+        "net_change",
+        F.sum("net_change").over(w).cast("long").alias("open_orders"),
+    )
+
+
+_OPEN_ORDERS_ORACLE = f"""
+WITH close AS (
+  SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS close_d
+  FROM lineitem GROUP BY l_orderkey
+),
+iv AS (
+  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS open_d, close_d
+  FROM orders JOIN close ON o_orderkey = l_orderkey
+),
+deltas AS (
+  SELECT o_orderpriority, open_d - DATE '{_EPOCH}' AS day, 1 AS delta
+  FROM iv
+  UNION ALL
+  SELECT o_orderpriority, close_d - DATE '{_EPOCH}' + 1, -1 FROM iv
+),
+g AS (
+  SELECT o_orderpriority, CAST(day AS BIGINT) AS day,
+         CAST(sum(delta) AS BIGINT) AS net_change
+  FROM deltas GROUP BY o_orderpriority, day
+)
+SELECT o_orderpriority, day, net_change,
+  CAST(sum(net_change) OVER (
+    PARTITION BY o_orderpriority ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS open_orders
+FROM g
+"""
+
+QUERIES = [
+    QueryDef(
+        "open_orders_daily",
+        open_orders_daily,
+        _OPEN_ORDERS_ORACLE,
+        "interval concurrency by sweep line (range-join-free open-order "
+        "counts per priority/day)",
+    ),
+]

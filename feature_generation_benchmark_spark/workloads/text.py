@@ -371,3 +371,191 @@ QUERIES.append(
         "adjacent BPE-unit pair frequencies (first BPE merge statistic)",
     )
 )
+
+
+# --------------------------------------------------------------------------
+# repetition analysis: top-n-gram coverage (r3b) — the Gopher repetition
+# rules (Rae et al. 2021 §A1.1: "fraction of characters in the most common
+# 2/3-gram") that `text_quality` does not cover; expressed over tokens
+# since the synthetic corpus has no line structure.
+# --------------------------------------------------------------------------
+
+#: Gopher §A1.1 thresholds for top-2-gram / top-3-gram coverage.
+_TOP2_MAX = 0.20
+_TOP3_MAX = 0.18
+
+
+def _gram_rows(toked: DataFrame, g: int) -> DataFrame:
+    """Explode one row per ``g``-gram. Shuffle-free per-row flatMap: the
+    token array is materialized once per doc and sliced row-locally."""
+    return toked.filter(F.size("toks") >= g).select(
+        "doc_id",
+        F.lit(g).alias("g"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - g),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("toks"), i + 1, g)
+                ),
+            )
+        ).alias("gram"),
+    )
+
+
+def top_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-n-gram token coverage + repetition gate.
+
+    For each doc: the fraction of tokens covered by its single most
+    frequent bigram and trigram (`top2gram_frac`, `top3gram_frac`), and a
+    `repetitive` flag at the Gopher thresholds. Docs need >=2 tokens
+    (trigram column is NULL for 2-token docs).
+
+    Scale: gram explosion is a per-row flatMap (no shuffle); both
+    aggregations are keyed by `doc_id` — high-cardinality, combine
+    map-side, no skew (per-doc gram count is bounded by doc length).
+    The reference has no repetition surface at all (its text model stops
+    at the bank-transaction schema, `docs/index.md`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens("text").alias("toks"))
+    grams = _gram_rows(toked, 2).unionByName(_gram_rows(toked, 3))
+    top = (
+        grams.groupBy("doc_id", "g", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "g")
+        .agg(F.max("c").alias("top_c"))
+    )
+    wide = top.groupBy("doc_id").agg(
+        F.max(F.when(F.col("g") == 2, F.col("top_c"))).alias("top2_c"),
+        F.max(F.when(F.col("g") == 3, F.col("top_c"))).alias("top3_c"),
+    )
+    base = toked.filter(F.size("toks") >= 2).select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens")
+    )
+    out = base.join(wide, "doc_id")
+    frac2 = F.lit(2.0) * F.col("top2_c") / F.col("n_tokens")
+    frac3 = F.lit(3.0) * F.col("top3_c") / F.col("n_tokens")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        frac2.alias("top2gram_frac"),
+        frac3.alias("top3gram_frac"),
+        (
+            (frac2 > _TOP2_MAX)
+            | F.coalesce(frac3 > _TOP3_MAX, F.lit(False))
+        ).alias("repetitive"),
+    )
+
+
+_TOP_NGRAM_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+nz AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 2),
+g2 AS (
+  SELECT doc_id, toks[s] || ' ' || toks[s + 1] AS gram
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, n - 1)) AS s FROM nz)
+),
+t2 AS (
+  SELECT doc_id, max(c) AS m FROM (
+    SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY doc_id, gram)
+  GROUP BY doc_id
+),
+g3 AS (
+  SELECT doc_id, toks[s] || ' ' || toks[s + 1] || ' ' || toks[s + 2] AS gram
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, n - 2)) AS s
+        FROM nz WHERE n >= 3)
+),
+t3 AS (
+  SELECT doc_id, max(c) AS m FROM (
+    SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY doc_id, gram)
+  GROUP BY doc_id
+)
+SELECT nz.doc_id,
+  CAST(nz.n AS BIGINT) AS n_tokens,
+  2.0 * t2.m / nz.n AS top2gram_frac,
+  3.0 * t3.m / nz.n AS top3gram_frac,
+  (2.0 * t2.m / nz.n > {_TOP2_MAX}
+   OR coalesce(3.0 * t3.m / nz.n > {_TOP3_MAX}, FALSE)) AS repetitive
+FROM nz JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# corpus unigram language model scoring (r3b) — the CCNet-style "score
+# every document under an LM and filter the tail" step, with the corpus
+# itself as the model (self-perplexity).
+# --------------------------------------------------------------------------
+
+
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability per document under the corpus' own
+    unigram distribution — the quality signal LM-filtering pipelines
+    (CCNet, Gopher) threshold on.
+
+    Two passes over the exploded tokens: (1) the unigram frequency table
+    (groupBy token — combines map-side, output is vocab-sized), (2) a
+    token-keyed join back + per-doc average. The 1-row corpus total is
+    broadcast. At 100 TB the vocab table is the only state that grows
+    sublinearly; the join shuffles tokens by value — skew on stopwords is
+    bounded by AQE skew-join handling, and the per-doc agg is
+    doc_id-keyed.
+
+    Determinism contract (same spirit as the engine-wide integer-cents
+    rule): per-token log-probs are quantized to integer MICRO-LOG units
+    before summing, so the per-doc aggregate is an exact integer sum —
+    immune to float accumulation order across engines/partitions — and
+    the reported double is one final exact-int division."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("total"))
+    micro = (
+        F.round((F.log("c") - F.log("total")) * F.lit(1e6), 0)
+        .cast("long")
+        .alias("ml")
+    )
+    return (
+        tok.join(freq, "token")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", micro)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            (
+                F.sum("ml") / F.count(F.lit(1)) / F.lit(1e6)
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+_UNIGRAM_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents
+),
+f AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+t AS (SELECT sum(c) AS total FROM f),
+m AS (
+  SELECT doc_id,
+         CAST(round((ln(c) - ln(total)) * 1e6) AS BIGINT) AS ml
+  FROM tok JOIN f USING (token) CROSS JOIN t
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(ml) AS BIGINT) / count(*) / 1e6 AS avg_logprob
+FROM m GROUP BY doc_id
+"""
+
+QUERIES.append(
+    QueryDef(
+        "top_ngram_coverage",
+        top_ngram_coverage,
+        _TOP_NGRAM_ORACLE,
+        "Gopher top-2/3-gram coverage fractions + repetition gate",
+    )
+)
+QUERIES.append(
+    QueryDef(
+        "unigram_logprob",
+        unigram_logprob,
+        _UNIGRAM_ORACLE,
+        "corpus-unigram LM mean log-prob per document (CCNet-style)",
+    )
+)

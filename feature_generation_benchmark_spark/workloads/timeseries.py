@@ -240,3 +240,127 @@ QUERIES = [
         "step-interpolated time-weighted average, exact integer weights",
     ),
 ]
+
+
+# --------------------------------------------------------------------------
+# trailing-window anomaly detection (r3b): per-user daily event-count
+# z-score against the trailing 28-day baseline — the monitoring query a
+# feature pipeline runs over its own event stream.
+# --------------------------------------------------------------------------
+
+_ANOM_DAYS = 28
+#: |z| threshold; 2.5 = 5/2 keeps the flag predicate exactly rational
+#: (z² > 25/4) so it is decided in pure integer arithmetic.
+_ANOM_Z_NUM = 5
+_ANOM_Z_DEN = 2
+
+
+def user_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag user-days whose event count deviates > 2.5 sample standard
+    deviations from that user's trailing 28-day mean (current day
+    excluded).
+
+    Plan: one (user, day) count agg, then ONE user-keyed Window whose
+    integer RANGE frame [-28, -1] supplies the baseline count/sum/
+    sum-of-squares — no self-join, linear per user regardless of history
+    length (the pattern `workloads/pit.py` establishes).
+
+    Determinism contract: the baseline aggregates m=count, S=Σx, Q=Σx²
+    are exact integers, so the anomaly predicate is evaluated in PURE
+    INTEGER algebra — z² > (5/2)² ⇔ 4·(m·x−S)²·(m−1) > 25·m·(m·Q−S²) —
+    and the reported double z-score is one identical arithmetic
+    expression over those integers on both engines (every step correctly
+    rounded IEEE from exact inputs → bit-identical). Baselines with
+    m < 2 report NULL z and a false flag; a zero-variance baseline (a
+    perfectly constant history, where z is undefined/infinite) reports
+    NULL z and flags ANY deviation from that constant — the classic
+    "flat line then spike" case must not pass unflagged."""
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.select("user_id", F.expr(f"ts div {_NS_PER_DAY}").alias("day"))
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rangeBetween(-_ANOM_DAYS, -1)
+    )
+    m = F.count("n_events").over(w)
+    s = F.sum("n_events").over(w)
+    q = F.sum(F.col("n_events") * F.col("n_events")).over(w)
+    based = daily.select(
+        "user_id",
+        F.col("day").cast("long").alias("day"),
+        "n_events",
+        m.cast("long").alias("m"),
+        s.cast("long").alias("s"),
+        q.cast("long").alias("q"),
+    )
+    x = F.col("n_events")
+    mm, ss, qq = F.col("m"), F.col("s"), F.col("q")
+    var_num = mm * qq - ss * ss  # m(m-1)·var — exact integer
+    defined = (mm >= 2) & (var_num > 0)
+    z = (mm * x - ss) / (
+        mm * F.sqrt(var_num / (mm * (mm - F.lit(1))))
+    )
+    flag = (
+        F.lit(_ANOM_Z_DEN**2) * (mm * x - ss) * (mm * x - ss)
+        * (mm - F.lit(1))
+        > F.lit(_ANOM_Z_NUM**2) * mm * var_num
+    )
+    return based.select(
+        "user_id",
+        "day",
+        "n_events",
+        mm.cast("long").alias("baseline_days"),
+        F.when(mm >= 1, ss / mm).alias("baseline_mean"),
+        F.when(defined, z).alias("zscore"),
+        F.when(defined, flag)
+        .when((mm >= 2) & (var_num == 0), mm * x - ss != 0)
+        .otherwise(F.lit(False))
+        .alias("is_anomaly"),
+    )
+
+
+_ANOMALY_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // {_US_PER_DAY} AS day FROM events
+),
+daily AS (
+  SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_events
+  FROM ev GROUP BY user_id, day
+),
+based AS (
+  SELECT user_id, CAST(day AS BIGINT) AS day, n_events,
+    CAST(count(n_events) OVER w AS BIGINT) AS m,
+    CAST(coalesce(sum(n_events) OVER w, 0) AS BIGINT) AS s,
+    CAST(coalesce(sum(n_events * n_events) OVER w, 0) AS BIGINT) AS q
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY day
+               RANGE BETWEEN {_ANOM_DAYS} PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, day, n_events,
+  m AS baseline_days,
+  CASE WHEN m >= 1 THEN s / m END AS baseline_mean,
+  CASE WHEN m >= 2 AND m * q - s * s > 0 THEN
+    (m * n_events - s) / (m * sqrt((m * q - s * s) / (m * (m - 1))))
+  END AS zscore,
+  coalesce(
+    CASE WHEN m >= 2 AND m * q - s * s > 0 THEN
+      {_ANOM_Z_DEN**2} * (m * n_events - s) * (m * n_events - s) * (m - 1)
+        > {_ANOM_Z_NUM**2} * m * (m * q - s * s)
+    WHEN m >= 2 AND m * q - s * s = 0 THEN
+      m * n_events - s <> 0
+    END, FALSE) AS is_anomaly
+FROM based
+"""
+
+QUERIES.append(
+    QueryDef(
+        "user_daily_anomaly",
+        user_daily_anomaly,
+        _ANOMALY_ORACLE,
+        "trailing-28d z-score anomaly flags, integer-exact predicate",
+    )
+)

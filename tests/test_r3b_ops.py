@@ -1,0 +1,249 @@
+"""Ground-truth tests for the round-3b extension operators: top-n-gram
+coverage, corpus-unigram LM scoring, chunk-exact dedup, sweep-line
+interval concurrency, and trailing-window anomaly flags — all on crafted
+micro-fixtures with closed-form expectations."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+
+from feature_generation_benchmark_spark.workloads.dedup import (
+    dedup_chunk_exact,
+)
+from feature_generation_benchmark_spark.workloads.intervals import (
+    open_orders_daily,
+)
+from feature_generation_benchmark_spark.workloads.text import (
+    top_ngram_coverage,
+    unigram_logprob,
+)
+from feature_generation_benchmark_spark.workloads.timeseries import (
+    user_daily_anomaly,
+)
+
+_US_DAY = 86_400 * 10**6
+
+
+def _docs_dir(spark, tmp_path_factory, rows, name="r3b_docs"):
+    df = spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = tmp_path_factory.mktemp(name)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(d / "documents.parquet")
+    )
+    return str(d)
+
+
+def _events_dir(spark, tmp_path_factory, rows, name="r3b_events"):
+    """rows: (user_id, day, n_events) — n_events distinct events that day."""
+    recs = []
+    eid = 0
+    for user_id, day, n in rows:
+        for k in range(n):
+            us = day * _US_DAY + k * 1000
+            ts = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=us)
+            recs.append((eid, ts, user_id, "click", 1.0, "{}"))
+            eid += 1
+    d = tmp_path_factory.mktemp(name)
+    spark.createDataFrame(
+        recs,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(d / "events.parquet")
+    )
+    return str(d)
+
+
+# -------------------------------------------------------------------------
+# top_ngram_coverage
+# -------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ngram_docs(spark, tmp_path_factory):
+    return _docs_dir(
+        spark,
+        tmp_path_factory,
+        [
+            (1, "a b a b a b"),  # 6 tokens, top bigram "a b" x3
+            (2, " ".join(f"w{i}" for i in range(20))),  # 20 distinct tokens
+            (3, "p q"),  # bigram only, no trigram
+            (4, "solo"),  # <2 tokens: excluded
+        ],
+        name="ngram_docs",
+    )
+
+
+def test_top_ngram_closed_form(spark, ngram_docs):
+    out = {
+        r["doc_id"]: r
+        for r in top_ngram_coverage(spark, ngram_docs).collect()
+    }
+    assert set(out) == {1, 2, 3}  # 1-token doc excluded
+    # doc 1: bigrams [ab, ba, ab, ba, ab] -> top 3; trigrams [aba, bab,
+    # aba, bab] -> top 2
+    assert out[1]["n_tokens"] == 6
+    assert out[1]["top2gram_frac"] == pytest.approx(2 * 3 / 6)
+    assert out[1]["top3gram_frac"] == pytest.approx(3 * 2 / 6)
+    assert out[1]["repetitive"] is True
+    # doc 2: all n-grams unique -> 2/20 and 3/20, below both thresholds
+    assert out[2]["top2gram_frac"] == pytest.approx(0.1)
+    assert out[2]["top3gram_frac"] == pytest.approx(0.15)
+    assert out[2]["repetitive"] is False
+    # doc 3: two tokens -> one bigram covering the doc, trigram undefined
+    assert out[3]["top2gram_frac"] == pytest.approx(1.0)
+    assert out[3]["top3gram_frac"] is None
+    assert out[3]["repetitive"] is True
+
+
+# -------------------------------------------------------------------------
+# unigram_logprob
+# -------------------------------------------------------------------------
+
+
+def test_unigram_logprob_closed_form(spark, tmp_path_factory):
+    d = _docs_dir(
+        spark,
+        tmp_path_factory,
+        [(1, "a a b"), (2, "b")],
+        name="unigram_docs",
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob(spark, d).collect()}
+    # freqs: a=2, b=2, total=4 -> every token has p=1/2; micro-log
+    # quantization: round(ln(1/2)*1e6)/1e6
+    lp = round((math.log(2) - math.log(4)) * 1e6) / 1e6
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["avg_logprob"] == pytest.approx(lp, abs=1e-9)
+    assert out[2]["n_tokens"] == 1
+    assert out[2]["avg_logprob"] == pytest.approx(lp, abs=1e-9)
+
+
+# -------------------------------------------------------------------------
+# dedup_chunk_exact (chunk width 4, non-overlapping, trailing remainder)
+# -------------------------------------------------------------------------
+
+
+def test_dedup_chunk_exact_crafted(spark, tmp_path_factory):
+    shared = "c1 c2 c3 c4"
+    d = _docs_dir(
+        spark,
+        tmp_path_factory,
+        [
+            (1, f"{shared} u1 u2 u3 u4"),  # one shared, one unique chunk
+            (2, f"{shared} x1 x2 x3 x4"),  # shares chunk with doc 1
+            (3, "y1 y2 y3 y4 y5"),  # unique chunks incl. trailing "y5"
+            (4, f"{shared} {shared}"),  # same chunk twice WITHIN one doc
+        ],
+        name="chunk_docs",
+    )
+    out = {r["doc_id"]: r for r in dedup_chunk_exact(spark, d).collect()}
+    # chunk "c1 c2 c3 c4" occurs 4x corpus-wide (docs 1, 2, and 4 twice)
+    assert (out[1]["n_chunks"], out[1]["dup_chunks"]) == (2, 1)
+    assert out[1]["dup_chunk_ratio"] == pytest.approx(0.5)
+    assert out[1]["keep"] is True  # ratio <= 0.5 kept
+    assert (out[2]["n_chunks"], out[2]["dup_chunks"]) == (2, 1)
+    # doc 3: 5 tokens -> one full + one short trailing chunk, all unique
+    assert (out[3]["n_chunks"], out[3]["dup_chunks"]) == (2, 0)
+    assert out[3]["keep"] is True
+    # doc 4: both chunks are the same repeated string -> fully duplicated
+    assert (out[4]["n_chunks"], out[4]["dup_chunks"]) == (2, 2)
+    assert out[4]["keep"] is False
+
+
+# -------------------------------------------------------------------------
+# open_orders_daily — sweep line vs a brute-force per-day recount
+# -------------------------------------------------------------------------
+
+
+def test_open_orders_sweep_matches_bruteforce(spark, tmp_path_factory):
+    base = dt.datetime(1995, 1, 1)
+    # (orderkey, priority, open_day_offset, [lineitem ship_day_offsets])
+    orders = [
+        (1, "1-URGENT", 0, [2, 5]),
+        (2, "1-URGENT", 3, [3]),
+        (3, "2-HIGH", 0, [10]),
+        (4, "1-URGENT", 5, [6, 8]),
+    ]
+    d = tmp_path_factory.mktemp("sweep")
+    spark.createDataFrame(
+        [
+            (k, pr, base + dt.timedelta(days=o))
+            for k, pr, o, _ in orders
+        ],
+        "o_orderkey long, o_orderpriority string, o_orderdate timestamp_ntz",
+    ).coalesce(1).write.parquet(str(d / "orders.parquet"))
+    spark.createDataFrame(
+        [
+            (k, base + dt.timedelta(days=s))
+            for k, _, _, ships in orders
+            for s in ships
+        ],
+        "l_orderkey long, l_shipdate timestamp_ntz",
+    ).coalesce(1).write.parquet(str(d / "lineitem.parquet"))
+
+    got = {
+        (r["o_orderpriority"], r["day"]): (r["net_change"], r["open_orders"])
+        for r in open_orders_daily(spark, str(d)).collect()
+    }
+    epoch_off = (base - dt.datetime(1970, 1, 1)).days
+
+    # brute force: an order is open on day t iff open <= t <= max(ship)
+    def open_count(pr, t):
+        return sum(
+            1
+            for _, p, o, ships in orders
+            if p == pr and o <= t <= max(ships)
+        )
+
+    for (pr, day), (_, open_n) in got.items():
+        assert open_n == open_count(pr, day - epoch_off)
+    # the curve closes: every priority's last delta row sums back to zero
+    for pr in {"1-URGENT", "2-HIGH"}:
+        last = max(day for p, day in got if p == pr)
+        assert got[(pr, last)][1] == 0
+
+
+# -------------------------------------------------------------------------
+# user_daily_anomaly
+# -------------------------------------------------------------------------
+
+
+def test_anomaly_flags_spike_and_constant_baseline(spark, tmp_path_factory):
+    rows = []
+    # user 1: constant baseline (1/day for days 0-9) then a 10x spike ->
+    # zero variance, z undefined, but the deviation MUST flag
+    rows += [(1, day, 1) for day in range(10)]
+    rows += [(1, 10, 10)]
+    # user 2: alternating 1/3 baseline then a day inside the band
+    rows += [(2, day, 1 if day % 2 else 3) for day in range(10)]
+    rows += [(2, 10, 2)]
+    d = _events_dir(spark, tmp_path_factory, rows, name="anom_events")
+    out = {
+        (r["user_id"], r["day"]): r
+        for r in user_daily_anomaly(spark, d).collect()
+    }
+    spike = out[(1, 10)]
+    assert spike["baseline_days"] == 10
+    assert spike["baseline_mean"] == pytest.approx(1.0)
+    assert spike["zscore"] is None  # zero-variance: z undefined
+    assert spike["is_anomaly"] is True  # ... but the spike is flagged
+    # constant-baseline day matching the constant: no flag
+    assert out[(1, 9)]["is_anomaly"] is False
+    # user 2 day 10: baseline mean 2, sd ~1.05 -> |z| < 2.5, no flag
+    mid = out[(2, 10)]
+    assert mid["baseline_mean"] == pytest.approx(2.0)
+    zs = mid["zscore"]
+    assert zs is not None and abs(zs) < 0.1
+    assert mid["is_anomaly"] is False
+    # first day of history: empty baseline -> NULLs and no flag
+    first = out[(1, 0)]
+    assert first["baseline_days"] == 0
+    assert first["baseline_mean"] is None
+    assert first["zscore"] is None
+    assert first["is_anomaly"] is False
