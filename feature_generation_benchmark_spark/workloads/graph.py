@@ -115,3 +115,133 @@ QUERIES = [
         "integer-quantized PageRank over the trade graph, 5 unrolled iters",
     ),
 ]
+
+
+# --------------------------------------------------------------------------
+# triangle counting (r3b) — the co-purchase graph clustering primitive,
+# implemented with the degree-orientation trick from Suri &
+# Vassilvitskii, "Counting Triangles and the Curse of the Last Reducer"
+# (WWW'11): orient every edge from its lower-(degree, id) endpoint to the
+# higher one, so each wedge is generated exactly once at its lowest-degree
+# apex and per-node wedge fan-out is bounded by O(sqrt(m)) — THE published
+# fix for the hot-vertex straggler that kills naive triangle joins at
+# scale.
+# --------------------------------------------------------------------------
+
+
+def _part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (u < v) distinct edges between parts co-ordered in the
+    same order. Per-order fan-out is bounded by order size (≤ 7
+    lineitems), so the pair explosion is linear in lineitems."""
+    lp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = lp.alias("a"), lp.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+
+
+def triangle_counts_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation counts in the co-order graph.
+
+    Plan: canonical edge list → degree table (edge-keyed agg) → degree
+    orientation (two broadcast-joinable degree lookups — the degree table
+    is node-sized, ≪ edges) → wedge self-join on the apex → closing-edge
+    semi-join → explode corners → count per part. Every join is an
+    equi-join; the orientation bounds the wedge join's per-key fan-out,
+    which is what makes the self-join survive hot parts at 100 TB."""
+    edges = _part_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(
+        F.col("node").alias("u"), F.col("deg").alias("du")
+    )
+    dv = deg.select(
+        F.col("node").alias("v"), F.col("deg").alias("dv")
+    )
+    ranked = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    # orient low (deg, id) -> high (deg, id); ties impossible to cycle
+    # because (deg, id) is a total order
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = (
+        e1.join(e2, "src")
+        .where(F.col("e1.dst") < F.col("e2.dst"))
+        .select(
+            F.col("src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    closing = edges.select(
+        F.col("u").alias("b"), F.col("v").alias("c")
+    )
+    tris = wedges.join(closing, ["b", "c"])
+    corners = (
+        tris.select(F.col("a").alias("part"))
+        .unionAll(tris.select(F.col("b").alias("part")))
+        .unionAll(tris.select(F.col("c").alias("part")))
+    )
+    return (
+        corners.groupBy("part")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+
+
+_TRIANGLE_ORACLE = """
+WITH lp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+),
+t AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+corners AS (
+  SELECT a AS part FROM t
+  UNION ALL SELECT b FROM t
+  UNION ALL SELECT c FROM t
+)
+SELECT part, CAST(count(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY part
+"""
+
+# bench=False: the co-order graph densifies superlinearly with sf (sf0.1
+# is ~30M wedges), so this entry's cost is a property of the fixture's
+# graph density, not of engine throughput — it would dominate the
+# headline total the way duplicate_clusters' iteration count would.
+# Correctness stays gated through the sf0.01 oracle run.
+QUERIES.append(
+    QueryDef(
+        "triangle_counts_parts",
+        triangle_counts_parts,
+        _TRIANGLE_ORACLE,
+        "degree-oriented triangle counting on the co-order part graph",
+        bench=False,
+    )
+)

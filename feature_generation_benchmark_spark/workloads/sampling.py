@@ -246,3 +246,113 @@ QUERIES = [
     QueryDef("dataset_split", dataset_split, _SPLIT_ORACLE,
              "deterministic train/val/test hash split"),
 ]
+
+
+# --------------------------------------------------------------------------
+# content-defined chunking (r3b) — rolling-boundary chunking (the FastCDC/
+# rsync primitive): a token ENDS a chunk when its content hash hits the
+# divisor, so boundaries depend only on LOCAL content and an edit shifts
+# only its own chunk — unlike fixed-stride chunking, where one inserted
+# token re-keys every downstream chunk. The property that makes
+# chunk-level dedup robust to document edits.
+# --------------------------------------------------------------------------
+
+#: Boundary divisor — a token closes a chunk when md5(token) % 16 == 0,
+#: giving ~16-token expected chunks.
+_CDC_DIVISOR = 16
+
+
+def cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunks per document: (doc_id, chunk_idx,
+    n_chunk_tokens, chunk_md5).
+
+    Plan: posexplode tokens (shuffle-free flatMap) → boundary flag from
+    the token's own md5 → chunk id as an exclusive prefix sum over ONE
+    doc-keyed window → per-(doc, chunk) fold. Both shuffles are keyed by
+    doc_id (high cardinality, bounded per-doc row counts), and the chunk
+    id needs no iterative pass — the prefix sum IS the assignment."""
+    from feature_generation_benchmark_spark.functions.textfns import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(tokens("text")).alias("pos", "token"),
+    )
+    boundary = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10)
+        .cast("long")
+        % _CDC_DIVISOR
+        == 0
+    ).cast("long")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = tok.select(
+        "doc_id",
+        "pos",
+        "token",
+        F.coalesce(F.sum(boundary).over(w), F.lit(0)).alias("chunk_idx"),
+    )
+    return (
+        chunked.groupBy("doc_id", "chunk_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunk_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "token"))
+                        ),
+                        lambda s: s["token"],
+                    ),
+                    " ",
+                )
+            ).alias("chunk_md5"),
+        )
+    )
+
+
+_CDC_ORACLE = f"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+tok AS (
+  SELECT doc_id,
+         generate_subscripts(toks, 1) - 1 AS pos,
+         unnest(toks) AS token
+  FROM toked
+),
+flagged AS (
+  SELECT doc_id, pos, token,
+         CASE WHEN CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT)
+                   % {_CDC_DIVISOR} = 0 THEN 1 ELSE 0 END AS b
+  FROM tok
+),
+chunked AS (
+  SELECT doc_id, pos, token,
+         CAST(coalesce(sum(b) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS chunk_idx
+  FROM flagged
+)
+SELECT doc_id, chunk_idx,
+  CAST(count(*) AS BIGINT) AS n_chunk_tokens,
+  md5(string_agg(token, ' ' ORDER BY pos)) AS chunk_md5
+FROM chunked GROUP BY doc_id, chunk_idx
+"""
+
+QUERIES.append(
+    QueryDef(
+        "cdc_chunking",
+        cdc_chunking,
+        _CDC_ORACLE,
+        "content-defined (rolling-boundary) chunking — edit-stable chunk "
+        "identities for chunk-level dedup",
+    )
+)

@@ -247,3 +247,157 @@ def test_anomaly_flags_spike_and_constant_baseline(spark, tmp_path_factory):
     assert first["baseline_mean"] is None
     assert first["zscore"] is None
     assert first["is_anomaly"] is False
+
+
+# -------------------------------------------------------------------------
+# plan-shape guards — the scale claims of the r3b operators, asserted
+# -------------------------------------------------------------------------
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_open_orders_plan_has_no_nested_loop(spark):
+    """The whole point of the sweep line: the interval concurrency curve
+    must come out of equi-shuffles + a window, never a broadcast
+    nested-loop range join."""
+    plan = _physical(open_orders_daily(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_anomaly_is_single_user_keyed_exchange(spark):
+    """One (user, day) agg + one user-keyed window — the baseline must
+    not add a self-join or extra exchange."""
+    plan = _physical(user_daily_anomaly(spark, "/root/testdata/sf0.001"))
+    assert "Join" not in plan, plan
+    # count-agg partials + final agg + window may legally share ONE
+    # hash-exchange on user_id/(user_id, day): assert the ceiling
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+# -------------------------------------------------------------------------
+# triangle_counts_parts — crafted graph closed form
+# -------------------------------------------------------------------------
+
+
+def test_triangle_counts_crafted(spark, tmp_path_factory):
+    from feature_generation_benchmark_spark.workloads.graph import (
+        triangle_counts_parts,
+    )
+
+    # orders as cliques of parts: order 1 = {1,2,3} (triangle), order 2 =
+    # {3,4,5,6} (K4 = 4 triangles), order 3 = {1,2} (edge only, no new
+    # triangle), order 4 duplicates order 1 (edges are distinct -> no
+    # double count)
+    rows = [
+        (1, p) for p in (1, 2, 3)
+    ] + [
+        (2, p) for p in (3, 4, 5, 6)
+    ] + [
+        (3, p) for p in (1, 2)
+    ] + [
+        (4, p) for p in (1, 2, 3)
+    ]
+    d = tmp_path_factory.mktemp("tri")
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).coalesce(1).write.parquet(str(d / "lineitem.parquet"))
+    got = {
+        r["part"]: r["n_triangles"]
+        for r in triangle_counts_parts(spark, str(d)).collect()
+    }
+    # K4 on {3,4,5,6}: each member sits in C(3,2)=3 triangles; part 3
+    # additionally closes the {1,2,3} triangle
+    assert got == {1: 1, 2: 1, 3: 4, 4: 3, 5: 3, 6: 3}
+
+
+# -------------------------------------------------------------------------
+# cdc_chunking — python-model ground truth + edit stability
+# -------------------------------------------------------------------------
+
+
+def _cdc_model(toks, divisor=16):
+    """Reference chunker: token ends a chunk when md5 % divisor == 0."""
+    import hashlib
+
+    chunks, cur = [], []
+    for t in toks:
+        cur.append(t)
+        if int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % divisor == 0:
+            chunks.append(cur)
+            cur = []
+    if cur:
+        chunks.append(cur)
+    return [" ".join(c) for c in chunks]
+
+
+def test_cdc_chunking_matches_model_and_survives_edits(
+    spark, tmp_path_factory
+):
+    import hashlib
+
+    # find one boundary token so the fixture provably has a mid-doc cut
+    bset = [
+        w
+        for w in (f"tok{i}" for i in range(200))
+        if int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 16 == 0
+    ]
+    assert bset, "no boundary token in probe vocabulary"
+    b = bset[0]
+    base = ["alpha", "beta", b, "gamma", "delta", "epsilon"]
+    edited = ["zzz"] + base  # one token inserted BEFORE the boundary
+    d = _docs_dir(
+        spark,
+        tmp_path_factory,
+        [(1, " ".join(base)), (2, " ".join(edited))],
+        name="cdc_docs",
+    )
+    from feature_generation_benchmark_spark.workloads.sampling import (
+        cdc_chunking,
+    )
+
+    out = cdc_chunking(spark, d).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["n_chunk_tokens"], r["chunk_md5"])
+        )
+    for doc_id, toks in ((1, base), (2, edited)):
+        expect = _cdc_model(toks)
+        rows = sorted(got[doc_id])
+        assert [n for _, n, _ in rows] == [
+            len(c.split()) for c in expect
+        ]
+        assert [h for _, _, h in rows] == [
+            hashlib.md5(c.encode()).hexdigest() for c in expect
+        ]
+    # the CDC property: the edit before the boundary changed ONLY the
+    # first chunk — every chunk after the cut is bit-identical
+    tail1 = [h for _, _, h in sorted(got[1])][1:]
+    tail2 = [h for _, _, h in sorted(got[2])][1:]
+    assert tail1 == tail2 and tail1  # non-empty shared tail
+
+
+def test_text_and_chunk_ops_have_keyed_exchanges_only(spark):
+    """No global sorts, no cartesian products; exchange counts bounded.
+    (unigram_logprob's single BroadcastNestedLoopJoin is the intentional
+    1-row corpus-total broadcast.)"""
+    from feature_generation_benchmark_spark.workloads.text import (
+        top_ngram_coverage,
+        unigram_logprob,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for fn, max_hash, max_bnlj in (
+        (top_ngram_coverage, 3, 0),
+        (unigram_logprob, 3, 1),
+        (dedup_chunk_exact, 3, 0),
+    ):
+        plan = _physical(fn(spark, sf))
+        assert "Exchange rangepartitioning" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert plan.count("Exchange hashpartitioning") <= max_hash, plan
+        assert plan.count("BroadcastNestedLoopJoin") <= max_bnlj, plan

@@ -29,7 +29,11 @@ from pyspark.sql import functions as F  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 QUERIES = ("q7_nation_volume", "q13_order_histogram", "q18_large_orders",
-           "q21_blamed_suppliers")
+           "q21_blamed_suppliers",
+           # r3b: sweep-line interval concurrency — output is calendar-
+           # bounded, so it collects directly and MUST stay flat-sized
+           # while the fact side grows
+           "open_orders_daily")
 
 #: event/document operators probed through a wrapping CHECKSUM aggregate:
 #: their full outputs grow with the scale factor, so collect() would ship
@@ -45,7 +49,10 @@ QUERIES = ("q7_nation_volume", "q13_order_histogram", "q18_large_orders",
 #: and user cardinality — the axis gap-fill/funnel/cohort plans must
 #: scale on.
 NOOP_QUERIES = ("gap_fill_daily", "heavy_hitters", "funnel_conversions",
-                 "cohort_retention", "tfidf_top_terms", "ohlc_bars")
+                 "cohort_retention", "tfidf_top_terms", "ohlc_bars",
+                 # r3b operators whose outputs grow with the corpus
+                 "user_daily_anomaly", "cdc_chunking", "dedup_chunk_exact",
+                 "top_ngram_coverage", "unigram_logprob")
 
 
 def build_scaled(spark, factor: int) -> str:
