@@ -123,3 +123,29 @@ def fingerprint_md5(text: Column | str) -> Column:
     bit-identical in every engine — the portable choice for oracle-checked
     dedup; xxhash64 is the cheaper Spark-internal alternative)."""
     return F.md5(normalize_text(text))
+
+
+def md5_prefix_long(c: Column) -> Column:
+    """First 8 hex chars of md5 as a non-negative long — the engine-wide
+    portable hash-to-integer idiom. The DuckDB twin is
+    ``CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)``; keep BOTH sides of
+    that contract here (8 hex chars, base-16, long) rather than at call
+    sites so the prefix width can never drift per-operator."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def token_windows(toks: Column, width: int, step: int) -> Column:
+    """Strided token windows as ``array<struct<chunk_idx, window>>`` —
+    the shared flatMap core of fixed-window chunking (``doc_chunking``,
+    overlapping) and chunk-granularity dedup (``dedup_chunk_exact``,
+    non-overlapping): window k starts at ``k*step`` (0-based) and takes up
+    to ``width`` tokens, so a trailing short window keeps every token
+    covered. Callers must ensure ``size(toks) > 0`` (``sequence(0, -1)``
+    would descend)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 1, F.lit(step)),
+        lambda s, i: F.struct(
+            i.cast("long").alias("chunk_idx"),
+            F.slice(toks, s + 1, width).alias("window"),
+        ),
+    )

@@ -514,7 +514,10 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the chunk-count table is the dedup state; everything else streams.
     Trailing sub-width tokens form a final short chunk so every token is
     covered (matches the oracle's list-slice semantics)."""
-    from feature_generation_benchmark_spark.functions.textfns import tokens
+    from feature_generation_benchmark_spark.functions.textfns import (
+        token_windows,
+        tokens,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     toked = docs.select("doc_id", tokens("text").alias("toks")).filter(
@@ -523,13 +526,8 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _DEDUP_CHUNK_TOKENS
     chunks = toked.select(
         "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - 1, F.lit(w)),
-                lambda s: F.array_join(F.slice(F.col("toks"), s + 1, w), " "),
-            )
-        ).alias("chunk"),
-    )
+        F.explode(token_windows(F.col("toks"), w, w)).alias("c"),
+    ).select("doc_id", F.array_join("c.window", " ").alias("chunk"))
     counts = chunks.groupBy("chunk").agg(F.count(F.lit(1)).alias("n_occ"))
     per_doc = (
         chunks.join(counts, "chunk")

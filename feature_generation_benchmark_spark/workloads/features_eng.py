@@ -14,7 +14,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from feature_generation_benchmark_spark.functions.textfns import tokens
+from feature_generation_benchmark_spark.functions.textfns import (
+    md5_prefix_long,
+    tokens,
+)
 from feature_generation_benchmark_spark.sources.testdata import load_table
 from feature_generation_benchmark_spark.workloads import QueryDef
 
@@ -106,11 +109,7 @@ WHERE rank <= {_TFIDF_K}
 
 def feature_hash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10)
-        .cast("long")
-        % _HASH_BUCKETS
-    ).alias("bucket")
+    bucket = (md5_prefix_long(F.col("term")) % _HASH_BUCKETS).alias("bucket")
     return (
         docs.select("doc_id", F.explode(tokens("text")).alias("term"))
         .select("doc_id", bucket)

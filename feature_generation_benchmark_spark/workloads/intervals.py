@@ -37,8 +37,10 @@ def open_orders_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     An order is "open" from ``o_orderdate`` through the latest
     ``l_shipdate`` of its lineitems (inclusive). Output: one row per
-    (o_orderpriority, day) where the count changes, with the net change
-    and the running number of open orders.
+    (o_orderpriority, day) holding an interval endpoint, with the net
+    change and the running number of open orders — ``net_change`` can be
+    0 on a day where one order's open coincides with another's close+1,
+    so this is an endpoint list, not a strict change-point list.
 
     Plan shape: per-order close date (orderkey-keyed agg) → inner join
     back to orders (orderkey-keyed, co-partitioned) → ±1 delta union

@@ -17,6 +17,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from feature_generation_benchmark_spark.functions.textfns import (
+    md5_prefix_long,
+)
+
 from feature_generation_benchmark_spark.operators.joins import fuzzy_join
 from feature_generation_benchmark_spark.sources.testdata import load_table
 from feature_generation_benchmark_spark.workloads import QueryDef
@@ -25,11 +29,7 @@ from feature_generation_benchmark_spark.workloads import QueryDef
 def _corrupt(name, key):
     """Delete one char at an md5-derived position in the trailing word
     (positions len, len-1, len-2 — the noun is always ≥ 3 chars)."""
-    h = F.conv(
-        F.substring(F.md5(F.concat_ws("#", name, key.cast("string"))), 1, 8),
-        16,
-        10,
-    ).cast("long")
+    h = md5_prefix_long(F.concat_ws("#", name, key.cast("string")))
     pos = F.length(name) - (h % 3)
     return F.concat(
         name.substr(F.lit(1), pos - 1),

@@ -19,7 +19,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from feature_generation_benchmark_spark.functions.textfns import token_count
+from feature_generation_benchmark_spark.functions.textfns import (
+    md5_prefix_long,
+    token_count,
+    token_windows,
+)
 from feature_generation_benchmark_spark.sources.testdata import load_table
 from feature_generation_benchmark_spark.workloads import QueryDef
 
@@ -150,26 +154,14 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunked = toked.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(
-                    F.lit(0),
-                    F.size("__toks") - 1,
-                    F.lit(_CHUNK_STEP),
-                ),
-                lambda s, i: F.struct(
-                    i.cast("long").alias("chunk_idx"),
-                    F.slice(F.col("__toks"), s + 1, _CHUNK_TOKENS).alias(
-                        "__chunk"
-                    ),
-                ),
-            )
+            token_windows(F.col("__toks"), _CHUNK_TOKENS, _CHUNK_STEP)
         ).alias("c"),
     )
     return chunked.select(
         "doc_id",
         F.col("c.chunk_idx").alias("chunk_idx"),
-        F.size("c.__chunk").cast("long").alias("n_chunk_tokens"),
-        F.array_join("c.__chunk", " ").alias("chunk_text"),
+        F.size("c.window").cast("long").alias("n_chunk_tokens"),
+        F.array_join("c.window", " ").alias("chunk_text"),
     )
 
 
@@ -279,10 +271,7 @@ def cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(tokens("text")).alias("pos", "token"),
     )
     boundary = (
-        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10)
-        .cast("long")
-        % _CDC_DIVISOR
-        == 0
+        md5_prefix_long(F.col("token")) % _CDC_DIVISOR == 0
     ).cast("long")
     w = (
         Window.partitionBy("doc_id")

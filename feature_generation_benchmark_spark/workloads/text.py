@@ -22,6 +22,7 @@ from feature_generation_benchmark_spark.functions.textfns import (
     rolling_fingerprint,
     token_count,
     tokens,
+    word_ngrams,
 )
 from feature_generation_benchmark_spark.sources.testdata import load_table
 from feature_generation_benchmark_spark.workloads import QueryDef
@@ -386,19 +387,13 @@ _TOP3_MAX = 0.18
 
 
 def _gram_rows(toked: DataFrame, g: int) -> DataFrame:
-    """Explode one row per ``g``-gram. Shuffle-free per-row flatMap: the
-    token array is materialized once per doc and sliced row-locally."""
-    return toked.filter(F.size("toks") >= g).select(
+    """Explode one row per ``g``-gram via the shared ``word_ngrams``
+    shingler (shuffle-free per-row flatMap; ``word_ngrams`` already
+    yields an empty array below ``g`` tokens, so no explicit filter)."""
+    return toked.select(
         "doc_id",
         F.lit(g).alias("g"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - g),
-                lambda i: F.concat_ws(
-                    " ", F.slice(F.col("toks"), i + 1, g)
-                ),
-            )
-        ).alias("gram"),
+        F.explode(word_ngrams(F.col("toks"), g)).alias("gram"),
     )
 
 
@@ -502,7 +497,13 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule): per-token log-probs are quantized to integer MICRO-LOG units
     before summing, so the per-doc aggregate is an exact integer sum —
     immune to float accumulation order across engines/partitions — and
-    the reported double is one final exact-int division."""
+    the reported double is one final exact-int division. Residual risk:
+    the quantization happens AFTER one transcendental (``ln``), so a
+    JVM-vs-libm last-ulp divergence landing exactly on a 0.5e-6 rounding
+    boundary could still flip one micro-log unit (~1e-9 per distinct
+    (count, total) pair — accepted; no cross-engine log is exactly
+    portable, and the quantization removes the dominant order-of-
+    accumulation hazard)."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
