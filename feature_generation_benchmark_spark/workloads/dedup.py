@@ -411,8 +411,10 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comps.select(F.col("id").alias("doc_id"), "component")
 
 
-_CLUSTERS_ORACLE = f"""
-WITH RECURSIVE {_JACCARD_CTES},
+#: Shared recursive-CTE chain resolving duplicate components — the final
+#: ``comp(doc_id, component)`` CTE is composed by both the clusters oracle
+#: and the representative-selection oracle below.
+_CLUSTERS_CTES = f"""WITH RECURSIVE {_JACCARD_CTES},
 jedges AS (
   SELECT id_a AS a, id_b AS b FROM common
   JOIN sizes na ON na.doc_id = id_a
@@ -438,8 +440,70 @@ r(id, root) AS (
   SELECT id, id FROM nodes
   UNION
   SELECT e.b, r.root FROM r JOIN edges e ON e.a = r.id
+),
+comp AS (SELECT id AS doc_id, min(root) AS component FROM r GROUP BY id)"""
+
+_CLUSTERS_ORACLE = f"""
+{_CLUSTERS_CTES}
+SELECT doc_id, component FROM comp
+"""
+
+
+def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection — the keep/drop decision that completes
+    the dedup pipeline: every doc joins its duplicate component (its own
+    id when unclustered), and each component keeps exactly one doc — the
+    longest (`n_chars`), ties to the smallest `doc_id` via the
+    lexicographic `max(struct(n_chars, -doc_id))` trick (one aggregation,
+    no window re-sort).
+
+    Scale posture: the component resolution is the iterative CC program
+    (`duplicate_clusters`); everything added here is one doc-keyed left
+    join + one component-keyed agg + one component-keyed join-back —
+    component cardinality ≤ doc cardinality, no skew beyond the largest
+    duplicate cluster."""
+    comps = duplicate_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    j = docs.join(comps, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).alias("component"),
+        "n_chars",
+    )
+    m = j.groupBy("component").agg(
+        (
+            -F.max(
+                F.struct(
+                    F.col("n_chars").alias("a"),
+                    (-F.col("doc_id")).alias("b"),
+                )
+            )["b"]
+        ).alias("rep")
+    )
+    return j.join(m, "component").select(
+        "doc_id",
+        "component",
+        "n_chars",
+        (F.col("doc_id") == F.col("rep")).alias("keep"),
+    )
+
+
+_REPS_ORACLE = f"""
+{_CLUSTERS_CTES},
+j AS (
+  SELECT d.doc_id,
+         coalesce(c.component, d.doc_id) AS component,
+         CAST(d.n_chars AS BIGINT) AS n_chars
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+m AS (
+  SELECT component,
+         -((max({{'a': n_chars, 'b': -doc_id}})).b) AS rep
+  FROM j GROUP BY component
 )
-SELECT id AS doc_id, min(root) AS component FROM r GROUP BY id
+SELECT j.doc_id, j.component, j.n_chars, j.doc_id = m.rep AS keep
+FROM j JOIN m USING (component)
 """
 
 
@@ -484,6 +548,11 @@ QUERIES = [
     QueryDef("duplicate_clusters", duplicate_clusters, _CLUSTERS_ORACLE,
              "connected components over dup pairs (large-star/small-star)",
              bench=False),
+    # bench=False: re-runs the iterative CC program (see above).
+    QueryDef("cluster_representatives", cluster_representatives,
+             _REPS_ORACLE,
+             "keep/drop per doc: longest doc per duplicate component "
+             "(completes the dedup pipeline)", bench=False),
 ]
 
 

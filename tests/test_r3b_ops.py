@@ -401,3 +401,35 @@ def test_text_and_chunk_ops_have_keyed_exchanges_only(spark):
         assert "CartesianProduct" not in plan, plan
         assert plan.count("Exchange hashpartitioning") <= max_hash, plan
         assert plan.count("BroadcastNestedLoopJoin") <= max_bnlj, plan
+
+
+# -------------------------------------------------------------------------
+# cluster_representatives — keep the longest doc per duplicate component
+# -------------------------------------------------------------------------
+
+
+def test_cluster_representatives_keep_longest_tie_smallest_id(
+    spark, tmp_path_factory
+):
+    from feature_generation_benchmark_spark.workloads.dedup import (
+        cluster_representatives,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    d = _docs_dir(
+        spark,
+        tmp_path_factory,
+        [
+            (1, base),  # exact dup of 2 (tie on n_chars -> smaller id)
+            (2, base),
+            (3, base + " iota kappa"),  # near-dup of 1/2, longest
+            (4, "unrelated words entirely disjoint tokens only here"),
+        ],
+        name="reps_docs",
+    )
+    out = {r["doc_id"]: r for r in cluster_representatives(spark, d).collect()}
+    assert {i: out[i]["component"] for i in (1, 2, 3)} == {1: 1, 2: 1, 3: 1}
+    assert out[3]["keep"] is True  # longest in the component
+    assert out[1]["keep"] is False and out[2]["keep"] is False
+    assert out[4]["keep"] is True  # singleton keeps itself
+    assert out[4]["component"] == 4
