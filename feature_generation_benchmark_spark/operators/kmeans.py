@@ -17,8 +17,11 @@ Each iteration is:
                 difference can never move a coordinate rounded to 1e-6),
                 which is what lets a SQL twin replay training exactly.
 
-Everything stays lazy: iterations chain into one logical plan; nothing is
-collected. Scale posture: assignment is a zero-shuffle broadcast of a
+Iteration state: nothing is ever collected to the driver — the k-row
+model is ``localCheckpoint``ed each iteration (cutting the lineage that
+would otherwise re-execute every earlier iteration inside each broadcast
+job — quadratic in ``n_iter``) and the corpus projection is cached once.
+Scale posture: assignment is a zero-shuffle broadcast of a
 1-row model frame; the update shuffles (cell, dim) pairs — ``d×`` the row
 count in shuffle *rows* but only ~8 bytes each. At very large d, swap the
 explode update for an Arrow-batched partial-sum UDF; the assignment side
@@ -111,9 +114,12 @@ def kmeans_train(
     Empty clusters drop out of the update (no rows → no centroid), matching
     the SQL twin's GROUP BY semantics."""
     spark = df.sparkSession
+    # The corpus subtree feeds every iteration's assignment: cache it once
+    # (spills gracefully when it doesn't fit) instead of re-scanning
+    # parquet per iteration.
     corpus = df.select(
         F.col(id_col).alias("__id"), as_double_array(vec_col).alias("__v")
-    )
+    ).cache()
     cents = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(init_centroids)],
         "cell int, cv array<double>",
@@ -121,7 +127,14 @@ def kmeans_train(
     assigned = None
     for _ in range(n_iter):
         assigned = _assign(corpus, cents)
-        cents = _update(assigned)
+        # Materialize the k-row model NOW and cut its lineage — without
+        # this, iteration i's broadcast-model job re-executes the FULL
+        # lineage of iterations 1..i-1 (quadratic corpus passes in
+        # n_iter); with it each update runs exactly once. Same pattern as
+        # pagerank(small_state=True); values are identical either way
+        # (the per-iteration quantization fixed the trajectory already),
+        # so the unrolled-CTE oracle is unaffected.
+        cents = _update(assigned).localCheckpoint(eager=True)
     final = _assign(corpus, cents)
     d2 = (
         dot(F.col("__v"), F.col("__v"))
