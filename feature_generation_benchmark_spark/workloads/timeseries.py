@@ -364,3 +364,81 @@ QUERIES.append(
         "trailing-28d z-score anomaly flags, integer-exact predicate",
     )
 )
+
+
+# --------------------------------------------------------------------------
+# rolling distinct actives (r3b): DAU + trailing-7d WAU — the canonical
+# engagement metric, via the explode-by-window-size pattern. COUNT
+# (DISTINCT) cannot run inside a sliding window frame; instead each
+# (user, day) activity row contributes itself to the 7 trailing buckets it
+# belongs to — a bounded ×7 flatMap — and each bucket takes one exact
+# distinct count. The approximate sibling at unbounded window widths is
+# the mergeable-HLL rollup in ``operators/aggregates.py``.
+# --------------------------------------------------------------------------
+
+_ROLLING_DAYS = 7
+
+
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, dau, wau7): distinct users active that day, and within the
+    trailing 7 days. WAU rows exist for every day inside 6 days after an
+    activity (the trailing window still contains it); DAU is 0 there.
+
+    Scale: distinct (user, day) is one keyed agg; the ×7 explosion is
+    shuffle-free; the bucket distinct is a (day, user)-keyed agg whose
+    map-side combine collapses the ×7 duplication. No window frames, no
+    self-joins — day cardinality is calendar-bounded at any corpus size."""
+    ev = _events(spark, sf_dir)
+    du = (
+        ev.select("user_id", F.expr(f"ts div {_NS_PER_DAY}").alias("day"))
+        .distinct()
+    )
+    contrib = du.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + _ROLLING_DAYS - 1)
+        ).alias("day"),
+    )
+    wau = contrib.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("wau7")
+    )
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    return (
+        wau.join(dau, "day", "left")
+        .select(
+            F.col("day").cast("long").alias("day"),
+            F.coalesce("dau", F.lit(0)).cast("long").alias("dau"),
+            "wau7",
+        )
+    )
+
+
+_ROLLING_ORACLE = f"""
+WITH du AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_US_PER_DAY} AS day FROM events
+),
+con AS (
+  SELECT user_id,
+         unnest(generate_series(day, day + {_ROLLING_DAYS - 1})) AS day
+  FROM du
+),
+wau AS (
+  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau7
+  FROM con GROUP BY day
+),
+dau AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY day
+)
+SELECT CAST(w.day AS BIGINT) AS day,
+       CAST(coalesce(d.dau, 0) AS BIGINT) AS dau, w.wau7
+FROM wau w LEFT JOIN dau d USING (day)
+"""
+
+QUERIES.append(
+    QueryDef(
+        "rolling_active_users",
+        rolling_active_users,
+        _ROLLING_ORACLE,
+        "DAU + trailing-7d WAU via explode-by-window distinct counting",
+    )
+)

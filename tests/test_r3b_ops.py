@@ -433,3 +433,29 @@ def test_cluster_representatives_keep_longest_tie_smallest_id(
     assert out[1]["keep"] is False and out[2]["keep"] is False
     assert out[4]["keep"] is True  # singleton keeps itself
     assert out[4]["component"] == 4
+
+
+# -------------------------------------------------------------------------
+# rolling_active_users — DAU/WAU closed form
+# -------------------------------------------------------------------------
+
+
+def test_rolling_active_users_closed_form(spark, tmp_path_factory):
+    from feature_generation_benchmark_spark.workloads.timeseries import (
+        rolling_active_users,
+    )
+
+    # user 1 active days 0 and 8 (outside each other's 7d window);
+    # user 2 active day 1; two events same user+day dedupe to one active
+    rows = [(1, 0, 2), (2, 1, 1), (1, 8, 1)]
+    d = _events_dir(spark, tmp_path_factory, rows, name="rolling_events")
+    out = {
+        r["day"]: (r["dau"], r["wau7"])
+        for r in rolling_active_users(spark, d).collect()
+    }
+    assert out[0] == (1, 1)  # user 1 only
+    assert out[1] == (1, 2)  # user 2 active; user 1 still in window
+    assert out[6] == (0, 2)  # both windows still open, nobody active
+    assert out[7] == (0, 1)  # user 1's day-0 window closed
+    assert out[8] == (1, 1)  # user 1 re-activates
+    assert out[14] == (0, 1) and 15 not in out  # window tail ends
