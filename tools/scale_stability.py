@@ -30,10 +30,10 @@ from pyspark.sql import functions as F  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 QUERIES = ("q7_nation_volume", "q13_order_histogram", "q18_large_orders",
            "q21_blamed_suppliers",
-           # r3b: sweep-line interval concurrency — output is calendar-
-           # bounded, so it collects directly and MUST stay flat-sized
-           # while the fact side grows
-           "open_orders_daily")
+           # r3b: sweep-line interval concurrency and rolling actives —
+           # outputs are calendar-bounded, so they collect directly and
+           # MUST stay flat-sized while the fact side grows
+           "open_orders_daily", "rolling_active_users")
 
 #: event/document operators probed through a wrapping CHECKSUM aggregate:
 #: their full outputs grow with the scale factor, so collect() would ship
