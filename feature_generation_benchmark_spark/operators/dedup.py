@@ -114,12 +114,39 @@ def ngram_jaccard_pairs(
         alpha = F.ceil(F.lit(threshold) * F.col("n_shingles") - F.lit(1e-9))
         prefix = ranked.filter(
             F.col("__pos") <= F.col("n_shingles") - alpha + F.lit(1)
-        ).select(F.col(id_col), "shingle")
-        a = prefix.select(F.col(id_col).alias("id_a"), "shingle")
-        b = prefix.select(F.col(id_col).alias("id_b"), "shingle")
+        ).select(F.col(id_col), "shingle", "__pos", "n_shingles")
+        a = prefix.select(
+            F.col(id_col).alias("id_a"),
+            "shingle",
+            F.col("__pos").alias("__pa"),
+            F.col("n_shingles").alias("__na"),
+        )
+        b = prefix.select(
+            F.col(id_col).alias("id_b"),
+            "shingle",
+            F.col("__pos").alias("__pb"),
+            F.col("n_shingles").alias("__nb"),
+        )
+        # PPJoin positional filter on top of the prefix principle: a pair
+        # matching at (frequency-ordered) positions pa/pb can still reach
+        # overlap at most 1 + min(|A|−pa, |B|−pb); Jaccard ≥ t needs
+        # overlap ≥ ⌈t/(1+t)·(|A|+|B|)⌉, so pairs whose upper bound falls
+        # short never reach verification. A pair is kept if ANY of its
+        # prefix matches passes the bound — a superset of PPJoin's
+        # first-match rule, so no false negatives; the same ε-guard keeps
+        # float noise from inflating the ceil (which would over-prune).
+        pair_alpha = F.ceil(
+            F.lit(threshold / (1.0 + threshold))
+            * (F.col("__na") + F.col("__nb"))
+            - F.lit(1e-9)
+        )
+        ubound = F.lit(1) + F.least(
+            F.col("__na") - F.col("__pa"), F.col("__nb") - F.col("__pb")
+        )
         cand = (
             a.join(b, on="shingle")
             .filter(F.col("id_a") < F.col("id_b"))
+            .filter(ubound >= pair_alpha)
             .select("id_a", "id_b")
             .distinct()
         )
