@@ -20,20 +20,6 @@ import pandas as pd  # module-level: pandas_udf type-hint resolution needs it
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def _probe_sec() -> float:
-    """Single-core integer-loop burn probe (~1.5-2 s when this host is
-    healthy, 2.5-20 s in its documented degraded windows). Recorded into
-    the JSON artifact so every BENCH_r{N} reading carries its own
-    host-capacity calibration — times that move while probes don't are
-    engine regressions; times and probes moving together are host
-    pathology (see COVERAGE.md anchor protocol)."""
-    t0 = time.time()
-    x = 0
-    for i in range(30_000_000):
-        x += i
-    return round(time.time() - t0, 2)
-
-
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -64,7 +50,14 @@ def main() -> None:
 
     spark.range(64).select(_warm(F.col("id").cast("double"))).count()
 
-    probe_before = _probe_sec()
+    # single-core burn probe (shared definition: hostprobe.py) recorded
+    # into the JSON artifact so every BENCH_r{N} reading carries its own
+    # host-capacity calibration
+    from feature_generation_benchmark_spark.hostprobe import (
+        single_core_probe_sec,
+    )
+
+    probe_before = single_core_probe_sec()
     timings: dict[str, float] = {}
     for name, fn in queries.items():
         out = os.path.join(out_root, name)
@@ -90,11 +83,11 @@ def main() -> None:
                 # totals are NOT comparable across rounds unless the
                 # benched-query count is equal — coverage grows each round
                 "n_queries": len(timings),
-                # host-capacity calibration (see _probe_sec): healthy
+                # host-capacity calibration (hostprobe.py): healthy
                 # ~1.5-2 s; readings with probes >2.5 s ran in a degraded
                 # host window and overstate every query time
                 "probe_before_sec": probe_before,
-                "probe_after_sec": _probe_sec(),
+                "probe_after_sec": single_core_probe_sec(),
             }
         ),
         flush=True,

@@ -18,10 +18,10 @@ Each iteration is:
                 which is what lets a SQL twin replay training exactly.
 
 Iteration state: nothing is ever collected to the driver — the k-row
-model is ``localCheckpoint``ed each iteration (cutting the lineage that
-would otherwise re-execute every earlier iteration inside each broadcast
-job — quadratic in ``n_iter``) and the corpus projection is cached once.
-Scale posture: assignment is a zero-shuffle broadcast of a
+model is lazily ``localCheckpoint``ed each iteration, cutting the lineage
+that would otherwise re-execute every earlier iteration inside each
+broadcast job (quadratic in ``n_iter``) while keeping plan construction
+job-free. Scale posture: assignment is a zero-shuffle broadcast of a
 1-row model frame; the update shuffles (cell, dim) pairs — ``d×`` the row
 count in shuffle *rows* but only ~8 bytes each. At very large d, swap the
 explode update for an Arrow-batched partial-sum UDF; the assignment side
@@ -114,12 +114,15 @@ def kmeans_train(
     Empty clusters drop out of the update (no rows → no centroid), matching
     the SQL twin's GROUP BY semantics."""
     spark = df.sparkSession
-    # The corpus subtree feeds every iteration's assignment: cache it once
-    # (spills gracefully when it doesn't fit) instead of re-scanning
-    # parquet per iteration.
+    # NOT cached: the corpus re-scan per iteration is a cheap columnar
+    # read, and an A/B showed the cache build costs more than it saves at
+    # this shape while pinning executor storage for the rest of a long
+    # session. A caller whose input scan genuinely dominates (remote
+    # store, wide source projection) should persist the input themselves
+    # before calling — storage policy belongs to the caller.
     corpus = df.select(
         F.col(id_col).alias("__id"), as_double_array(vec_col).alias("__v")
-    ).cache()
+    )
     cents = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(init_centroids)],
         "cell int, cv array<double>",
@@ -127,14 +130,15 @@ def kmeans_train(
     assigned = None
     for _ in range(n_iter):
         assigned = _assign(corpus, cents)
-        # Materialize the k-row model NOW and cut its lineage — without
-        # this, iteration i's broadcast-model job re-executes the FULL
-        # lineage of iterations 1..i-1 (quadratic corpus passes in
-        # n_iter); with it each update runs exactly once. Same pattern as
-        # pagerank(small_state=True); values are identical either way
-        # (the per-iteration quantization fixed the trajectory already),
-        # so the unrolled-CTE oracle is unaffected.
-        cents = _update(assigned).localCheckpoint(eager=True)
+        # Cut the k-row model's lineage — without this, iteration i's
+        # broadcast-model job re-executes the FULL lineage of iterations
+        # 1..i-1 (quadratic corpus passes in n_iter); with it each update
+        # runs exactly once. eager=False keeps plan construction lazy
+        # (A/B: same win as eager; the checkpoint materializes inside the
+        # first broadcast job that needs it and is reused after). Values
+        # are identical either way — the per-iteration quantization fixed
+        # the trajectory, so the unrolled-CTE oracle is unaffected.
+        cents = _update(assigned).localCheckpoint(eager=False)
     final = _assign(corpus, cents)
     d2 = (
         dot(F.col("__v"), F.col("__v"))

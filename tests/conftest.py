@@ -41,3 +41,46 @@ def tiny_transactions(spark):
         "customer_id long, card_type string, trx_type string, "
         "channel string, trx_amnt double, t_minus long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Shared micro-fixture writers (ONE definition — r3b review moved these out
+# of per-file copies so a schema change lands everywhere at once).
+# ---------------------------------------------------------------------------
+
+_US_PER_DAY = 86_400 * 10**6
+
+
+def write_docs_dir(spark, tmp_path_factory, rows, name="docs_fixture"):
+    """rows: (doc_id, text). Writes a documents-shaped parquet dir."""
+    df = spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = tmp_path_factory.mktemp(name)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(d / "documents.parquet")
+    )
+    return str(d)
+
+
+def write_events_dir(spark, tmp_path_factory, rows, name="events_fixture"):
+    """rows: (user_id, day, n_events) — n_events distinct events that day,
+    µs-spaced within the day. Writes an events-shaped parquet dir."""
+    import datetime as dt
+
+    recs, eid = [], 0
+    for user_id, day, n in rows:
+        for k in range(n):
+            ts = dt.datetime(1970, 1, 1) + dt.timedelta(
+                microseconds=day * _US_PER_DAY + k * 1000
+            )
+            recs.append((eid, ts, user_id, "click", 1.0, "{}"))
+            eid += 1
+    d = tmp_path_factory.mktemp(name)
+    spark.createDataFrame(
+        recs,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    return str(d)

@@ -5,7 +5,6 @@ paths (m<2, zero variance)."""
 
 from __future__ import annotations
 
-import datetime as dt
 import statistics
 
 from hypothesis import HealthCheck, given, settings
@@ -20,9 +19,6 @@ _SETTINGS = dict(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-
-_US_DAY = 86_400 * 10**6
-
 
 @st.composite
 def count_grids(draw):
@@ -40,24 +36,18 @@ def count_grids(draw):
 @given(grid=count_grids())
 @settings(**_SETTINGS)
 def test_anomaly_matches_python_model(spark, tmp_path_factory, grid):
-    recs, eid = [], 0
-    for (u, day), n in grid.items():
-        for k in range(n):
-            ts = dt.datetime(1970, 1, 1) + dt.timedelta(
-                microseconds=day * _US_DAY + k
-            )
-            recs.append((eid, ts, u, "click", 1.0, "{}"))
-            eid += 1
-    d = tmp_path_factory.mktemp("prop_anom")
-    spark.createDataFrame(
-        recs,
-        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
-        " value double, props string",
-    ).coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    from tests.conftest import write_events_dir
+
+    d = write_events_dir(
+        spark,
+        tmp_path_factory,
+        [(u, day, n) for (u, day), n in grid.items()],
+        name="prop_anom",
+    )
 
     out = {
         (r["user_id"], r["day"]): r
-        for r in user_daily_anomaly(spark, str(d)).collect()
+        for r in user_daily_anomaly(spark, d).collect()
     }
     assert set(out) == set(grid)
     for (u, day), n in grid.items():

@@ -43,17 +43,14 @@ def corpora(draw):
 
 
 def _write(spark, tmp_path_factory, corpus):
-    d = tmp_path_factory.mktemp("prop_text")
-    spark.createDataFrame(
-        [
-            (i, " ".join(toks), "en", "src", len(" ".join(toks)))
-            for i, toks in enumerate(corpus)
-        ],
-        "doc_id long, text string, lang string, source string, n_chars long",
-    ).coalesce(1).write.mode("overwrite").parquet(
-        str(d / "documents.parquet")
+    from tests.conftest import write_docs_dir
+
+    return write_docs_dir(
+        spark,
+        tmp_path_factory,
+        [(i, " ".join(toks)) for i, toks in enumerate(corpus)],
+        name="prop_text",
     )
-    return str(d)
 
 
 @given(corpus=corpora())

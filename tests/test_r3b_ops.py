@@ -24,40 +24,10 @@ from feature_generation_benchmark_spark.workloads.timeseries import (
     user_daily_anomaly,
 )
 
-_US_DAY = 86_400 * 10**6
-
-
-def _docs_dir(spark, tmp_path_factory, rows, name="r3b_docs"):
-    df = spark.createDataFrame(
-        [(i, t, "en", "src", len(t)) for i, t in rows],
-        "doc_id long, text string, lang string, source string, n_chars long",
-    )
-    d = tmp_path_factory.mktemp(name)
-    df.coalesce(1).write.mode("overwrite").parquet(
-        str(d / "documents.parquet")
-    )
-    return str(d)
-
-
-def _events_dir(spark, tmp_path_factory, rows, name="r3b_events"):
-    """rows: (user_id, day, n_events) — n_events distinct events that day."""
-    recs = []
-    eid = 0
-    for user_id, day, n in rows:
-        for k in range(n):
-            us = day * _US_DAY + k * 1000
-            ts = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=us)
-            recs.append((eid, ts, user_id, "click", 1.0, "{}"))
-            eid += 1
-    d = tmp_path_factory.mktemp(name)
-    spark.createDataFrame(
-        recs,
-        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
-        "value double, props string",
-    ).coalesce(1).write.mode("overwrite").parquet(
-        str(d / "events.parquet")
-    )
-    return str(d)
+from tests.conftest import (  # noqa: E402
+    write_docs_dir as _docs_dir,
+    write_events_dir as _events_dir,
+)
 
 
 # -------------------------------------------------------------------------

@@ -70,10 +70,7 @@ STRATEGIES = {
 }
 
 
-def _burn(loops: int) -> None:
-    x = 0
-    for i in range(loops):
-        x += i
+from feature_generation_benchmark_spark.hostprobe import burn as _burn  # noqa: E402
 
 
 def burn_probe(loops: int = 10**8) -> float:
