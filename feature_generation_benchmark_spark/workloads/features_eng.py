@@ -340,3 +340,99 @@ QUERIES.append(
         "exact interpolated percentiles (percentile_cont parity)",
     )
 )
+
+
+# --------------------------------------------------------------------------
+# winsorized statistics (r3b): percentile-clipped robust mean — the
+# standard outlier-handling step before a numeric feature enters training.
+# --------------------------------------------------------------------------
+
+_WINSOR_LO = 0.05
+_WINSOR_HI = 0.95
+
+
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorized mean: values below p05 / above p95 are
+    clipped to those bounds, everything else passes through.
+
+    Determinism contract: the winsorized SUM is decomposed into exact
+    integer parts — Σ(inlier cents) + n_low·lo + n_high·hi — so the only
+    doubles entering the mean are the two interpolated percentile bounds,
+    which Spark ``percentile`` and DuckDB ``quantile_cont`` compute
+    identically on integer cents ((n−1)·p linear interpolation — the
+    parity `value_percentiles` already hash-proves), and the final mean
+    is ONE identical expression over exact inputs on both engines.
+
+    Scale: one percentile agg per type (dim-sized output) broadcast back
+    over the events, one combining agg — two keyed shuffles, no windows,
+    no sorts beyond the percentile's internal one."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * F.lit(100), 0).cast("long").alias("cents"),
+    )
+    pct = ev.groupBy("event_type").agg(
+        F.percentile("cents", _WINSOR_LO).alias("lo"),
+        F.percentile("cents", _WINSOR_HI).alias("hi"),
+    )
+    c = F.col("cents")
+    j = ev.join(F.broadcast(pct), "event_type")
+    agg = j.groupBy("event_type", "lo", "hi").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((c < F.col("lo")).cast("long")).cast("long").alias("n_low"),
+        F.sum((c > F.col("hi")).cast("long")).cast("long").alias("n_high"),
+        F.sum(
+            F.when((c >= F.col("lo")) & (c <= F.col("hi")), c).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("sum_in"),
+    )
+    w_mean = (
+        F.col("sum_in").cast("double")
+        + F.col("n_low") * F.col("lo")
+        + F.col("n_high") * F.col("hi")
+    ) / F.col("n")
+    return agg.select(
+        "event_type",
+        "n",
+        (F.col("n_low") + F.col("n_high")).cast("long").alias("n_clipped"),
+        F.col("lo").alias("p05_cents"),
+        F.col("hi").alias("p95_cents"),
+        w_mean.alias("winsorized_mean_cents"),
+    )
+
+
+_WINSOR_ORACLE = f"""
+WITH ev AS (
+  SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents FROM events
+),
+pct AS (
+  SELECT event_type,
+         quantile_cont(cents, {_WINSOR_LO}) AS lo,
+         quantile_cont(cents, {_WINSOR_HI}) AS hi
+  FROM ev GROUP BY event_type
+),
+j AS (SELECT ev.event_type, cents, lo, hi FROM ev JOIN pct USING (event_type))
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CASE WHEN cents < lo THEN 1 ELSE 0 END)
+     + sum(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+  lo AS p05_cents,
+  hi AS p95_cents,
+  (CAST(CAST(sum(CASE WHEN cents >= lo AND cents <= hi THEN cents
+                      ELSE 0 END) AS BIGINT) AS DOUBLE)
+   + CAST(sum(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT) * lo
+   + CAST(sum(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT) * hi)
+  / count(*) AS winsorized_mean_cents
+FROM j GROUP BY event_type, lo, hi
+"""
+
+QUERIES.append(
+    QueryDef(
+        "winsorized_stats",
+        winsorized_stats,
+        _WINSOR_ORACLE,
+        "percentile-clipped robust mean (winsorization) per event type",
+    )
+)

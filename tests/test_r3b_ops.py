@@ -429,3 +429,43 @@ def test_rolling_active_users_closed_form(spark, tmp_path_factory):
     assert out[7] == (0, 1)  # user 1's day-0 window closed
     assert out[8] == (1, 1)  # user 1 re-activates
     assert out[14] == (0, 1) and 15 not in out  # window tail ends
+
+
+# -------------------------------------------------------------------------
+# winsorized_stats — closed form with known percentile bounds
+# -------------------------------------------------------------------------
+
+
+def test_winsorized_stats_closed_form(spark, tmp_path_factory):
+    from feature_generation_benchmark_spark.workloads.features_eng import (
+        winsorized_stats,
+    )
+
+    # 11 events, one per day, cents 100..1000 plus one huge outlier.
+    # p05 over [100..1000, 99999] at (n-1)*0.05 = 0.5 -> 150.0;
+    # p95 at (n-1)*0.95 = 9.5 -> midpoint of 1000 and 99999 = 50499.5
+    values = [1.0 * k for k in range(1, 11)] + [999.99]
+    rows = []
+    d = tmp_path_factory.mktemp("winsor")
+    import datetime as dt
+
+    recs = [
+        (i, dt.datetime(1970, 1, 1) + dt.timedelta(days=i), 1, "click", v, "{}")
+        for i, v in enumerate(values)
+    ]
+    spark.createDataFrame(
+        recs,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(str(d / "events.parquet"))
+
+    out = {r["event_type"]: r for r in winsorized_stats(spark, str(d)).collect()}
+    r = out["click"]
+    assert r["n"] == 11
+    assert r["p05_cents"] == pytest.approx(150.0)
+    assert r["p95_cents"] == pytest.approx(50499.5)
+    # clipped: cents=100 below p05, 99999 above p95
+    assert r["n_clipped"] == 2
+    inliers = sum(k * 100 for k in range(2, 11))  # 200..1000
+    expect = (inliers + 150.0 + 50499.5) / 11
+    assert r["winsorized_mean_cents"] == pytest.approx(expect)
