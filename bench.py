@@ -66,32 +66,73 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     shutil.rmtree(out_root, ignore_errors=True)
-    total = round(sum(timings.values()), 3)
-    # The one-JSON-line driver contract: make sure the line starts at
-    # column 0 of a fresh line (r2's artifact was truncated by \r progress
-    # spam sharing the line) and hits the pipe immediately.
+    detail_line, summary_line = format_output(
+        timings, sf, probe_before, single_core_probe_sec()
+    )
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_DETAIL.json"), "w"
+        ) as f:
+            f.write(detail_line + "\n")
+    except OSError:
+        pass
     sys.stderr.flush()
     print(flush=True)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                # totals are NOT comparable across rounds unless the
-                # benched-query count is equal — coverage grows each round
-                "n_queries": len(timings),
-                # host-capacity calibration (hostprobe.py): healthy
-                # ~1.5-2 s; readings with probes >2.5 s ran in a degraded
-                # host window and overstate every query time
-                "probe_before_sec": probe_before,
-                "probe_after_sec": single_core_probe_sec(),
-            }
-        ),
-        flush=True,
+    print(detail_line, flush=True)
+    print(summary_line, flush=True)
+
+
+def format_output(
+    timings: dict[str, float],
+    sf: float,
+    probe_before: float,
+    probe_after: float,
+) -> tuple[str, str]:
+    """Build the (detail, summary) stdout lines.
+
+    Driver contract: the driver keeps only the TAIL of stdout (~2000
+    chars), so with 100+ per-query timings a single all-in-one JSON line
+    (~4.5 KB) gets its head — the very fields the driver parses —
+    truncated (r1-r3 all recorded ``parsed: null``). Emit the per-query
+    detail FIRST (own line + BENCH_DETAIL.json beside this script), then
+    a compact ~200-char summary JSON as the FINAL stdout line so any
+    tail window captures one complete parseable line.
+    """
+    total = round(sum(timings.values()), 3)
+    vals = sorted(timings.values())
+    n = len(vals)
+    median = round(
+        (vals[n // 2] if n % 2 else (vals[n // 2 - 1] + vals[n // 2]) / 2), 3
+    ) if n else 0.0
+    detail_line = json.dumps(
+        {
+            "metric": "per_query_wall_clock",
+            "unit": "sec",
+            "sf": sf,
+            "queries": timings,
+        },
+        sort_keys=True,
     )
+    summary_line = json.dumps(
+        {
+            "metric": "total_query_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            # totals are NOT comparable across rounds unless the
+            # benched-query count is equal — coverage grows each round;
+            # median_query_sec is the round-over-round comparable number
+            "n_queries": n,
+            "median_query_sec": median,
+            # host-capacity calibration (hostprobe.py): healthy
+            # ~1.5-2 s; readings with probes >2.5 s ran in a degraded
+            # host window and overstate every query time
+            "probe_before_sec": probe_before,
+            "probe_after_sec": probe_after,
+        }
+    )
+    return detail_line, summary_line
 
 
 if __name__ == "__main__":

@@ -63,3 +63,26 @@ def test_no_complex_output_columns(spark, reg):
         if bad:
             offenders[name] = bad
     assert not offenders, f"complex output columns: {offenders}"
+
+
+def test_bench_output_contract():
+    """BENCH parse fix (r1-r3 `parsed: null`): the summary must be the
+    FINAL line, complete within a 2000-char stdout tail, and parseable on
+    its own; per-query detail rides its own earlier line."""
+    import json
+
+    from bench import format_output
+
+    timings = {f"q{i:03d}": i * 0.123 for i in range(120)}
+    detail_line, summary_line = format_output(timings, 0.1, 1.18, 1.07)
+    assert len(summary_line) < 500
+    s = json.loads(summary_line)
+    assert s["metric"] == "total_query_wall_clock"
+    assert s["value"] == round(sum(timings.values()), 3)
+    assert s["n_queries"] == 120
+    assert s["median_query_sec"] > 0
+    d = json.loads(detail_line)
+    assert d["queries"] == timings
+    # the driver keeps the last ~2000 chars: the summary must survive
+    tail = (detail_line + "\n" + summary_line)[-2000:]
+    assert json.loads(tail.splitlines()[-1]) == s
