@@ -11,6 +11,9 @@ Each iteration is:
                 a fold per row.
   update      — per-cell elementwise mean: explode (cell, dim, value),
                 average, re-assemble with ``sort_array(collect_list)``.
+                The exchange is bounded by Spark's map-side combine —
+                see ``_update`` for the plan shape and the measured
+                rejection of a ``mapInPandas`` partial-sum variant.
                 Centroid coordinates are rounded each iteration — that
                 quantization makes the whole training trajectory
                 bit-reproducible across engines (a ~1e-15 summation-order
@@ -22,10 +25,8 @@ model is lazily ``localCheckpoint``ed each iteration, cutting the lineage
 that would otherwise re-execute every earlier iteration inside each
 broadcast job (quadratic in ``n_iter``) while keeping plan construction
 job-free. Scale posture: assignment is a zero-shuffle broadcast of a
-1-row model frame; the update shuffles (cell, dim) pairs — ``d×`` the row
-count in shuffle *rows* but only ~8 bytes each. At very large d, swap the
-explode update for an Arrow-batched partial-sum UDF; the assignment side
-(the hot path) needs no change.
+1-row model frame; the update's exchange carries at most P×k×d map-side
+(sum, count) partials per iteration — independent of corpus row count.
 
 Reference scope: the reference benchmark has no iterative operator; this is
 a north-star extension (SURVEY §7.2) exercising multi-round plan
@@ -82,7 +83,24 @@ def _assign(corpus: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def _update(assigned: DataFrame) -> DataFrame:
-    """(id, v, cell) → (cell, cv): rounded elementwise mean per cell."""
+    """(id, v, cell) → (cell, cv): rounded elementwise mean per cell.
+
+    Shuffle-bounded BY THE PARTIAL AGGREGATE, not by the explode: the
+    physical plan is ``Generate posexplode → HashAggregate(partial_avg,
+    keys=[cell, dim]) → Exchange``, so the N×d (cell, dim, value) rows
+    exist only pipelined inside the scan stage (whole-stage codegen) and
+    the exchange carries at most P×k×d map-side (sum, count) partials
+    per iteration — independent of corpus row count. Pinned by
+    ``test_update_shuffles_partials_not_rows``.
+
+    A ``mapInPandas`` per-partition partial-sum formulation (emit
+    (cell, count, Σv) per partition, merge JVM-side) was built and A/B'd
+    as the hypothesized at-scale improvement: results bit-identical, but
+    it must Arrow-serialize all N×d values to Python workers per
+    iteration, which costs MORE than the in-JVM explode+combine at every
+    scale tried (same-session warm A/B: 2.79 s explode vs 3.26 s UDF on
+    the sf0.1 fixture (d=8); 13.68 s vs 14.44 s at d=256, N=200k) while
+    shuffling the same P×k×d partials. The all-JVM form is kept."""
     dims = assigned.select(
         "cell", F.posexplode("__v").alias("dim", "val")
     )
@@ -112,7 +130,14 @@ def kmeans_train(
     first coordinate (exact: quantized at update time).
 
     Empty clusters drop out of the update (no rows → no centroid), matching
-    the SQL twin's GROUP BY semantics."""
+    the SQL twin's GROUP BY semantics.
+
+    Precondition: ``id_col`` values are UNIQUE. Every input row weighs
+    into the centroid update once; duplicate ids are treated as distinct
+    observations, NOT collapsed (an earlier formulation incidentally
+    deduplicated via a ``groupBy(__id)`` — the zero-shuffle assignment
+    removed that, which is invisible on unique-id data but changes update
+    weights if ids repeat). Callers with repeated ids must dedup first."""
     spark = df.sparkSession
     # NOT cached: the corpus re-scan per iteration is a cheap columnar
     # read, and an A/B showed the cache build costs more than it saves at

@@ -131,10 +131,43 @@ def brute_force_topk_partial(
     vectors are excluded on both sides (``_valid_vector``), same as the
     plain form.
 
+    Accepted residual risk (same class as ``unigram_logprob``'s ln()
+    boundary note): top-k MEMBERSHIP is decided on unrounded doubles
+    whose summation order differs between the numpy GEMM here, the
+    fold in the plain form, and the DuckDB oracle. Two corpus vectors
+    whose true sims at the k boundary differ by less than the ~1e-15
+    relative reassociation drift could select different neighbor sets
+    that the round-6 output contract cannot mask. Quantizing before
+    ranking would not remove the risk — it moves it to the rounding
+    boundary and adds a HALF_UP-vs-banker's mode mismatch between
+    engines — so the raw-sim ranking is kept and the risk documented.
+    On embedding-like data adjacent sims are separated by ~1/corpus —
+    orders of magnitude above the drift.
+
+    ``id_col`` must be an integral type: the bounded running state is a
+    fixed-dtype int64 matrix (strings/decimals would crash or silently
+    miscast in the numpy id array, and the output schema is pinned to
+    ``long``). Validated up front with a clear error. The int64-max fill
+    value in the id matrix is NOT an id sentinel — validity of a slot is
+    decided solely by its sim being finite (unfilled slots stay -inf,
+    and no real normalized-cosine sim is ever non-finite), so a genuine
+    corpus id equal to int64 max cannot collide with it.
+
     NOTE: the query side MATERIALIZES at plan-build time (it is the
     model, like the IVF centroid collect) — building this plan runs a
     small Spark job over ``queries``.
     """
+    import pyspark.sql.types as T
+
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    for side, df in (("queries", queries), ("corpus", corpus)):
+        dt = df.schema[id_col].dataType
+        if not isinstance(dt, integral):
+            raise TypeError(
+                f"brute_force_topk_partial requires an integral {id_col!r} "
+                f"({side} side has {dt.simpleString()}); use "
+                f"brute_force_topk for non-integral ids"
+            )
     q_rows = (
         queries.filter(_valid_vector(as_double_array(vec_col)))
         .select(F.col(id_col).alias("qid"), as_double_array(vec_col).alias("qv"))

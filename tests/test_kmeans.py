@@ -61,3 +61,39 @@ def test_kmeans_deterministic(spark):
     a, _ = _total_inertia(spark, 2)
     b, _ = _total_inertia(spark, 2)
     assert a == b
+
+
+def test_update_shuffles_partials_not_rows(spark):
+    """The centroid update's exchange must carry map-side partial
+    aggregates (≤ P×k×d (sum, count) rows), never the N×d exploded
+    (cell, dim, value) rows: the plan must keep the shape
+    ``Generate posexplode → HashAggregate(partial_avg) → Exchange`` so
+    shuffle volume stays independent of corpus size per iteration. A
+    plan where the Exchange sits directly above the Generate (partial
+    agg lost — e.g. an expression change defeating partial aggregation)
+    regresses the update to an N×d shuffle."""
+    from feature_generation_benchmark_spark.operators.kmeans import (
+        _assign,
+        _update,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("__id"),
+        F.col("embedding").cast("array<double>").alias("__v"),
+    )
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(_ivf_centroids(emb))],
+        "cell int, cv array<double>",
+    )
+    plan = (
+        _update(_assign(corpus, cents))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # tree prints parents first: partial_avg must sit BETWEEN the
+    # (cell, dim) exchange (above it) and the Generate (below it)
+    assert "partial_avg" in plan, plan
+    gen = plan.index("Generate")
+    partial = plan.index("partial_avg")
+    exch = plan.rindex("Exchange hashpartitioning", 0, partial)
+    assert exch < partial < gen, plan
