@@ -43,19 +43,41 @@ class SentenceSplit:
             yield idx, sent, len(toks)
 
 
-def register_udtfs(spark, use_arrow: bool = True) -> None:
-    """Idempotently register the engine's UDTFs on ``spark``.
+def register_udtfs(spark, use_arrow: bool = False) -> str:
+    """Idempotently register the engine's UDTFs on ``spark``; return the
+    evaluation path that actually registered (``"arrow"``/``"pickled"``).
 
-    ``use_arrow=True`` (default) requests Spark 4's Arrow-optimized UDTF
-    evaluation — output rows cross the Python boundary as Arrow batches
-    instead of pickled rows, the same ~10× transfer win as pandas UDFs.
-    Falls back to the pickled path on builds without the parameter.
+    The engine default is the PICKLED row path — measured, not assumed:
+    Spark 4's Arrow-optimized UDTF evaluation (``use_arrow=True``) was
+    flipped on in round 3 expecting the pandas-UDF-style transfer win
+    and doubled ``sentence_stats`` in the bench (0.77 → 1.53 s); a
+    same-session interleaved A/B at sf0.1 (probes healthy, 1.15/1.18 s)
+    reproduced it: arrow 1.82-2.05 s vs pickled 0.84-1.00 s per rep.
+    A UDTF ``eval`` yields one small Python tuple per output row, so
+    each row pays Arrow conversion machinery without ever amortizing it
+    over a batch — the opposite shape of a vectorized pandas UDF.
+    ``use_arrow=True`` stays available, and the active path is
+    OBSERVABLE either way: decided from the registered function's
+    ``evalType`` (not from which branch ran), logged at WARN on a silent
+    Arrow→pickled downgrade, and returned so tests can assert it.
     """
     from pyspark.sql.functions import udtf
+    from pyspark.util import PythonEvalType
 
     schema = "sent_idx BIGINT, sentence STRING, n_tokens BIGINT"
     try:
         fn = udtf(SentenceSplit, returnType=schema, useArrow=use_arrow)
     except TypeError:  # older API without useArrow
         fn = udtf(SentenceSplit, returnType=schema)
+    active = (
+        "arrow"
+        if fn.evalType == PythonEvalType.SQL_ARROW_TABLE_UDF
+        else "pickled"
+    )
+    if use_arrow and active != "arrow":
+        spark._jvm.org.apache.log4j.LogManager.getLogger(
+            "fgb.udtf"
+        ).warn(f"sentence_split registered on the {active} path "
+               f"(Arrow requested but unavailable)")
     spark.udtf.register("sentence_split", fn)
+    return active

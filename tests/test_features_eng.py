@@ -135,11 +135,14 @@ def test_sentence_split_arrow_equals_pickled(spark):
         "FROM {d} d, LATERAL sentence_split(d.text) s "
         "ORDER BY d.doc_id, s.sent_idx"
     )
-    register_udtfs(spark, use_arrow=True)
+    assert register_udtfs(spark, use_arrow=True) == "arrow", (
+        "Arrow UDTF evaluation silently fell back to the pickled path"
+    )
     arrow_rows = [tuple(r) for r in spark.sql(q, d=df).collect()]
-    register_udtfs(spark, use_arrow=False)
+    assert register_udtfs(spark, use_arrow=False) == "pickled"
     pickled_rows = [tuple(r) for r in spark.sql(q, d=df).collect()]
-    # restore the engine default registration for other tests
-    register_udtfs(spark)
+    # restore the engine default registration (PICKLED — the measured
+    # faster path for per-row-yield UDTFs, see register_udtfs docstring)
+    assert register_udtfs(spark) == "pickled"
     assert arrow_rows == pickled_rows
     assert len(arrow_rows) == 5
