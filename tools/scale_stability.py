@@ -25,6 +25,8 @@ sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
 
+import pandas as pd  # noqa: E402  module-level: pandas_udf type-hint resolution
+
 from pyspark.sql import functions as F  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -33,7 +35,11 @@ QUERIES = ("q7_nation_volume", "q13_order_histogram", "q18_large_orders",
            # r3b: sweep-line interval concurrency and rolling actives —
            # outputs are calendar-bounded, so they collect directly and
            # MUST stay flat-sized while the fact side grows
-           "open_orders_daily", "rolling_active_users")
+           "open_orders_daily", "rolling_active_users",
+           # r4: the two iterative programs (per-iteration cost — broadcast
+           # state + bounded exchanges must hold while the fact/corpus side
+           # grows; outputs are k-cell / supplier-dim sized → collect)
+           "kmeans_embeddings", "pagerank_suppliers")
 
 #: event/document operators probed through a wrapping CHECKSUM aggregate:
 #: their full outputs grow with the scale factor, so collect() would ship
@@ -101,21 +107,39 @@ def build_scaled(spark, factor: int) -> str:
     for part in d_parts[1:]:
         d_u = d_u.unionByName(part)
     d_u.write.mode("overwrite").parquet(f"{out}/documents.parquet")
-    for t in ("region", "nation", "customer", "supplier", "part",
-              "embeddings"):
+    # embeddings scale on corpus cardinality (vec_id shifted per copy) —
+    # the axis the iterative kmeans assignment/update must be linear on
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    e_shift = (emb.agg(F.max("vec_id")).collect()[0][0] or 0) + 1
+    e_parts = [
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * e_shift))
+        for i in range(factor)
+    ]
+    e_u = e_parts[0]
+    for part in e_parts[1:]:
+        e_u = e_u.unionByName(part)
+    e_u.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    for t in ("region", "nation", "customer", "supplier", "part"):
         src = f"{SF_DIR}/{t}.parquet"
         if os.path.exists(src):
             os.symlink(src, f"{out}/{t}.parquet")
     return out
 
 
-def run_and_final_plan(df, action="collect") -> tuple[float, tuple[int, int, int]]:
-    """Execute the frame (collect — probe queries all return small
-    results) and read the plan AFTER the action so AQE's FINAL plan is
-    inspected: reading executedPlan before execution shows only the
+def run_and_final_plan(build, action="collect") -> tuple[float, tuple[int, int, int]]:
+    """Build AND execute the frame (collect — probe queries all return
+    small results) and read the plan AFTER the action so AQE's FINAL plan
+    is inspected: reading executedPlan before execution shows only the
     initial plan (isFinalPlan=false), which would hide exactly the
-    runtime join-strategy flips this tool exists to catch."""
+    runtime join-strategy flips this tool exists to catch.
+
+    ``build`` is a thunk: plan CONSTRUCTION is inside the timed region
+    because the iterative programs do real work at build time (pagerank's
+    per-iteration ``localCheckpoint(eager=True)`` materializes every
+    iteration before the final frame exists; model-collecting operators
+    run small jobs) — timing only the final collect would probe a stub."""
     t0 = time.time()
+    df = build()
     if action != "collect":
         # checksum referencing every output column — keeps all joins/
         # windows/aggregates in the executed plan (count(1) lets Catalyst
@@ -145,14 +169,27 @@ def main() -> int:
 
     spark = get_spark("scale-stability")
     reg = registry()
+    # warm the JVM + Python worker pool once (same block as bench.py) so
+    # the 1x leg doesn't absorb session-startup costs and deflate ratios
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _warm(v: pd.Series) -> pd.Series:
+        return v
+
+    spark.range(64).select(_warm(F.col("id").cast("double"))).count()
     scaled = build_scaled(spark, factor)
     print(f"# scaled dataset ({factor}x facts): {scaled}")
     try:
         for name in only:
             fn = reg[name].fn
             action = "noop" if name in NOOP_QUERIES else "collect"
-            t_base, base_shape = run_and_final_plan(fn(spark, SF_DIR), action)
-            t_big, big_shape = run_and_final_plan(fn(spark, scaled), action)
+            t_base, base_shape = run_and_final_plan(
+                lambda: fn(spark, SF_DIR), action
+            )
+            t_big, big_shape = run_and_final_plan(
+                lambda: fn(spark, scaled), action
+            )
             ratio = t_big / max(t_base, 1e-9)
             flag = "" if ratio < factor * 1.5 else "  <-- SUPERLINEAR"
             shape_note = (
