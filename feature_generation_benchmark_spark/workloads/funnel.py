@@ -154,3 +154,63 @@ QUERIES.append(
         "first-activity cohorts x day-offset distinct-user retention matrix",
     )
 )
+
+
+def itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise event-type co-occurrence support (the A-Priori/market-
+    basket first pass): for each unordered type pair {a, b}, how many
+    users did both.
+
+    Plan: ONE user-keyed exchange builds per-user distinct-type baskets
+    (`collect_set` — bounded by the 5-value type domain); ordered pairs
+    are generated ROW-LOCALLY from the sorted basket with nested
+    `transform` + `slice` (≤ C(|domain|,2) per user, no self-join of the
+    event table), and the final pair rollup combines map-side. The naive
+    formulation — events self-joined on user_id — shuffles |events|² /
+    |users| candidate rows; this one moves |users| basket rows once.
+
+    Output: (type_a, type_b, n_users), type_a < type_b.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    baskets = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    pairs = F.flatten(
+        F.transform(
+            "types",
+            lambda a, i: F.transform(
+                F.slice(
+                    F.col("types"), i + F.lit(2),
+                    F.size("types") - i - F.lit(1)
+                ),
+                lambda b: F.struct(a.alias("type_a"), b.alias("type_b")),
+            ),
+        )
+    )
+    return (
+        baskets.select(F.explode(pairs).alias("p"))
+        .select("p.type_a", "p.type_b")
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+_ITEMSET_ORACLE = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ut a JOIN ut b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
+QUERIES.append(
+    QueryDef(
+        "itemset_pairs",
+        itemset_pairs,
+        _ITEMSET_ORACLE,
+        "market-basket pair support: row-local pair generation from "
+        "per-user baskets, no event self-join",
+    )
+)

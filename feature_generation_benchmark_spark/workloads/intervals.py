@@ -125,3 +125,90 @@ QUERIES = [
         "counts per priority/day)",
     ),
 ]
+
+
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from a change-event stream: per user,
+    compress consecutive repeats of the tracked attribute (event_type)
+    into versions with validity intervals [start, next_start), then roll
+    up per-user version statistics.
+
+    The classic warehouse op the reference's static dimension model never
+    needs but every event-sourced pipeline does. Plan: ONE user-keyed
+    exchange; the version-start detection (lag over (ts, event_id)) and
+    the interval close (lead over version starts) are two window passes
+    sharing the same hash partitioning — Spark plans a single Exchange
+    with two sorts — and the final rollup is user-keyed too, so it
+    reuses the partitioning. Determinism: ordering ties broken by
+    event_id; all arithmetic in integer epoch-µs; the open (last)
+    version has no end and is excluded from duration stats (counts
+    pinned to 0, repo dtype convention — NULL longs would float-ify the
+    pandas compare).
+
+    Output: (user_id, n_versions, n_closed, total_closed_dur_us,
+    max_closed_dur_us).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("ts div 1000").alias("ts_us"),
+    )
+    w_ev = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    marked = ev.withColumn("prev_type", F.lag("event_type").over(w_ev))
+    starts = marked.filter(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    ).select("user_id", "event_id", F.col("ts_us").alias("start_us"))
+    w_ver = Window.partitionBy("user_id").orderBy("start_us", "event_id")
+    versions = starts.withColumn("end_us", F.lead("start_us").over(w_ver))
+    dur = F.col("end_us") - F.col("start_us")
+    return versions.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_versions"),
+        F.count("end_us").cast("long").alias("n_closed"),
+        F.coalesce(F.sum(dur), F.lit(0)).cast("long").alias(
+            "total_closed_dur_us"
+        ),
+        F.coalesce(F.max(dur), F.lit(0)).cast("long").alias(
+            "max_closed_dur_us"
+        ),
+    )
+
+
+_SCD2_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events
+),
+marked AS (
+  SELECT *, lag(event_type) OVER (
+    PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type
+  FROM e
+),
+starts AS (
+  SELECT user_id, event_id, ts_us AS start_us FROM marked
+  WHERE prev_type IS NULL OR prev_type <> event_type
+),
+v AS (
+  SELECT user_id, start_us, lead(start_us) OVER (
+    PARTITION BY user_id ORDER BY start_us, event_id) AS end_us
+  FROM starts
+)
+SELECT user_id,
+  CAST(count(*) AS BIGINT) AS n_versions,
+  CAST(count(end_us) AS BIGINT) AS n_closed,
+  CAST(coalesce(sum(end_us - start_us), 0) AS BIGINT)
+    AS total_closed_dur_us,
+  CAST(coalesce(max(end_us - start_us), 0) AS BIGINT)
+    AS max_closed_dur_us
+FROM v GROUP BY user_id
+"""
+
+QUERIES.append(
+    QueryDef(
+        "scd2_intervals",
+        scd2_intervals,
+        _SCD2_ORACLE,
+        "SCD Type-2 dimension build: change-compressed validity intervals "
+        "per user from the event stream, one user-keyed exchange",
+    )
+)

@@ -374,3 +374,110 @@ QUERIES.append(
         "higher-order array exprs: transform/aggregate/min/max, no UDF",
     )
 )
+
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension affine int8 quantization of the embedding corpus —
+    the storage/serving compression step (FAISS SQ8-style): pass 1
+    computes per-dim [min, max] (posexplode → dim-keyed agg, partial agg
+    bounds the exchange to P×d rows), pass 2 broadcasts the d-row model
+    as ONE array-of-structs row and quantizes each vector ROW-LOCALLY
+    with ``zip_with`` — the corpus itself is never shuffled (the kmeans
+    assignment pattern).
+
+    Determinism: components are first quantized to exact 1e-6 ints (the
+    `embedding_stats` convention), so min/max are exact; the only double
+    ops are the two affine divisions, written as the identical
+    expression on both engines; q ∈ [0,255] and the dequantization
+    error are re-quantized to ints before aggregation (order-free sums).
+    Constant dims (max = min) quantize to 0 with zero error.
+
+    Output: (vec_id, n_dims, q_sum, max_err_e6) — q_sum is the exact
+    integer checksum of the int8 codes; max_err_e6 the worst per-dim
+    reconstruction error in 1e-6 units of the original value.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    qe = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * F.lit(1e6), 0).cast("long"),
+    )
+    base = emb.select("vec_id", qe.alias("qe"))
+    dims = base.select(F.posexplode("qe").alias("dim", "x"))
+    stats = dims.groupBy("dim").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    model = stats.agg(
+        F.array_sort(F.collect_list(F.struct("dim", "mn", "mx"))).alias(
+            "__m"
+        )
+    )
+
+    def per_dim(x, m):
+        qv = (
+            F.when(
+                m["mx"] > m["mn"],
+                F.round(
+                    (x - m["mn"]) * F.lit(255.0) / (m["mx"] - m["mn"]), 0
+                ).cast("long"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+        )
+        deq = m["mn"] + qv * (m["mx"] - m["mn"]) / F.lit(255.0)
+        err = F.round(F.abs(deq - x), 0).cast("long")
+        return F.struct(qv.alias("q"), err.alias("e"))
+
+    pairs = F.zip_with(F.col("qe"), F.col("__m"), per_dim)
+    return base.crossJoin(F.broadcast(model)).select(
+        "vec_id",
+        F.size("qe").cast("long").alias("n_dims"),
+        F.aggregate(
+            pairs, F.lit(0).cast("long"), lambda acc, p: acc + p["q"]
+        ).alias("q_sum"),
+        F.array_max(F.transform(pairs, lambda p: p["e"])).alias(
+            "max_err_e6"
+        ),
+    )
+
+
+_QUANTIZE_ORACLE = """
+WITH base AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qe
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+d AS (
+  SELECT vec_id, u.i AS dim, qe[u.i] AS x
+  FROM base, unnest(generate_series(1, len(qe))) AS u(i)
+),
+s AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM d GROUP BY dim),
+q AS (
+  SELECT vec_id, x, mn, mx,
+    CASE WHEN mx > mn
+      THEN CAST(round((x - mn) * 255.0 / (mx - mn)) AS BIGINT)
+      ELSE 0 END AS qi
+  FROM d JOIN s USING (dim)
+),
+e AS (
+  SELECT vec_id, qi,
+    CAST(round(abs(mn + qi * (mx - mn) / 255.0 - x)) AS BIGINT) AS err
+  FROM q
+)
+SELECT vec_id,
+  CAST(count(*) AS BIGINT) AS n_dims,
+  CAST(sum(qi) AS BIGINT) AS q_sum,
+  CAST(max(err) AS BIGINT) AS max_err_e6
+FROM e GROUP BY vec_id
+"""
+
+QUERIES.append(
+    QueryDef(
+        "embedding_quantize_int8",
+        embedding_quantize_int8,
+        _QUANTIZE_ORACLE,
+        "per-dim affine int8 quantization (SQ8): broadcast d-row model, "
+        "row-local zip_with encode, corpus never shuffled",
+    )
+)

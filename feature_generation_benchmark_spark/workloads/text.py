@@ -9,7 +9,7 @@ of exact integer counts (deterministic doubles).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from feature_generation_benchmark_spark.functions.textfns import (
@@ -558,5 +558,81 @@ QUERIES.append(
         unigram_logprob,
         _UNIGRAM_ORACLE,
         "corpus-unigram LM mean log-prob per document (CCNet-style)",
+    )
+)
+
+
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution Shannon entropy — the
+    compression-ratio-style quality signal (low-entropy docs are
+    boilerplate/repetition; binary-ish docs spike). Nats.
+
+    Plan: explode characters → (doc, char) counts (partial agg bounds the
+    exchange to |docs|×|alphabet| rows no matter the corpus size) → a
+    doc-keyed window supplies the total. Determinism: the per-(doc,char)
+    term c·round(ln(n/c)·1e6) is an exact integer, so the per-doc sum is
+    order-free; one final division produces the reported double
+    (`unigram_logprob`'s micro-log convention, same accepted last-ulp
+    ln() boundary risk).
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    chars = docs.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_doc = Window.partitionBy("doc_id")
+    with_n = counts.withColumn("n", F.sum("c").over(w_doc))
+    term = (
+        F.col("c")
+        * F.round(F.log(F.col("n") / F.col("c")) * F.lit(1e6), 0).cast("long")
+    ).alias("t_micro")
+    return (
+        with_n.select("doc_id", "n", term)
+        .groupBy("doc_id")
+        .agg(
+            F.first("n").cast("long").alias("n_chars"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+            (F.sum("t_micro") / F.first("n") / F.lit(1e6)).alias(
+                "entropy_nats"
+            ),
+        )
+    )
+
+
+_CHAR_ENTROPY_ORACLE = """
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  WHERE text IS NOT NULL AND len(text) > 0
+),
+chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM d
+),
+counts AS (
+  SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+),
+with_n AS (
+  SELECT doc_id, c,
+         sum(c) OVER (PARTITION BY doc_id) AS n
+  FROM counts
+)
+SELECT doc_id,
+  CAST(max(n) AS BIGINT) AS n_chars,
+  CAST(count(*) AS BIGINT) AS n_distinct_chars,
+  CAST(sum(c * CAST(round(ln(n / c) * 1e6) AS BIGINT)) AS BIGINT)
+    / max(n) / 1e6 AS entropy_nats
+FROM with_n GROUP BY doc_id
+"""
+
+QUERIES.append(
+    QueryDef(
+        "char_entropy",
+        char_entropy,
+        _CHAR_ENTROPY_ORACLE,
+        "per-doc character Shannon entropy in exact micro-nat integer "
+        "terms (quality signal)",
     )
 )

@@ -442,3 +442,75 @@ QUERIES.append(
         "DAU + trailing-7d WAU via explode-by-window distinct counting",
     )
 )
+
+
+def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce noisy event streams: within each (user, event_type)
+    stream, an event arriving less than 60 s after the PREVIOUS event of
+    that stream is a bounce and is dropped; report per-type keep/drop
+    counts and the kept value.
+
+    Semantics note: this is the lag-based (stateless) debounce — the
+    predicate compares against the previous RAW event, kept or not,
+    which is one window pass and exactly expressible in SQL. The
+    previous-KEPT variant is an order-dependent prefix scan (session-gap
+    chaining); its Spark form is `sessionization_stats`' gap logic — the
+    lag-based rule is what log dedupe pipelines typically ship because
+    it's idempotent over re-sorted replays.
+
+    Plan: ONE (user, event_type)-keyed exchange for the lag window, then
+    a type-keyed rollup over 5 keys (partial-agg combines map-side).
+    Integer µs and cents throughout.
+    """
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    gap_ns = F.col("ts") - F.lag("ts").over(w)
+    kept = F.when(
+        gap_ns.isNull() | (gap_ns >= F.lit(60 * 10**9)), F.lit(1)
+    ).otherwise(F.lit(0))
+    flagged = ev.select("event_type", "cents", kept.alias("kept"))
+    return flagged.groupBy("event_type").agg(
+        F.sum("kept").cast("long").alias("n_kept"),
+        (F.count(F.lit(1)) - F.sum("kept")).cast("long").alias("n_dropped"),
+        F.sum(F.col("kept") * F.col("cents")).cast("long").alias(
+            "kept_cents"
+        ),
+    )
+
+
+_DEBOUNCE_ORACLE = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+lagged AS (
+  SELECT event_type, cents,
+         ts_us - lag(ts_us) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts_us, event_id
+         ) AS gap_us
+  FROM e
+),
+k AS (
+  SELECT event_type, cents,
+         CASE WHEN gap_us IS NULL OR gap_us >= 60000000 THEN 1 ELSE 0 END
+           AS kept
+  FROM lagged
+)
+SELECT event_type,
+  CAST(sum(kept) AS BIGINT) AS n_kept,
+  CAST(count(*) - sum(kept) AS BIGINT) AS n_dropped,
+  CAST(sum(kept * cents) AS BIGINT) AS kept_cents
+FROM k GROUP BY event_type
+"""
+
+QUERIES.append(
+    QueryDef(
+        "event_debounce",
+        event_debounce,
+        _DEBOUNCE_ORACLE,
+        "lag-based 60s debounce per (user, type) stream; keep/drop rollup",
+    )
+)

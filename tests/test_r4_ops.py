@@ -1,0 +1,176 @@
+"""Round-4 operators vs hand-computable Python models: SCD2 interval
+build, lag-based debounce, char entropy, int8 quantization, basket
+pairs. The DuckDB oracle is the cross-engine gate; these tests pin the
+SEMANTICS against independent reference models on edge-case fixtures.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+from collections import Counter
+from itertools import combinations
+
+from pyspark.sql import functions as F
+
+from feature_generation_benchmark_spark.workloads.funnel import itemset_pairs
+from feature_generation_benchmark_spark.workloads.intervals import (
+    scd2_intervals,
+)
+from feature_generation_benchmark_spark.workloads.similarity import (
+    embedding_quantize_int8,
+)
+from feature_generation_benchmark_spark.workloads.text import char_entropy
+from feature_generation_benchmark_spark.workloads.timeseries import (
+    event_debounce,
+)
+from tests.conftest import write_docs_dir
+
+_US = 10**6
+
+
+def _write_events(spark, tmp_path_factory, rows, name):
+    """rows: (event_id, us, user_id, event_type, value)."""
+    recs = [
+        (
+            eid,
+            dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=us),
+            uid,
+            typ,
+            val,
+            "{}",
+        )
+        for eid, us, uid, typ, val in rows
+    ]
+    d = tmp_path_factory.mktemp(name)
+    spark.createDataFrame(
+        recs,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    return str(d)
+
+
+def test_scd2_compresses_consecutive_repeats(spark, tmp_path_factory):
+    # user 1: A A B A  -> versions A(0..20), B(20..30), A(30..open)
+    # user 2: single event -> one open version, zero closed stats
+    rows = [
+        (0, 0 * _US, 1, "A", 1.0),
+        (1, 10 * _US, 1, "A", 1.0),   # repeat: same version
+        (2, 20 * _US, 1, "B", 1.0),
+        (3, 30 * _US, 1, "A", 1.0),
+        (4, 5 * _US, 2, "Z", 1.0),
+    ]
+    d = _write_events(spark, tmp_path_factory, rows, "scd2")
+    got = {
+        r["user_id"]: r.asDict()
+        for r in scd2_intervals(spark, d).collect()
+    }
+    assert got[1]["n_versions"] == 3
+    assert got[1]["n_closed"] == 2
+    assert got[1]["total_closed_dur_us"] == (20 - 0) * _US + (30 - 20) * _US
+    assert got[1]["max_closed_dur_us"] == 20 * _US
+    assert got[2] == {
+        "user_id": 2,
+        "n_versions": 1,
+        "n_closed": 0,
+        "total_closed_dur_us": 0,
+        "max_closed_dur_us": 0,
+    }
+
+
+def test_debounce_is_lag_based_not_kept_based(spark, tmp_path_factory):
+    # stream at t=0, 30s, 59s, 120s (same user/type):
+    #   t=0 kept; t=30 dropped (30s gap); t=59 dropped vs RAW previous
+    #   (29s gap — a previous-KEPT rule would also drop it, 59s from t=0);
+    #   t=120 kept (61s after t=59).
+    # second type on the same user is an independent stream.
+    rows = [
+        (0, 0, 1, "click", 2.0),
+        (1, 30 * _US, 1, "click", 3.0),
+        (2, 59 * _US, 1, "click", 5.0),
+        (3, 120 * _US, 1, "click", 7.0),
+        (4, 10 * _US, 1, "view", 11.0),
+    ]
+    d = _write_events(spark, tmp_path_factory, rows, "debounce")
+    got = {r["event_type"]: r.asDict() for r in event_debounce(spark, d).collect()}
+    assert got["click"]["n_kept"] == 2
+    assert got["click"]["n_dropped"] == 2
+    assert got["click"]["kept_cents"] == 200 + 700
+    assert got["view"] == {
+        "event_type": "view", "n_kept": 1, "n_dropped": 0,
+        "kept_cents": 1100,
+    }
+
+
+def test_char_entropy_matches_counter_model(spark, tmp_path_factory):
+    texts = ["aaaa", "abab", "abcd", "mississippi river"]
+    d = write_docs_dir(
+        spark, tmp_path_factory, list(enumerate(texts)), "entropy"
+    )
+    got = {r["doc_id"]: r.asDict() for r in char_entropy(spark, d).collect()}
+    for i, t in enumerate(texts):
+        c = Counter(t)
+        n = len(t)
+        micro = sum(
+            cnt * round(math.log(n / cnt) * 1e6) for cnt in c.values()
+        )
+        assert got[i]["n_chars"] == n
+        assert got[i]["n_distinct_chars"] == len(c)
+        assert got[i]["entropy_nats"] == micro / n / 1e6
+    assert got[0]["entropy_nats"] == 0.0  # single-symbol doc
+
+
+def test_quantize_int8_bounds_and_roundtrip(spark, tmp_path_factory):
+    # dim0 spans [-1, 1]; dim1 constant (degenerate: q=0, err=0);
+    # dim2 spans [0, 255e-6] so codes are exact integers with zero error
+    vecs = [
+        (0, [-1.0, 5.0, 0.0]),
+        (1, [1.0, 5.0, 255e-6]),
+        (2, [0.0, 5.0, 100e-6]),
+    ]
+    d = tmp_path_factory.mktemp("quant")
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>"
+    ).withColumn("label", F.lit(0)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d / "embeddings.parquet"))
+    got = {
+        r["vec_id"]: r.asDict()
+        for r in embedding_quantize_int8(spark, str(d)).collect()
+    }
+    # dim0: -1 -> 0, +1 -> 255, 0 -> round(127.5) = 128
+    # dim1 constant -> 0;  dim2: exact micro ints 0/255/100
+    assert got[0]["q_sum"] == 0 + 0 + 0
+    assert got[1]["q_sum"] == 255 + 0 + 255
+    assert got[2]["q_sum"] == 128 + 0 + 100
+    # max reconstruction error is bounded by half a quantization step
+    # (1e6-unit step = (mx-mn)/255 ≈ 7843 micro) plus the e6 rounding
+    for r in got.values():
+        assert r["n_dims"] == 3
+        assert 0 <= r["max_err_e6"] <= 2_000_000 / 255 / 2 + 1
+    assert got[1]["max_err_e6"] == 0  # endpoints reconstruct exactly
+
+
+def test_itemset_pairs_matches_combinations(spark, tmp_path_factory):
+    rows = [
+        (0, 0, 1, "a", 1.0),
+        (1, 1 * _US, 1, "b", 1.0),
+        (2, 2 * _US, 1, "a", 1.0),   # dup type: basket is a set
+        (3, 3 * _US, 2, "b", 1.0),
+        (4, 4 * _US, 2, "c", 1.0),
+        (5, 5 * _US, 3, "a", 1.0),   # singleton basket: no pairs
+        (6, 6 * _US, 4, "c", 1.0),
+        (7, 7 * _US, 4, "a", 1.0),
+        (8, 8 * _US, 4, "b", 1.0),
+    ]
+    d = _write_events(spark, tmp_path_factory, rows, "itemsets")
+    got = {
+        (r["type_a"], r["type_b"]): r["n_users"]
+        for r in itemset_pairs(spark, d).collect()
+    }
+    baskets = {1: {"a", "b"}, 2: {"b", "c"}, 3: {"a"}, 4: {"a", "b", "c"}}
+    model = Counter(
+        p for b in baskets.values() for p in combinations(sorted(b), 2)
+    )
+    assert got == dict(model)
