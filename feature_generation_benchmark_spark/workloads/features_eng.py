@@ -436,3 +436,72 @@ QUERIES.append(
         "percentile-clipped robust mean (winsorization) per event type",
     )
 )
+
+
+def user_spend_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based feature scaling (the sklearn QuantileTransformer
+    family next to the min-max and winsorized members): each event's
+    value is replaced by its percent-rank WITHIN its event type, then
+    averaged per user — "does this user sit in the cheap or expensive
+    tail of each behavior".
+
+    Plan: one type-keyed window for the ranks (5 partitions, each sorted
+    once), then a user-keyed rollup. Determinism: percent_rank ties are
+    impossible as ranks are taken over (cents, event_id); each rank is
+    quantized to a micro int before the per-user sum (exact integer
+    aggregation, one final division — the engine-wide convention).
+
+    Output: (user_id, n_events, avg_value_pctile).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * F.lit(100), 0).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    pct_micro = (
+        F.round(F.percent_rank().over(w) * F.lit(1e6), 0)
+        .cast("long")
+        .alias("pm")
+    )
+    return (
+        ev.select("user_id", pct_micro)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (F.sum("pm") / F.count(F.lit(1)) / F.lit(1e6)).alias(
+                "avg_value_pctile"
+            ),
+        )
+    )
+
+
+_SPEND_PCTILE_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+p AS (
+  SELECT user_id,
+    CAST(round(percent_rank() OVER (
+      PARTITION BY event_type ORDER BY cents, event_id) * 1e6)
+      AS BIGINT) AS pm
+  FROM e
+)
+SELECT user_id,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(pm) AS BIGINT) / count(*) / 1e6 AS avg_value_pctile
+FROM p GROUP BY user_id
+"""
+
+QUERIES.append(
+    QueryDef(
+        "user_spend_percentile",
+        user_spend_percentile,
+        _SPEND_PCTILE_ORACLE,
+        "rank-based feature scaling: per-type percent-rank of value, "
+        "averaged per user over exact micro-int ranks",
+    )
+)

@@ -15,7 +15,7 @@ stage (min over a set is unique) and durations are integer differences.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from feature_generation_benchmark_spark.sources.testdata import load_table
@@ -212,5 +212,74 @@ QUERIES.append(
         _ITEMSET_ORACLE,
         "market-basket pair support: row-local pair generation from "
         "per-user baskets, no event self-join",
+    )
+)
+
+
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition model over each user's event-type
+    journey: count (previous type → current type) steps across all user
+    streams and report the MLE transition probability — the user-journey
+    model growth analytics fits before anything fancier.
+
+    Plan: ONE user-keyed exchange for the lag window, then a rollup over
+    at most |types|² keys (map-side combine) and a |types|-partition
+    window for the row normalization — everything after the lag is
+    domain-bounded. Determinism: ordering ties broken by event_id; the
+    probability is one exact-int division (same expression both
+    engines).
+
+    Output: (prev_type, cur_type, n_steps, prob).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("ts div 1000").alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    steps = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("cur_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_steps"))
+    )
+    w_prev = Window.partitionBy("prev_type")
+    return steps.select(
+        "prev_type",
+        "cur_type",
+        "n_steps",
+        (F.col("n_steps") / F.sum("n_steps").over(w_prev)).alias("prob"),
+    )
+
+
+_MARKOV_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+lagged AS (
+  SELECT event_type AS cur_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type
+  FROM e
+),
+steps AS (
+  SELECT prev_type, cur_type, CAST(count(*) AS BIGINT) AS n_steps
+  FROM lagged WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, cur_type
+)
+SELECT prev_type, cur_type, n_steps,
+  n_steps / sum(n_steps) OVER (PARTITION BY prev_type) AS prob
+FROM steps
+"""
+
+
+QUERIES.append(
+    QueryDef(
+        "markov_transitions",
+        markov_transitions,
+        _MARKOV_ORACLE,
+        "first-order event-type transition matrix (counts + MLE probs) "
+        "from user journeys",
     )
 )

@@ -636,3 +636,190 @@ QUERIES.append(
         "terms (quality signal)",
     )
 )
+
+
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per language: OLS slope/intercept of ln(freq) vs
+    ln(rank) over the token frequency table — the corpus-health statistic
+    (natural text ≈ −1; deviation flags boilerplate/spam).
+
+    Exact-integer decomposition (winsorized_stats' pattern, extended to
+    regression): per-token x = round(ln(rank)·1e3), y = round(ln(c)·1e3)
+    are MILLI-log ints (milli, not micro: Σxy must stay far inside
+    int64 at vocab scale), the five OLS sums (n, Σx, Σy, Σxy, Σx²) are
+    exact integer aggregates, and slope/intercept are each ONE closed-
+    form double expression over those exact ints — identical on both
+    engines:  slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²),
+    intercept = (ΣyΣx²−ΣxΣxy)/(nΣx²−(Σx)²). The final products are
+    computed in double (they exceed int64 at large vocab; ANSI mode
+    would raise on a long overflow, and double arithmetic over exact
+    ints is engine-portable).
+
+    Plan: token count combines map-side (vocab ≪ corpus); the rank
+    window and OLS rollup run over the vocab-sized table only.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(tokens("text")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("c").desc(), F.col("token"))
+    xy = counts.select(
+        "lang",
+        F.round(F.log(F.row_number().over(w).cast("double")) * F.lit(1e3), 0)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("c").cast("double")) * F.lit(1e3), 0)
+        .cast("long")
+        .alias("y"),
+    )
+    s = xy.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    d = F.col("n") * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx")
+    return s.select(
+        "lang",
+        F.col("n").alias("n_vocab"),
+        (
+            (
+                F.col("n") * F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy")
+            )
+            / d
+        ).alias("zipf_slope"),
+        (
+            (
+                F.col("sy").cast("double") * F.col("sxx")
+                - F.col("sx").cast("double") * F.col("sxy")
+            )
+            / d
+        ).alias("zipf_intercept_e3"),
+    )
+
+
+_ZIPF_ORACLE = f"""
+WITH toks AS (
+  SELECT lang, unnest({_TOKS_SQL}) AS token FROM documents
+),
+counts AS (
+  SELECT lang, token, count(*) AS c FROM toks GROUP BY lang, token
+),
+xy AS (
+  SELECT lang,
+    CAST(round(ln(CAST(row_number() OVER (
+      PARTITION BY lang ORDER BY c DESC, token) AS DOUBLE)) * 1e3)
+      AS BIGINT) AS x,
+    CAST(round(ln(CAST(c AS DOUBLE)) * 1e3) AS BIGINT) AS y
+  FROM counts
+),
+s AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(x * y) AS BIGINT) AS sxy,
+    CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM xy GROUP BY lang
+)
+SELECT lang, n AS n_vocab,
+  (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+    / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) AS zipf_slope,
+  (CAST(sy AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sxy)
+    / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+    AS zipf_intercept_e3
+FROM s
+"""
+
+QUERIES.append(
+    QueryDef(
+        "zipf_fit",
+        zipf_fit,
+        _ZIPF_ORACLE,
+        "per-language Zipf slope/intercept: OLS over exact milli-log "
+        "integer sums, one closed-form double division",
+    )
+)
+
+
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean bigram conditional log-probability per document under the
+    corpus' own bigram MLE — `unigram_logprob`'s sharper sibling
+    (bigram perplexity proxies fluency, not just vocabulary rarity).
+
+    Bigrams are built ROW-LOCALLY by zipping the token array with its
+    own tail (`slice` + `zip_with` — no window, no per-token shuffle);
+    the corpus passes are (1) bigram counts and (2) context counts,
+    both map-side combining, then two value-keyed joins back. Per-pair
+    ln P(w₂|w₁) = ln c(w₁w₂) − ln c(w₁·) is quantized to micro-log ints
+    before the per-doc sum (the `unigram_logprob` determinism contract,
+    same accepted ln() boundary risk).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    pairs = F.zip_with(
+        F.slice("t", 1, F.size("t") - 1),
+        F.slice("t", 2, F.size("t") - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = toks.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
+    )
+    big = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    micro = (
+        F.round((F.log("c2") - F.log("c1")) * F.lit(1e6), 0)
+        .cast("long")
+        .alias("ml")
+    )
+    return (
+        bg.join(big, ["w1", "w2"])
+        .join(ctx, "w1")
+        .select("doc_id", micro)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            (F.sum("ml") / F.count(F.lit(1)) / F.lit(1e6)).alias(
+                "avg_bigram_logprob"
+            ),
+        )
+    )
+
+
+_BIGRAM_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+),
+bg AS (
+  SELECT doc_id, toks[u.i] AS w1, toks[u.i + 1] AS w2
+  FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+  WHERE len(toks) >= 2
+),
+big AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+ctx AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+m AS (
+  SELECT doc_id,
+    CAST(round((ln(c2) - ln(c1)) * 1e6) AS BIGINT) AS ml
+  FROM bg JOIN big USING (w1, w2) JOIN ctx USING (w1)
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_bigrams,
+  CAST(sum(ml) AS BIGINT) / count(*) / 1e6 AS avg_bigram_logprob
+FROM m GROUP BY doc_id
+"""
+
+QUERIES.append(
+    QueryDef(
+        "bigram_logprob",
+        bigram_logprob,
+        _BIGRAM_ORACLE,
+        "corpus-bigram LM mean conditional log-prob per doc; row-local "
+        "bigram build via slice+zip_with",
+    )
+)

@@ -174,3 +174,102 @@ def test_itemset_pairs_matches_combinations(spark, tmp_path_factory):
         p for b in baskets.values() for p in combinations(sorted(b), 2)
     )
     assert got == dict(model)
+
+
+def test_markov_transitions_model(spark, tmp_path_factory):
+    # user 1: a -> b -> a ; user 2: b -> b
+    rows = [
+        (0, 0, 1, "a", 1.0),
+        (1, 1 * _US, 1, "b", 1.0),
+        (2, 2 * _US, 1, "a", 1.0),
+        (3, 0, 2, "b", 1.0),
+        (4, 1 * _US, 2, "b", 1.0),
+    ]
+    from feature_generation_benchmark_spark.workloads.funnel import (
+        markov_transitions,
+    )
+
+    d = _write_events(spark, tmp_path_factory, rows, "markov")
+    got = {
+        (r["prev_type"], r["cur_type"]): (r["n_steps"], r["prob"])
+        for r in markov_transitions(spark, d).collect()
+    }
+    assert got == {
+        ("a", "b"): (1, 1.0),
+        ("b", "a"): (1, 0.5),
+        ("b", "b"): (1, 0.5),
+    }
+
+
+def test_zipf_fit_recovers_exact_power_law(spark, tmp_path_factory):
+    # Zipf-ish corpus: counts 8, 4, 2, 1 at ranks 1..4 (distinct counts —
+    # no rank ties to worry about)
+    words = ["aa"] * 8 + ["bb"] * 4 + ["cc"] * 2 + ["dd"]
+    d = write_docs_dir(
+        spark, tmp_path_factory, [(0, " ".join(words))], "zipf"
+    )
+    from feature_generation_benchmark_spark.workloads.text import zipf_fit
+
+    rows = zipf_fit(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_vocab"] == 4
+    # counts 8,4,2,1 at ranks 1,2,3,4 are NOT an exact power law
+    # (rank 3 breaks it), so just require a decisively negative slope
+    assert -1.6 < r["zipf_slope"] < -0.5
+
+
+def test_bigram_logprob_model(spark, tmp_path_factory):
+    import math
+
+    texts = ["a b a b", "a b b"]
+    d = write_docs_dir(
+        spark, tmp_path_factory, list(enumerate(texts)), "bigram"
+    )
+    from feature_generation_benchmark_spark.workloads.text import (
+        bigram_logprob,
+    )
+
+    got = {
+        r["doc_id"]: r.asDict() for r in bigram_logprob(spark, d).collect()
+    }
+    # corpus bigrams: doc0: ab ba ab ; doc1: ab bb
+    # counts: ab=3, ba=1, bb=1 ; contexts: a·=3, b·=2
+    c2 = {("a", "b"): 3, ("b", "a"): 1, ("b", "b"): 1}
+    c1 = {"a": 3, "b": 2}
+
+    def model(pairs):
+        ml = [
+            round(math.log(c2[p] / c1[p[0]]) * 1e6) for p in pairs
+        ]
+        return sum(ml) / len(ml) / 1e6
+
+    assert got[0]["n_bigrams"] == 3
+    assert got[0]["avg_bigram_logprob"] == model(
+        [("a", "b"), ("b", "a"), ("a", "b")]
+    )
+    assert got[1]["n_bigrams"] == 2
+    assert got[1]["avg_bigram_logprob"] == model([("a", "b"), ("b", "b")])
+
+
+def test_user_spend_percentile_model(spark, tmp_path_factory):
+    rows = [
+        (0, 0, 1, "a", 1.0),      # rank 0 of 3 -> pct 0
+        (1, 1 * _US, 2, "a", 2.0),  # pct 0.5
+        (2, 2 * _US, 2, "a", 3.0),  # pct 1.0
+        (3, 3 * _US, 1, "b", 9.0),  # single row partition -> pct 0
+    ]
+    from feature_generation_benchmark_spark.workloads.features_eng import (
+        user_spend_percentile,
+    )
+
+    d = _write_events(spark, tmp_path_factory, rows, "pctile")
+    got = {
+        r["user_id"]: r.asDict()
+        for r in user_spend_percentile(spark, d).collect()
+    }
+    assert got[1] == {
+        "user_id": 1, "n_events": 2, "avg_value_pctile": 0.0,
+    }
+    assert got[2]["n_events"] == 2
+    assert got[2]["avg_value_pctile"] == (500000 + 1000000) / 2 / 1e6
