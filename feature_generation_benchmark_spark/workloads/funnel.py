@@ -283,3 +283,79 @@ QUERIES.append(
         "from user journeys",
     )
 )
+
+
+def journey_paths_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern mining lite: the most common 3-step event-type
+    paths across user journeys (the "what do users actually do"
+    companion to `markov_transitions`' one-step matrix).
+
+    Plan: the SAME single user-keyed exchange carries both lags (two
+    `lag` calls over one window spec share one sort), the path rollup is
+    |types|³-bounded with map-side combine, and the global top-k is a
+    rank window over that bounded table. Ties break lexicographically.
+
+    Output: (step1, step2, step3, n_paths, rank) — top 10.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("ts div 1000").alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    paths = (
+        ev.select(
+            F.lag("event_type", 2).over(w).alias("step1"),
+            F.lag("event_type", 1).over(w).alias("step2"),
+            F.col("event_type").alias("step3"),
+        )
+        .filter(F.col("step1").isNotNull())
+        .groupBy("step1", "step2", "step3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+    )
+    w_rank = Window.orderBy(
+        F.col("n_paths").desc(), "step1", "step2", "step3"
+    )
+    return (
+        paths.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+_JOURNEY_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+steps AS (
+  SELECT
+    lag(event_type, 2) OVER (
+      PARTITION BY user_id ORDER BY ts_us, event_id) AS step1,
+    lag(event_type, 1) OVER (
+      PARTITION BY user_id ORDER BY ts_us, event_id) AS step2,
+    event_type AS step3
+  FROM e
+),
+paths AS (
+  SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n_paths
+  FROM steps WHERE step1 IS NOT NULL
+  GROUP BY step1, step2, step3
+)
+SELECT * FROM (
+  SELECT step1, step2, step3, n_paths,
+    CAST(row_number() OVER (
+      ORDER BY n_paths DESC, step1, step2, step3) AS BIGINT) AS rank
+  FROM paths
+) WHERE rank <= 10
+"""
+
+
+QUERIES.append(
+    QueryDef(
+        "journey_paths_top",
+        journey_paths_top,
+        _JOURNEY_ORACLE,
+        "top-10 3-step event-type paths (sequence mining lite); both "
+        "lags share one user-keyed window",
+    )
+)

@@ -886,3 +886,84 @@ QUERIES.append(
     QueryDef("q12_priority_mix", q12_priority_mix, _Q12_ORACLE,
              "join + conditional counts (completes the q1-q22 ladder)"),
 )
+
+
+def price_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier ("skyline") of orders per market segment:
+    the record-setting (earliest-date, lowest-price) points — an order
+    day is on the skyline iff its cheapest order undercuts every
+    earlier day's minimum. Dominance analytics without the classic
+    O(n²) dominance self-join.
+
+    Plan: (segment, day)-keyed min agg (map-side combining — the only
+    full-data exchange), then a segment-keyed cumulative-min window
+    over the bounded (segment × day) table; the filter is row-local.
+    Integer day/cents arithmetic throughout.
+
+    Output: (segment, day, day_min_cents) — the strictly-decreasing
+    minima sequence per segment.
+    """
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).cast("long").alias("day"),
+        F.round(F.col("o_totalprice") * F.lit(100), 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    daily = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("segment", "day")
+        .agg(F.min("cents").alias("day_min_cents"))
+    )
+    w = (
+        Window.partitionBy("segment")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        daily.withColumn("prior_min", F.min("day_min_cents").over(w))
+        .filter(
+            F.col("prior_min").isNull()
+            | (F.col("day_min_cents") < F.col("prior_min"))
+        )
+        .select("segment", "day", "day_min_cents")
+    )
+
+
+_SKYLINE_ORACLE = """
+WITH daily AS (
+  SELECT c_mktsegment AS segment,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS day,
+         CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS day_min_cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT *, min(day_min_cents) OVER (
+    PARTITION BY segment ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_min
+  FROM daily
+)
+SELECT segment, day, day_min_cents FROM m
+WHERE prior_min IS NULL OR day_min_cents < prior_min
+"""
+
+QUERIES.append(
+    QueryDef(
+        "price_skyline",
+        price_skyline,
+        _SKYLINE_ORACLE,
+        "per-segment Pareto frontier (date, price) via cumulative-min "
+        "window — no dominance self-join",
+    )
+)

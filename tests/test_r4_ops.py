@@ -273,3 +273,53 @@ def test_user_spend_percentile_model(spark, tmp_path_factory):
     }
     assert got[2]["n_events"] == 2
     assert got[2]["avg_value_pctile"] == (500000 + 1000000) / 2 / 1e6
+
+
+def test_journey_paths_top_model(spark, tmp_path_factory):
+    # user 1: a b a b -> paths aba, bab ; user 2: a b a -> aba
+    rows = [
+        (0, 0, 1, "a", 1.0),
+        (1, 1 * _US, 1, "b", 1.0),
+        (2, 2 * _US, 1, "a", 1.0),
+        (3, 3 * _US, 1, "b", 1.0),
+        (4, 0, 2, "a", 1.0),
+        (5, 1 * _US, 2, "b", 1.0),
+        (6, 2 * _US, 2, "a", 1.0),
+    ]
+    from feature_generation_benchmark_spark.workloads.funnel import (
+        journey_paths_top,
+    )
+
+    d = _write_events(spark, tmp_path_factory, rows, "journeys")
+    got = [
+        ((r["step1"], r["step2"], r["step3"]), r["n_paths"], r["rank"])
+        for r in journey_paths_top(spark, d)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [
+        (("a", "b", "a"), 2, 1),
+        (("b", "a", "b"), 1, 2),
+    ]
+
+
+def test_price_skyline_is_strictly_decreasing_and_dominant(spark):
+    from feature_generation_benchmark_spark.workloads.tpch_extra import (
+        price_skyline,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = price_skyline(spark, SF_SMOKE).collect()
+    by_seg = {}
+    for r in rows:
+        by_seg.setdefault(r["segment"], []).append(
+            (r["day"], r["day_min_cents"])
+        )
+    assert by_seg  # non-empty
+    for seg, pts in by_seg.items():
+        pts.sort()
+        days = [d for d, _ in pts]
+        mins = [m for _, m in pts]
+        assert days == sorted(set(days))       # one point per day
+        assert mins == sorted(mins, reverse=True)  # strictly decreasing
+        assert len(set(mins)) == len(mins)
