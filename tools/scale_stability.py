@@ -39,7 +39,10 @@ QUERIES = ("q7_nation_volume", "q13_order_histogram", "q18_large_orders",
            # r4: the two iterative programs (per-iteration cost — broadcast
            # state + bounded exchanges must hold while the fact/corpus side
            # grows; outputs are k-cell / supplier-dim sized → collect)
-           "kmeans_embeddings", "pagerank_suppliers")
+           "kmeans_embeddings", "pagerank_suppliers",
+           # r4 wave operators with domain-bounded outputs → collect
+           "markov_transitions", "journey_paths_top", "itemset_pairs",
+           "event_debounce", "zipf_fit", "price_skyline")
 
 #: event/document operators probed through a wrapping CHECKSUM aggregate:
 #: their full outputs grow with the scale factor, so collect() would ship
@@ -58,7 +61,10 @@ NOOP_QUERIES = ("gap_fill_daily", "heavy_hitters", "funnel_conversions",
                  "cohort_retention", "tfidf_top_terms", "ohlc_bars",
                  # r3b operators whose outputs grow with the corpus
                  "user_daily_anomaly", "cdc_chunking", "dedup_chunk_exact",
-                 "top_ngram_coverage", "unigram_logprob")
+                 "top_ngram_coverage", "unigram_logprob",
+                 # r4 wave operators whose outputs grow with docs/users
+                 "char_entropy", "bigram_logprob", "scd2_intervals",
+                 "user_spend_percentile", "embedding_quantize_int8")
 
 
 def build_scaled(spark, factor: int) -> str:
