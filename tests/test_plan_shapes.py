@@ -440,3 +440,75 @@ def test_fuzzy_linkage_is_blocked_equi_join(spark):
     p = _plan_of(linkage.fuzzy_part_linkage, spark)
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+
+
+SF_PLANS = "/root/testdata/sf0.001"
+
+
+def test_scd2_single_exchange_single_sort(spark):
+    """Both SCD2 window passes and the final rollup share ONE user-keyed
+    exchange, and Catalyst proves the version-start filter preserves the
+    lag window's sort so the lead window adds NO second sort. An extra
+    Exchange or Sort here means the passes stopped sharing partitioning."""
+    from feature_generation_benchmark_spark.workloads.intervals import (
+        scd2_intervals,
+    )
+
+    plan = _physical(scd2_intervals(spark, SF_PLANS))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Sort ") == 1, plan
+
+
+def test_journey_paths_lags_share_one_window(spark):
+    """Both lags ride one user-keyed window (one data-sized exchange);
+    the path rollup adds its |types|^3-bounded exchange; and Catalyst
+    pushes the rank<=10 into TakeOrderedAndProject so the global top-k
+    never materializes a full sort."""
+    from feature_generation_benchmark_spark.workloads.funnel import (
+        journey_paths_top,
+    )
+
+    plan = _physical(journey_paths_top(spark, SF_PLANS))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_itemset_pairs_no_join(spark):
+    """Pairs are generated row-locally from collect_set baskets — any
+    Join node means the plan regressed to the events self-join."""
+    from feature_generation_benchmark_spark.workloads.funnel import (
+        itemset_pairs,
+    )
+
+    plan = _physical(itemset_pairs(spark, SF_PLANS))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_quantize_corpus_never_shuffled(spark):
+    """SQ8: the corpus reaches the encoder through a broadcast of the
+    d-row model — the only hashpartitioning exchange is the dim-keyed
+    stats agg; a corpus-keyed exchange means the broadcast regressed."""
+    from feature_generation_benchmark_spark.workloads.similarity import (
+        embedding_quantize_int8,
+    )
+
+    plan = _physical(embedding_quantize_int8(spark, SF_PLANS))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_char_entropy_partial_agg_bounds_exchange(spark):
+    """The (doc, char) count must partial-aggregate below its exchange —
+    that combine is what bounds shuffle volume at |docs|x|alphabet|."""
+    from feature_generation_benchmark_spark.workloads.text import (
+        char_entropy,
+    )
+
+    plan = _physical(char_entropy(spark, SF_PLANS))
+    gen = plan.index("Generate")
+    # the LAST partial_count is the (doc, char) one just above the
+    # Generate (the doc-level rollup higher up has its own partials)
+    partial = plan.rindex("partial_count")
+    exch = plan.rindex("Exchange hashpartitioning", 0, partial)
+    assert exch < partial < gen, plan
