@@ -655,3 +655,74 @@ QUERIES.append(
         "chunk-granularity exact dedup: per-doc duplicated-chunk fraction",
     )
 )
+
+
+def sentence_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unit-granular dedup diagnostics at SENTENCE level: for
+    each document, how many of its sentences also appear (verbatim,
+    md5-keyed) anywhere else in the corpus. Sits between `dedup_exact`
+    (whole doc) and `dup_ngram_spans` (n-gram span union): the unit is
+    the canonical sentence split shared with `sentence_stats`' oracle.
+
+    Plan: explode sentences → global md5-count (map-side combining; the
+    count table is |distinct sentences|-sized) → hash-keyed join back →
+    doc-keyed rollup. The blob text never joins — only (doc_id, md5)
+    pairs move. dup_frac is one exact-int division.
+
+    Output: (doc_id, n_sents, n_dup_sents, dup_frac).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sents = docs.select(
+        "doc_id",
+        F.explode(F.split("text", r"[.!?]+")).alias("raw"),
+    ).select(
+        "doc_id", F.trim(F.col("raw")).alias("sent")
+    ).filter(F.col("sent") != "")
+    keyed = sents.select("doc_id", F.md5("sent").alias("h"))
+    counts = keyed.groupBy("h").agg(F.count(F.lit(1)).alias("n_global"))
+    return (
+        keyed.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sents"),
+            F.sum(
+                F.when(F.col("n_global") > 1, F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias("n_dup_sents"),
+            (
+                F.sum(
+                    F.when(F.col("n_global") > 1, F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                ) / F.count(F.lit(1))
+            ).alias("dup_frac"),
+        )
+    )
+
+
+_SENT_DEDUP_ORACLE = """
+WITH sents AS (
+  SELECT doc_id, trim(s.x) AS sent
+  FROM documents,
+       unnest(string_split_regex(text, '[.!?]+')) AS s(x)
+  WHERE trim(s.x) <> ''
+),
+keyed AS (SELECT doc_id, md5(sent) AS h FROM sents),
+counts AS (SELECT h, count(*) AS n_global FROM keyed GROUP BY h)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_sents,
+  CAST(sum(CASE WHEN n_global > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dup_sents,
+  sum(CASE WHEN n_global > 1 THEN 1 ELSE 0 END) / count(*) AS dup_frac
+FROM keyed JOIN counts USING (h)
+GROUP BY doc_id
+"""
+
+QUERIES.append(
+    QueryDef(
+        "sentence_dedup_stats",
+        sentence_dedup_stats,
+        _SENT_DEDUP_ORACLE,
+        "CCNet-style sentence-level duplicate fraction per doc: global "
+        "md5 counts + hash-keyed join-back, text never shuffled",
+    )
+)

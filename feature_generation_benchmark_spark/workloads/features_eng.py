@@ -505,3 +505,67 @@ QUERIES.append(
         "averaged per user over exact micro-int ranks",
     )
 )
+
+
+def session_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-diversity feature: Shannon entropy of each user's
+    event-type distribution (`char_entropy`'s integer micro-nat idiom
+    keyed by user) — 0 for single-behavior users, ln(5) max on this
+    domain. A standard engagement-model input.
+
+    Plan: (user, type) counts — exchange bounded at |users|×|types| by
+    the map-side combine — then a user-keyed window + rollup sharing
+    one partitioning.
+
+    Output: (user_id, n_events, n_types, behavior_entropy).
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_u = Window.partitionBy("user_id")
+    with_n = counts.withColumn("n", F.sum("c").over(w_u))
+    term = (
+        F.col("c")
+        * F.round(F.log(F.col("n") / F.col("c")) * F.lit(1e6), 0).cast(
+            "long"
+        )
+    ).alias("t_micro")
+    return (
+        with_n.select("user_id", "n", term)
+        .groupBy("user_id")
+        .agg(
+            F.first("n").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            (F.sum("t_micro") / F.first("n") / F.lit(1e6)).alias(
+                "behavior_entropy"
+            ),
+        )
+    )
+
+
+_SESSION_ENTROPY_ORACLE = """
+WITH counts AS (
+  SELECT user_id, event_type, count(*) AS c
+  FROM events GROUP BY user_id, event_type
+),
+with_n AS (
+  SELECT user_id, c, sum(c) OVER (PARTITION BY user_id) AS n FROM counts
+)
+SELECT user_id,
+  CAST(max(n) AS BIGINT) AS n_events,
+  CAST(count(*) AS BIGINT) AS n_types,
+  CAST(sum(c * CAST(round(ln(n / c) * 1e6) AS BIGINT)) AS BIGINT)
+    / max(n) / 1e6 AS behavior_entropy
+FROM with_n GROUP BY user_id
+"""
+
+QUERIES.append(
+    QueryDef(
+        "session_entropy",
+        session_entropy,
+        _SESSION_ENTROPY_ORACLE,
+        "per-user event-type Shannon entropy (behavioral diversity) via "
+        "exact micro-nat integer terms",
+    )
+)

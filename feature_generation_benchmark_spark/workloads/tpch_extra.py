@@ -967,3 +967,88 @@ QUERIES.append(
         "window — no dominance self-join",
     )
 )
+
+
+def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration Gini coefficient per market segment — the
+    inequality statistic as an EXACT integer decomposition: with order
+    prices in cents sorted ascending and ranked 1..n per segment,
+    G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n. The two sums are exact int64
+    aggregates; G is one closed-form double expression over them
+    (identical on both engines — the zipf_fit/winsorized convention).
+
+    Rank ties are impossible (ordered by (cents, o_orderkey)); ties in
+    cents get arbitrary-but-deterministic consecutive ranks, which the
+    Gini sum is invariant to (equal x under consecutive i contribute the
+    same Σi·x regardless of ordering among themselves).
+
+    Magnitude bound: Σ(i·xᵢ) ≲ n²·x̄ ≈ 1.4e18 at sf1 per segment —
+    inside int64 through the tested ladder; beyond that, pre-scale
+    cents to dollars (the sums are what must stay exact, G is scale-
+    invariant in x).
+
+    Plan: one segment-keyed sort window for ranks over the joined
+    orders (broadcast customer dim), then a 5-row rollup.
+    """
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * F.lit(100), 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    w = Window.partitionBy("segment").orderBy("cents", "o_orderkey")
+    ranked = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .select("segment", "cents", F.row_number().over(w).alias("i"))
+    )
+    s = ranked.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("i") * F.col("cents")).alias("t"),
+    )
+    return s.select(
+        "segment",
+        F.col("n").alias("n_orders"),
+        (
+            F.lit(2.0) * F.col("t") / (F.col("n") * F.col("s").cast("double"))
+            - (F.col("n") + F.lit(1)).cast("double") / F.col("n")
+        ).alias("gini"),
+    )
+
+
+_GINI_ORACLE = """
+WITH ranked AS (
+  SELECT c_mktsegment AS segment,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (
+           PARTITION BY c_mktsegment
+           ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey
+         ) AS i
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+s AS (
+  SELECT segment, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS s,
+         CAST(sum(i * cents) AS BIGINT) AS t
+  FROM ranked GROUP BY segment
+)
+SELECT segment, n AS n_orders,
+  2.0 * t / (n * CAST(s AS DOUBLE)) - CAST(n + 1 AS DOUBLE) / n AS gini
+FROM s
+"""
+
+QUERIES.append(
+    QueryDef(
+        "gini_concentration",
+        gini_concentration,
+        _GINI_ORACLE,
+        "per-segment revenue Gini coefficient over exact integer rank "
+        "sums, one closed-form double expression",
+    )
+)

@@ -323,3 +323,84 @@ def test_price_skyline_is_strictly_decreasing_and_dominant(spark):
         assert days == sorted(set(days))       # one point per day
         assert mins == sorted(mins, reverse=True)  # strictly decreasing
         assert len(set(mins)) == len(mins)
+
+
+def test_gini_extremes(spark, tmp_path_factory):
+    """Equal prices -> G ~ 0; one order holding ~all value -> G -> 1."""
+    import pyspark.sql.functions as SF
+    from feature_generation_benchmark_spark.workloads.tpch_extra import (
+        gini_concentration,
+    )
+
+    d = tmp_path_factory.mktemp("gini")
+    spark.createDataFrame(
+        [(i, "SEG_EQ") for i in range(1, 11)]
+        + [(i + 100, "SEG_SKEW") for i in range(1, 11)],
+        "c_custkey long, c_mktsegment string",
+    ).coalesce(1).write.parquet(str(d / "customer.parquet"))
+    orders = [
+        # SEG_EQ: ten orders, identical price
+        *[(i, i, 50.0) for i in range(1, 11)],
+        # SEG_SKEW: nine cheap + one huge
+        *[(i + 100, i + 100, 0.01) for i in range(1, 10)],
+        (110, 110, 10000.0),
+    ]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_totalprice double"
+    ).coalesce(1).write.parquet(str(d / "orders.parquet"))
+    got = {
+        r["segment"]: r["gini"]
+        for r in gini_concentration(spark, str(d)).collect()
+    }
+    assert abs(got["SEG_EQ"]) < 1e-9
+    assert got["SEG_SKEW"] > 0.85
+
+
+def test_session_entropy_model(spark, tmp_path_factory):
+    # user 1: 4 of one type -> 0 entropy; user 2: 2+2 -> ln 2
+    rows = [
+        (0, 0, 1, "a", 1.0), (1, _US, 1, "a", 1.0),
+        (2, 2 * _US, 1, "a", 1.0), (3, 3 * _US, 1, "a", 1.0),
+        (4, 0, 2, "a", 1.0), (5, _US, 2, "a", 1.0),
+        (6, 2 * _US, 2, "b", 1.0), (7, 3 * _US, 2, "b", 1.0),
+    ]
+    from feature_generation_benchmark_spark.workloads.features_eng import (
+        session_entropy,
+    )
+
+    d = _write_events(spark, tmp_path_factory, rows, "sess_ent")
+    got = {
+        r["user_id"]: r.asDict()
+        for r in session_entropy(spark, d).collect()
+    }
+    assert got[1] == {
+        "user_id": 1, "n_events": 4, "n_types": 1, "behavior_entropy": 0.0,
+    }
+    assert got[2]["n_types"] == 2
+    micro = 2 * round(math.log(2) * 1e6) * 2  # two types, c=2, n=4
+    assert got[2]["behavior_entropy"] == micro / 4 / 1e6
+
+
+def test_sentence_dedup_stats_model(spark, tmp_path_factory):
+    texts = [
+        "shared one. unique a!",
+        "shared one. unique b?",
+        "all alone here",
+    ]
+    from feature_generation_benchmark_spark.workloads.dedup import (
+        sentence_dedup_stats,
+    )
+
+    d = write_docs_dir(
+        spark, tmp_path_factory, list(enumerate(texts)), "sentdedup"
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in sentence_dedup_stats(spark, d).collect()
+    }
+    assert got[0]["n_sents"] == 2 and got[0]["n_dup_sents"] == 1
+    assert got[0]["dup_frac"] == 0.5
+    assert got[1]["n_sents"] == 2 and got[1]["n_dup_sents"] == 1
+    assert got[2] == {
+        "doc_id": 2, "n_sents": 1, "n_dup_sents": 0, "dup_frac": 0.0,
+    }
