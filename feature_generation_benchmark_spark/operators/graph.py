@@ -101,3 +101,60 @@ def pagerank(
             # identical (integer-quantized scores pin the trajectory)
             scores = scores.localCheckpoint(eager=False)
     return scores
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: list[int],
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    small_state: bool = True,
+) -> DataFrame:
+    """Bounded-depth min-hop BFS from a source node set — the
+    level-synchronous frontier-expansion iteration (the Pregel BFS
+    shape, as a pure DataFrame loop). Returns ``(node, hop)`` with one
+    row per reached node carrying its FIRST (= minimum) hop count; the
+    whole program is integer-only, so a SQL twin (a depth-bounded
+    recursive CTE + ``min(hop)``) replays it exactly.
+
+    Per hop: frontier ⋈ edges on ``src`` (the only fact-sized op) →
+    project ``dst`` → dedup → anti-join the visited set → stamp the hop.
+    Frontier and visited are NODE-sized; with ``small_state=True`` both
+    broadcast into the edge-side joins, leaving one shuffle per hop (the
+    post-join dedup agg), and each level is ``localCheckpoint``ed so
+    lineage depth stays at one step. The loop exits early on an empty
+    frontier (an ``isEmpty`` action on a node-sized frame — cheap, and
+    it never changes the result, only skips provably-empty levels). For
+    web-scale node spaces set ``small_state=False``: state then stays
+    hash-partitioned on the node key and every join/dedup shuffles —
+    the horizontally-scaling posture.
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    spark = edges.sparkSession
+    bc = F.broadcast if small_state else (lambda df: df)
+    e = edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+    )
+    visited = spark.createDataFrame(
+        [(int(s), 0) for s in dict.fromkeys(sources)], "node long, hop int"
+    ).localCheckpoint(eager=False)
+    frontier = visited.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            e.join(bc(frontier.withColumnRenamed("node", "src")), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(bc(visited.select("node")), "node", "left_anti")
+            .select("node", F.lit(h).cast("int").alias("hop"))
+            .localCheckpoint(eager=False)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("node")
+    return visited

@@ -569,3 +569,103 @@ QUERIES.append(
         "exact micro-nat integer terms",
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Pearson correlation matrix (r4c) — the feature-selection screening
+# stat, ONE pass over the fact table. zipf_fit's exact-integer OLS
+# pattern widened to the full moment matrix: integer-quantized measures
+# make all 15 moment sums (n, 4 Σx, 4 Σx², 6 Σxy) exact int64 aggregates
+# in a single map-combined reduce (no keyed shuffle at all — the only
+# exchange is the 1-row partial-agg gather); each corr cell is then one
+# closed-form double expression over exact ints, bit-portable across
+# engines. Whole dollars rather than cents so Σ(price²) stays far inside
+# int64 through sf≈100 (decimal(38,0) sums are the escape hatch beyond).
+# --------------------------------------------------------------------------
+
+_CORR_VARS = ("qty", "price_usd", "disc_pct", "tax_pct")
+
+
+def _corr_pairs() -> list[tuple[str, str]]:
+    vs = _CORR_VARS
+    return [(vs[i], vs[j]) for i in range(len(vs)) for j in range(i + 1, len(vs))]
+
+
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round("l_extendedprice", 0).cast("long").alias("price_usd"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("disc_pct"),
+        F.round(F.col("l_tax") * 100, 0).cast("long").alias("tax_pct"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for v in _CORR_VARS:
+        aggs.append(F.sum(v).alias(f"s_{v}"))
+        aggs.append(F.sum(F.col(v) * F.col(v)).alias(f"ss_{v}"))
+    for a, b in _corr_pairs():
+        aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
+    s = li.agg(*aggs)
+
+    def var_term(v: str):
+        return F.sqrt(
+            F.col("n") * F.col(f"ss_{v}").cast("double")
+            - F.col(f"s_{v}").cast("double") * F.col(f"s_{v}")
+        )
+
+    cells = [
+        F.struct(
+            F.lit(a).alias("col_x"),
+            F.lit(b).alias("col_y"),
+            (
+                (
+                    F.col("n") * F.col(f"sp_{a}_{b}").cast("double")
+                    - F.col(f"s_{a}").cast("double") * F.col(f"s_{b}")
+                )
+                / (var_term(a) * var_term(b))
+            ).alias("corr"),
+        )
+        for a, b in _corr_pairs()
+    ]
+    return s.select(
+        F.col("n").cast("long").alias("n_rows"), F.inline(F.array(*cells))
+    )
+
+
+def _corr_oracle() -> str:
+    sums = ["count(*) AS n"]
+    for v in _CORR_VARS:
+        sums.append(f"CAST(sum({v}) AS BIGINT) AS s_{v}")
+        sums.append(f"CAST(sum({v} * {v}) AS BIGINT) AS ss_{v}")
+    for a, b in _corr_pairs():
+        sums.append(f"CAST(sum({a} * {b}) AS BIGINT) AS sp_{a}_{b}")
+    arms = []
+    for a, b in _corr_pairs():
+        arms.append(f"""
+SELECT CAST(n AS BIGINT) AS n_rows, '{a}' AS col_x, '{b}' AS col_y,
+  (n * CAST(sp_{a}_{b} AS DOUBLE) - CAST(s_{a} AS DOUBLE) * s_{b})
+  / (sqrt(n * CAST(ss_{a} AS DOUBLE) - CAST(s_{a} AS DOUBLE) * s_{a})
+     * sqrt(n * CAST(ss_{b} AS DOUBLE) - CAST(s_{b} AS DOUBLE) * s_{b}))
+  AS corr
+FROM s""")
+    return f"""
+WITH m AS (
+  SELECT CAST(l_quantity AS BIGINT) AS qty,
+         CAST(round(l_extendedprice, 0) AS BIGINT) AS price_usd,
+         CAST(round(l_discount * 100, 0) AS BIGINT) AS disc_pct,
+         CAST(round(l_tax * 100, 0) AS BIGINT) AS tax_pct
+  FROM lineitem
+),
+s AS (SELECT {', '.join(sums)} FROM m)
+{' UNION ALL '.join(arms)}
+"""
+
+
+QUERIES.append(
+    QueryDef(
+        "lineitem_corr_matrix",
+        lineitem_corr_matrix,
+        _corr_oracle(),
+        "one-pass exact-integer Pearson correlation matrix over the "
+        "lineitem measures",
+    )
+)

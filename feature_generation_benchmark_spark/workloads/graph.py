@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from feature_generation_benchmark_spark.operators.graph import (
     SCALE,
+    bfs_hops,
     pagerank,
 )
 from feature_generation_benchmark_spark.sources.testdata import load_table
@@ -243,5 +244,73 @@ QUERIES.append(
         _TRIANGLE_ORACLE,
         "degree-oriented triangle counting on the co-order part graph",
         bench=False,
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# bounded-depth BFS (r4c) — min-hop distances over the trade graph, the
+# reachability/neighborhood primitive (supplier risk propagation, entity
+# neighborhood features). Iterative frontier expansion on the Spark side;
+# the DuckDB twin is a depth-bounded recursive CTE + min(hop), which
+# replays the integer-only program exactly.
+# --------------------------------------------------------------------------
+
+_BFS_HOPS = 4
+_BFS_SRC_SUPPKEY = 1
+
+
+def supplier_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-hop distance from supplier #1 to every supplier reachable in
+    <= 4 hops of the customer<->supplier trade graph (supplier-to-supplier
+    distance = 2 hops via a shared customer).
+
+    Plan: `operators/graph.py::bfs_hops` — per level ONE fact-sized
+    equi-join (edges x broadcast frontier) + one dedup shuffle; visited
+    state is node-sized and broadcast; each level localCheckpoints so the
+    K-level program never replays lineage. Early-exits on frontier
+    exhaustion.
+    """
+    from feature_generation_benchmark_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    edges = _trade_edges(spark, sf_dir).cache()
+    dist = bfs_hops(
+        edges, [2 * _BFS_SRC_SUPPKEY + 1], _BFS_HOPS, small_state=True
+    )
+    return dist.filter(F.col("node") % 2 == 1).select(
+        ((F.col("node") - 1) / 2).cast("long").alias("s_suppkey"),
+        F.col("hop").alias("hops"),
+    )
+
+
+_BFS_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS cnode, l_suppkey * 2 + 1 AS snode
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT cnode AS src, snode AS dst FROM pairs
+  UNION ALL
+  SELECT snode AS src, cnode AS dst FROM pairs
+),
+walk(node, hop) AS (
+  SELECT CAST({2 * _BFS_SRC_SUPPKEY + 1} AS BIGINT) AS node, 0 AS hop
+  UNION
+  SELECT e.dst, w.hop + 1
+  FROM walk w JOIN edges e ON w.node = e.src
+  WHERE w.hop < {_BFS_HOPS}
+)
+SELECT (node - 1) // 2 AS s_suppkey, CAST(min(hop) AS INTEGER) AS hops
+FROM walk WHERE node % 2 = 1 GROUP BY node
+"""
+
+QUERIES.append(
+    QueryDef(
+        "supplier_bfs_hops",
+        supplier_bfs_hops,
+        _BFS_ORACLE,
+        "bounded-depth BFS min-hop distances over the trade graph "
+        "(frontier iteration vs recursive-CTE oracle)",
     )
 )

@@ -823,3 +823,94 @@ QUERIES.append(
         "bigram build via slice+zip_with",
     )
 )
+
+
+# --------------------------------------------------------------------------
+# label mutual information (r4c) — MI(lang; source) over documents, the
+# dataset-composition diagnostic (high MI = sources are language-skewed,
+# which drives mixture re-weighting). char_entropy's micro-nat integer
+# convention applied to the contingency table.
+# --------------------------------------------------------------------------
+
+def lang_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between the lang and source labels.
+
+    Plan: ONE corpus-sized groupBy builds the (lang, source) contingency
+    table; everything after runs on that |langs|x|sources|-bounded table —
+    the marginal/total window sums (incl. one single-partition window,
+    bounded by construction, the journey_paths_top precedent) and the
+    final 1-row rollup. Determinism: the per-cell term
+    c * round(ln((n*c)/(nl*ns)) * 1e6) is an exact integer, so the MI sum
+    is order-free; one final division emits the double (same accepted
+    last-ulp ln() boundary as unigram_logprob).
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    )
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wl = Window.partitionBy("lang")
+    ws = Window.partitionBy("source")
+    wall = Window.partitionBy()
+    t = cells.select(
+        "lang",
+        "source",
+        "c",
+        F.sum("c").over(wl).alias("nl"),
+        F.sum("c").over(ws).alias("ns"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    term = F.col("c") * F.round(
+        F.log(
+            (F.col("n").cast("double") * F.col("c"))
+            / (F.col("nl").cast("double") * F.col("ns"))
+        )
+        * F.lit(1e6),
+        0,
+    ).cast("long")
+    return t.agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        (F.sum(term) / F.max("n") / F.lit(1e6)).alias("mi_nats"),
+    )
+
+
+_LANG_SOURCE_MI_ORACLE = """
+WITH d AS (
+  SELECT lang, source FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL
+),
+cells AS (
+  SELECT lang, source, count(*) AS c FROM d GROUP BY lang, source
+),
+t AS (
+  SELECT lang, source, c,
+         sum(c) OVER (PARTITION BY lang) AS nl,
+         sum(c) OVER (PARTITION BY source) AS ns,
+         sum(c) OVER () AS n
+  FROM cells
+)
+SELECT
+  CAST(max(n) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+  CAST(count(*) AS BIGINT) AS n_cells,
+  CAST(sum(c * CAST(round(ln((CAST(n AS DOUBLE) * c)
+                            / (CAST(nl AS DOUBLE) * ns)) * 1e6) AS BIGINT))
+       AS BIGINT)
+    / max(n) / 1e6 AS mi_nats
+FROM t
+"""
+
+QUERIES.append(
+    QueryDef(
+        "lang_source_mi",
+        lang_source_mi,
+        _LANG_SOURCE_MI_ORACLE,
+        "mutual information between lang and source labels in exact "
+        "micro-nat integer terms (composition diagnostic)",
+    )
+)
