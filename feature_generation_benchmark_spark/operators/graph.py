@@ -145,16 +145,25 @@ def bfs_hops(
     ).localCheckpoint(eager=False)
     frontier = visited.select("node")
     for h in range(1, max_hops + 1):
-        nxt = (
-            e.join(bc(frontier.withColumnRenamed("node", "src")), "src")
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .join(bc(visited.select("node")), "node", "left_anti")
-            .select("node", F.lit(h).cast("int").alias("hop"))
-            .localCheckpoint(eager=False)
+        nxt = bfs_level(e, frontier, visited, h, bc).localCheckpoint(
+            eager=False
         )
         if nxt.isEmpty():
             break
         visited = visited.union(nxt).localCheckpoint(eager=False)
         frontier = nxt.select("node")
     return visited
+
+
+def bfs_level(e, frontier, visited, h, bc=F.broadcast):
+    """One BFS level: the next frontier with its hop stamp. Split out of
+    :func:`bfs_hops` so plan tests can assert the level's join strategy —
+    the loop consumes each level through a ``localCheckpoint``, which
+    hides the join plan from the returned frame."""
+    return (
+        e.join(bc(frontier.withColumnRenamed("node", "src")), "src")
+        .select(F.col("dst").alias("node"))
+        .distinct()
+        .join(bc(visited.select("node")), "node", "left_anti")
+        .select("node", F.lit(h).cast("int").alias("hop"))
+    )

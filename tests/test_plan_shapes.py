@@ -512,3 +512,54 @@ def test_char_entropy_partial_agg_bounds_exchange(spark):
     partial = plan.rindex("partial_count")
     exch = plan.rindex("Exchange hashpartitioning", 0, partial)
     assert exch < partial < gen, plan
+
+
+def test_corr_matrix_is_one_pass_no_keyed_shuffle(spark):
+    """All 15 moment sums compute in ONE map-combined reduce: the only
+    exchange is the 1-row SinglePartition gather. Any hashpartitioning
+    exchange means the matrix stopped being a single pass."""
+    from feature_generation_benchmark_spark.workloads.features_eng import (
+        lineitem_corr_matrix,
+    )
+
+    plan = _physical(lineitem_corr_matrix(spark, SF_PLANS))
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_bfs_levels_broadcast_node_state(spark):
+    """Every per-level join (frontier into edges, visited anti-join) must
+    broadcast the node-sized state — a SortMergeJoin means a fact-sized
+    shuffle crept into the level loop. (The loop consumes each level via
+    localCheckpoint, so the guard inspects the exposed level builder.)"""
+    from pyspark.sql import functions as F2
+
+    from feature_generation_benchmark_spark.operators.graph import bfs_level
+
+    edges = spark.createDataFrame(
+        [(i % 50, (i * 7) % 50) for i in range(2000)], "src long, dst long"
+    )
+    frontier = spark.createDataFrame([(0,)], "node long")
+    visited = spark.createDataFrame([(0, 0)], "node long, hop int")
+    plan = _physical(bfs_level(edges, frontier, visited, 1, F2.broadcast))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan  # frontier + anti
+    assert "LeftAnti" in plan, plan
+
+
+def test_lang_source_mi_single_corpus_shuffle(spark):
+    """Exactly one corpus-sized exchange (the contingency groupBy, with
+    its map-side partial combine); the marginal windows and final rollup
+    run on the |langs|x|sources|-bounded cell table only."""
+    from feature_generation_benchmark_spark.workloads.text import (
+        lang_source_mi,
+    )
+
+    plan = _physical(lang_source_mi(spark, SF_PLANS))
+    # exchanges: 1 corpus groupBy + 2 cell-table window repartitions
+    # (lang, source) + the bounded SinglePartition window/rollup — the
+    # corpus-sized one must partial-aggregate below its exchange
+    first_exch = plan.rindex("Exchange hashpartitioning")
+    assert "partial_count" in plan[first_exch:], plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan

@@ -42,7 +42,11 @@ QUERIES = ("q7_nation_volume", "q13_order_histogram", "q18_large_orders",
            "kmeans_embeddings", "pagerank_suppliers",
            # r4 wave operators with domain-bounded outputs → collect
            "markov_transitions", "journey_paths_top", "itemset_pairs",
-           "event_debounce", "zipf_fit", "price_skyline")
+           "event_debounce", "zipf_fit", "price_skyline",
+           # r4c: BFS (supplier-dim output; per-level broadcast joins must
+           # hold as the edge side grows), one-pass corr matrix (6 rows),
+           # label MI (1 row, contingency table is domain-bounded)
+           "supplier_bfs_hops", "lineitem_corr_matrix", "lang_source_mi")
 
 #: event/document operators probed through a wrapping CHECKSUM aggregate:
 #: their full outputs grow with the scale factor, so collect() would ship
