@@ -91,8 +91,16 @@ def brute_force_topk(
         "neighbor_id",
         dot(F.col("qv"), F.col("cv")).alias("cos_sim"),
     )
+    # rank on the QUANTIZED sim (id tie-break) so top-k membership is
+    # decided on a value every formulation/engine agrees on — see
+    # brute_force_topk_partial's determinism note
+    rank_sim = (
+        F.round(F.col("cos_sim"), round_decimals)
+        if round_decimals is not None
+        else F.col("cos_sim")
+    )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
+        rank_sim.desc(), F.col("neighbor_id")
     )
     ranked = scored.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= k
@@ -131,18 +139,20 @@ def brute_force_topk_partial(
     vectors are excluded on both sides (``_valid_vector``), same as the
     plain form.
 
-    Accepted residual risk (same class as ``unigram_logprob``'s ln()
-    boundary note): top-k MEMBERSHIP is decided on unrounded doubles
-    whose summation order differs between the numpy GEMM here, the
-    fold in the plain form, and the DuckDB oracle. Two corpus vectors
-    whose true sims at the k boundary differ by less than the ~1e-15
-    relative reassociation drift could select different neighbor sets
-    that the round-6 output contract cannot mask. Quantizing before
-    ranking would not remove the risk — it moves it to the rounding
-    boundary and adds a HALF_UP-vs-banker's mode mismatch between
-    engines — so the raw-sim ranking is kept and the risk documented.
-    On embedding-like data adjacent sims are separated by ~1/corpus —
-    orders of magnitude above the drift.
+    Determinism: top-k MEMBERSHIP is decided on the QUANTIZED sim
+    (``round(sim, round_decimals)``, id tie-break) at every level —
+    the per-partition running top-k here, the global merge window, the
+    plain form's ranking window, and the DuckDB oracle's ORDER BY. The
+    numpy GEMM, the JVM fold, and DuckDB reassociate float sums
+    differently (~1e-15 relative drift), so ranking raw doubles let two
+    k-boundary candidates within 1e-6 of each other select different
+    neighbor sets per formulation — observed on the 30-vector test
+    fixture. Quantizing collapses such near-ties to an exact id
+    tie-break. Residual risk shrinks to raw sims that sit within the
+    cross-engine drift of a rounding HALFWAY point (compounded by
+    banker's-vs-HALF_UP mode differences exactly there) — a
+    boundary-measure event, same accepted class as ``unigram_logprob``'s
+    ln() last-ulp note.
 
     ``id_col`` must be an integral type: the bounded running state is a
     fixed-dtype int64 matrix (strings/decimals would crash or silently
@@ -196,6 +206,9 @@ def brute_force_topk_partial(
             vn = np.linalg.norm(V, axis=1, keepdims=True)
             V = V / np.where(vn == 0.0, 1.0, vn)
             sims = Q @ V.T  # (Q, batch)
+            if round_decimals is not None:
+                # quantize BEFORE ranking (see determinism note)
+                np.round(sims, round_decimals, out=sims)
             sims[qids[:, None] == nids[None, :]] = -np.inf  # self-match
             cand_sims = np.concatenate([best_sims, sims], axis=1)
             cand_nids = np.concatenate(
@@ -296,8 +309,13 @@ def lsh_topk(
             dot(F.col("qv"), F.col("cv")).alias("cos_sim"),
         )
     )
+    rank_sim = (
+        F.round(F.col("cos_sim"), round_decimals)
+        if round_decimals is not None
+        else F.col("cos_sim")
+    )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
+        rank_sim.desc(), F.col("neighbor_id")
     )
     ranked = scored.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= k
@@ -363,8 +381,13 @@ def ivf_topk(
             dot(F.col("qv"), F.col("cv")).alias("cos_sim"),
         )
     )
+    rank_sim = (
+        F.round(F.col("cos_sim"), round_decimals)
+        if round_decimals is not None
+        else F.col("cos_sim")
+    )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
+        rank_sim.desc(), F.col("neighbor_id")
     )
     ranked = (
         scored.groupBy("query_id", "neighbor_id")

@@ -56,7 +56,7 @@ scored AS (
          list_cosine_similarity(q.qv, e.v) AS cos,
          row_number() OVER (
            PARTITION BY q.query_id
-           ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id
+           ORDER BY round(list_cosine_similarity(q.qv, e.v), 6) DESC, e.vec_id
          ) AS rn
   FROM q JOIN e ON e.vec_id <> q.query_id
 )
@@ -100,7 +100,7 @@ scored AS (
          list_cosine_similarity(q.qv, c.v) AS cos,
          row_number() OVER (
            PARTITION BY q.query_id
-           ORDER BY list_cosine_similarity(q.qv, c.v) DESC, c.vec_id
+           ORDER BY round(list_cosine_similarity(q.qv, c.v), 6) DESC, c.vec_id
          ) AS rn
   FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.query_id
 )
@@ -158,7 +158,7 @@ scored AS (
 ranked AS (
   SELECT query_id, neighbor_id, cos,
          row_number() OVER (
-           PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+           PARTITION BY query_id ORDER BY round(cos, 6) DESC, neighbor_id
          ) AS rn
   FROM scored
 )
