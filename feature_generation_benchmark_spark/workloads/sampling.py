@@ -345,3 +345,120 @@ QUERIES.append(
         "identities for chunk-level dedup",
     )
 )
+
+
+# --------------------------------------------------------------------------
+# weighted sampling without replacement (r4c) — Efraimidis & Spirakis'
+# exponential-race scheme ("Weighted random sampling with a reservoir",
+# IPL 2006) made deterministic: the uniform comes from the md5 key space
+# (the module's no-rand() convention), so the "random" sample is
+# reproducible on any engine and stable under repartitioning. Used for
+# weighted corpus subsampling (pick k docs/users per stratum
+# proportionally to a quality/size weight).
+# --------------------------------------------------------------------------
+
+_WS_K = 10  # customers kept per market segment
+_WS_SALT = 16  # first-level top-k fan-out (skew control)
+
+
+def weighted_sample_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment weighted sample of ``_WS_K`` customers, weight =
+    lifetime order revenue (A-ES: keep the k largest ``u^(1/w)``, i.e.
+    the k largest ``ln(u)/w``).
+
+    Determinism: u = (md5_32(custkey) + 0.5) / 2^32 — exact dyadic
+    doubles; ln(u) is micro-quantized to an exact int (the micro-log
+    convention, same accepted rounding-boundary class), and the rank key
+    ``lmicro / w`` is ONE IEEE division of exact ints — bit-portable.
+
+    Scale shape: revenue agg is one custkey-combining shuffle; the
+    per-segment top-k is TWO-LEVEL — first a (segment, md5-salt) window
+    keeps k per salt bucket (|segments|x16 keys, skew-proof), then the
+    global per-segment window ranks only |segments|x16xk candidate rows.
+    A single 5-partition segment window over every customer (the naive
+    plan) would funnel the whole dim table through 5 tasks on engines
+    without map-side window pruning; Spark 4 additionally inserts a
+    Partial WindowGroupLimit before BOTH exchanges here (plan-guarded),
+    so even the shuffled rows are capped at k per (key x map task). The
+    oracle collapses to ONE window: per-salt top-k provably preserves
+    the per-segment top-k (any global winner wins its own salt bucket
+    too).
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    rev = orders.groupBy("o_custkey").agg(F.sum("cents").alias("w"))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    h = md5_prefix_long(F.col("c_custkey").cast("string"))
+    keyed = (
+        cust.join(rev, cust.c_custkey == rev.o_custkey)
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            "w",
+            F.round(
+                F.log((h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0))
+                * F.lit(1e6),
+                0,
+            )
+            .cast("long")
+            .alias("lmicro"),
+            (h % F.lit(_WS_SALT)).alias("salt"),
+        )
+        .withColumn("es_key", F.col("lmicro") / F.col("w"))
+    )
+    w1 = Window.partitionBy("c_mktsegment", "salt").orderBy(
+        F.col("es_key").desc(), F.col("c_custkey")
+    )
+    cand = keyed.withColumn("rn1", F.row_number().over(w1)).filter(
+        F.col("rn1") <= _WS_K
+    )
+    w2 = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("es_key").desc(), F.col("c_custkey")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= _WS_K)
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            F.col("w").alias("revenue_cents"),
+            "rn",
+        )
+    )
+
+
+_WS_ORACLE = f"""
+WITH rev AS (
+  SELECT o_custkey, CAST(sum(round(o_totalprice * 100, 0)) AS BIGINT) AS w
+  FROM orders GROUP BY o_custkey
+),
+keyed AS (
+  SELECT c_mktsegment, c_custkey, w,
+    CAST(round(ln((CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
+                        AS BIGINT) + 0.5) / 4294967296.0) * 1e6)
+         AS BIGINT) AS lmicro
+  FROM customer JOIN rev ON c_custkey = o_custkey
+),
+ranked AS (
+  SELECT c_mktsegment, c_custkey, w,
+    row_number() OVER (PARTITION BY c_mktsegment
+                       ORDER BY lmicro / w DESC, c_custkey) AS rn
+  FROM keyed
+)
+SELECT c_mktsegment, c_custkey, w AS revenue_cents, CAST(rn AS INTEGER) AS rn
+FROM ranked WHERE rn <= {_WS_K}
+"""
+
+QUERIES.append(
+    QueryDef(
+        "weighted_sample_segments",
+        weighted_sample_segments,
+        _WS_ORACLE,
+        "deterministic Efraimidis-Spirakis weighted sampling per segment "
+        "(md5 exponential race, salted two-level top-k)",
+    )
+)

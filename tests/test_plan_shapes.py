@@ -563,3 +563,20 @@ def test_lang_source_mi_single_corpus_shuffle(spark):
     first_exch = plan.rindex("Exchange hashpartitioning")
     assert "partial_count" in plan[first_exch:], plan
     assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_weighted_sample_salted_two_level_topk(spark):
+    """The per-segment top-k must prune through the (segment, salt)
+    window first — a plan whose only Window partitions on the bare
+    segment funnels every customer through |segments| tasks."""
+    from feature_generation_benchmark_spark.workloads.sampling import (
+        weighted_sample_segments,
+    )
+
+    plan = _physical(weighted_sample_segments(spark, SF_PLANS))
+    assert plan.count("Window [") == 2, plan
+    deepest = plan.rindex("Window [")  # deepest Window = salt level
+    assert "salt" in plan[deepest : plan.index("]", deepest)], plan
+    # Spark 4 additionally prunes BOTH windows map-side (Partial
+    # WindowGroupLimit before each exchange) — keep that free win pinned
+    assert plan.count("row_number(), 10, Partial") == 2, plan

@@ -151,3 +151,70 @@ def test_lang_source_mi_zero_for_independent_labels(spark, tmp_path_factory):
     row = lang_source_mi(spark, str(d)).collect()[0]
     assert row["mi_nats"] == pytest.approx(0.0, abs=1e-9)
     assert row["n_cells"] == 4
+
+
+def _py_es_sample(sf_dir, k=10):
+    """Independent A-ES model: hashlib md5 uniforms, micro-quantized ln,
+    exponential-race ranking — mirrors the engine with no Spark/DuckDB."""
+    import duckdb
+    import hashlib
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT c_mktsegment, c_custkey,
+               CAST(sum(round(o_totalprice * 100, 0)) AS BIGINT) AS w
+        FROM '{sf_dir}/customer.parquet'
+        JOIN '{sf_dir}/orders.parquet' ON c_custkey = o_custkey
+        GROUP BY c_mktsegment, c_custkey
+        """
+    ).fetchall()
+    by_seg = {}
+    for seg, ck, w in rows:
+        h = int(hashlib.md5(str(ck).encode()).hexdigest()[:8], 16)
+        lmicro = round(math.log((h + 0.5) / 4294967296.0) * 1e6)
+        by_seg.setdefault(seg, []).append((-(lmicro / w), ck, w))
+    out = {}
+    for seg, items in by_seg.items():
+        items.sort()
+        out[seg] = [(ck, w) for _, ck, w in items[:k]]
+    return out
+
+
+def test_weighted_sample_matches_python_model(spark):
+    from feature_generation_benchmark_spark.workloads.sampling import (
+        weighted_sample_segments,
+    )
+
+    want = _py_es_sample(SF_SMOKE)
+    got = {}
+    for r in weighted_sample_segments(spark, SF_SMOKE).collect():
+        got.setdefault(r["c_mktsegment"], []).append(
+            (r["rn"], r["c_custkey"], r["revenue_cents"])
+        )
+    assert set(got) == set(want)
+    for seg, rows in got.items():
+        rows.sort()
+        assert [(ck, w) for _, ck, w in rows] == want[seg], seg
+
+
+def test_weighted_sample_huge_weight_ranks_first(spark, tmp_path_factory):
+    # A-ES: as w -> inf the race key lmicro/w -> 0- (the maximum), so a
+    # customer with overwhelming revenue must be sampled at rank 1.
+    d = tmp_path_factory.mktemp("ws_bias")
+    cust = [(i, f"Customer#{i}", "SEG") for i in range(1, 40)]
+    spark.createDataFrame(
+        cust, "c_custkey long, c_name string, c_mktsegment string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "customer.parquet"))
+    orders = [(i, i, 1e9 if i == 7 else 10.0) for i in range(1, 40)]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_totalprice double"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "orders.parquet"))
+    from feature_generation_benchmark_spark.workloads.sampling import (
+        weighted_sample_segments,
+    )
+
+    rows = weighted_sample_segments(spark, str(d)).collect()
+    top = next(r for r in rows if r["rn"] == 1)
+    assert top["c_custkey"] == 7
+    assert len(rows) == 10
