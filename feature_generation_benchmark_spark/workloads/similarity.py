@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from feature_generation_benchmark_spark.operators.similarity import (
+    as_double_array,
     brute_force_topk,
     brute_force_topk_partial,
     ivf_topk,
@@ -479,5 +480,85 @@ QUERIES.append(
         _QUANTIZE_ORACLE,
         "per-dim affine int8 quantization (SQ8): broadcast d-row model, "
         "row-local zip_with encode, corpus never shuffled",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Distributed Gram matrix — the PCA / covariance primitive at scale
+# ---------------------------------------------------------------------------
+
+_GRAM_Q = 10_000  # fixed-point component quantization (1e-4 resolution)
+
+
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact d×d Gram matrix G = Σᵣ vᵣvᵣᵀ over all embeddings (upper
+    triangle, ``d(d+1)/2`` rows of ``(i, j, dot_q)``) — the one
+    distributed pass behind PCA / whitening / covariance at corpus scale.
+
+    Components are quantized to ``_GRAM_Q`` fixed-point int64 up front, so
+    every per-row product and the global sum are EXACT integers — no
+    float summation-order drift between partition layouts or engines.
+    |q| ≤ ~6e4 ⇒ |q·q| ≤ ~3.6e9 ⇒ the int64 cell sums hold through
+    ~2.5e9 corpus rows; beyond that cast the sum to decimal(38,0) (same
+    escape hatch as ``lineitem_corr_matrix``).
+
+    Scale posture: the d²/2 products per row exist only PIPELINED inside
+    the scan stage — ``Generate explode → HashAggregate(partial,
+    keys=[i,j])`` combines map-side, so the single exchange carries at
+    most P × d(d+1)/2 partial cells, independent of corpus row count
+    (the kmeans-update pattern, ``operators/kmeans.py``; the
+    per-partition numpy-GEMM ``mapInArrow`` formulation was rejected
+    there by A/B — Arrow-serializing N×d values to Python costs more
+    than the in-JVM explode+combine at every scale tried)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        as_double_array("embedding"),
+        lambda v: F.round(v * _GRAM_Q).cast("long"),
+    )
+    rows = emb.select(q.alias("__q"))
+    last = F.size("__q") - F.lit(1)
+    cells = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), last),
+            lambda i: F.transform(
+                F.sequence(i, last),
+                lambda j: F.struct(
+                    i.cast("int").alias("i"),
+                    j.cast("int").alias("j"),
+                    (F.get("__q", i) * F.get("__q", j)).alias("p"),
+                ),
+            ),
+        )
+    )
+    return (
+        rows.select(F.explode(cells).alias("c"))
+        .select("c.i", "c.j", "c.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("dot_q"))
+    )
+
+
+_GRAM_ORACLE = f"""
+WITH comp AS (
+  SELECT vec_id,
+         CAST(unnest(generate_series(0, len(embedding) - 1)) AS INT) AS i,
+         CAST(round(unnest(CAST(embedding AS DOUBLE[])) * {_GRAM_Q})
+              AS BIGINT) AS q
+  FROM embeddings
+)
+SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS dot_q
+FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND b.i >= a.i
+GROUP BY 1, 2
+"""
+
+QUERIES.append(
+    QueryDef(
+        "embedding_gram_matrix",
+        embedding_gram_matrix,
+        _GRAM_ORACLE,
+        "exact fixed-point d×d Gram matrix in ONE pass: per-row upper-"
+        "triangle products pipelined into a map-combined partial agg; "
+        "the only exchange carries P×d(d+1)/2 cells",
     )
 )

@@ -914,3 +914,123 @@ QUERIES.append(
         "micro-nat integer terms (composition diagnostic)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword retrieval — the classic lexical search scorer, one pass
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("join", "vector", "stream")
+_BM25_K = 20
+
+
+def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-``_BM25_K`` documents for a fixed keyword query —
+    the lexical-retrieval scorer behind corpus search / hard-negative
+    mining. k1 = 1.2, b = 0.75 (the textbook defaults).
+
+    Determinism: each per-(doc, term) weight is quantized to MICRO units
+    (``round(w·1e6)`` int64) BEFORE the per-doc sum, so the only float
+    work is the fixed expression chain (one ``ln`` + divisions) evaluated
+    identically by both engines — no summation-order drift; the top-k
+    boundary ranks on ``(score_micro, doc_id)`` (``unigram_logprob``'s
+    accepted last-ulp residual class). Literals are written identically
+    (``2.2``, ``0.25``) on both sides so constant folding cannot diverge.
+
+    Scale posture: TWO corpus passes, no more (a naive tf/df/totals DAG
+    tokenizes three times — column pruning makes the repeated subtrees
+    non-identical, so exchange reuse never dedupes them). Pass 1: the
+    explode is pipelined into a map-combined ``(doc, dl, term)`` count
+    (the term filter prunes before the shuffle). Pass 2: ONE 1-row
+    conditional aggregate carries ``n_docs``, ``sum_dl``, AND the
+    per-term document frequencies (``sum(contains)`` per query term —
+    the case-when pattern), broadcast back, so document frequency costs
+    no shuffle at all. The global top-k is a TakeOrdered, not a sort —
+    two hash exchanges end to end (tf count, per-doc sum)."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_dl = docs.select(
+        "doc_id", F.size(tokens("text")).alias("dl"), tokens("text").alias("toks")
+    )
+    model = with_dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum(
+                F.array_contains("toks", t).cast("long")
+            ).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    tf = (
+        with_dl.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = F.coalesce(
+        *[
+            F.when(F.col("term") == t, F.col(f"df_{t}"))
+            for t in _BM25_TERMS
+        ]
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - dfc + 0.5) / (dfc + 0.5))
+    w = (
+        idf
+        * (F.col("tf") * F.lit(2.2))
+        / (
+            F.col("tf")
+            + F.lit(1.2) * (F.lit(0.25) + (F.lit(0.75) * F.col("dl")) / avgdl)
+        )
+    )
+    return (
+        tf.crossJoin(F.broadcast(model))
+        .select("doc_id", F.round(w * 1e6).cast("long").alias("w_micro"))
+        .groupBy("doc_id")
+        .agg(F.sum("w_micro").alias("score_micro"))
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(_BM25_K)
+    )
+
+
+_BM25_ORACLE = f"""
+WITH dl AS (
+  SELECT doc_id, len({_TOKS_SQL}) AS dl, {_TOKS_SQL} AS toks FROM documents
+),
+totals AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl)
+  WHERE term IN {_BM25_TERMS!r}
+  GROUP BY doc_id, dl, term
+),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+w AS (
+  SELECT tf.doc_id,
+    CAST(round(
+      ln(1.0 + (t.n_docs - d.df + 0.5) / (d.df + 0.5))
+      * (tf.tf * 2.2)
+      / (tf.tf + 1.2 * (0.25 + (0.75 * tf.dl)
+                        / (CAST(t.sum_dl AS DOUBLE) / t.n_docs)))
+      * 1e6) AS BIGINT) AS w_micro
+  FROM tf JOIN dfreq d USING (term) CROSS JOIN totals t
+)
+SELECT doc_id, CAST(sum(w_micro) AS BIGINT) AS score_micro
+FROM w GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id
+LIMIT {_BM25_K}
+"""
+
+QUERIES.append(
+    QueryDef(
+        "bm25_doc_ranking",
+        bm25_doc_ranking,
+        _BM25_ORACLE,
+        "Okapi BM25 keyword top-k: map-combined (doc,term) counts, "
+        "broadcast df/length model, TakeOrdered top-k; per-term weights "
+        "micro-quantized before the order-free integer sum",
+    )
+)

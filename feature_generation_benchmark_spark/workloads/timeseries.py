@@ -514,3 +514,86 @@ QUERIES.append(
         "lag-based 60s debounce per (user, type) stream; keep/drop rollup",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Per-key exponential moving average — the grouped sequential-fold shape
+# ---------------------------------------------------------------------------
+
+
+def ema_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer EMA of order totals in date order — the canonical
+    inherently-sequential per-key fold (state_t depends on state_{t-1}),
+    which no window frame expresses: implemented as a grouped
+    ``applyInPandas`` that sorts each customer's orders and folds.
+
+    The recurrence is INTEGER-EXACT by construction:
+    ``e₁ = x₁;  eₜ = (xₜ + 3·eₜ₋₁) // 4``  on cents (α = 1/4 with floor
+    division) — bit-portable across engines, no float accumulation. The
+    oracle is a DuckDB *recursive CTE* stepping the same recurrence — the
+    suite's first recursive-fold twin.
+
+    Scale posture: ONE hash exchange on ``o_custkey``; each group is one
+    customer's orders (≤ thousands of rows), sorted and folded locally in
+    an Arrow batch — per-key linear, horizontally scalable across the
+    key space; no global sort, no iteration-count joins."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("odate"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+
+    def fold(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["odate", "o_orderkey"])
+        e = 0
+        first = True
+        for c in pdf["cents"]:
+            c = int(c)
+            e = c if first else (c + 3 * e) // 4
+            first = False
+        return pd.DataFrame(
+            {
+                "o_custkey": [int(pdf["o_custkey"].iloc[0])],
+                "n_orders": [len(pdf)],
+                "ema_cents": [e],
+            }
+        )
+
+    return base.groupBy("o_custkey").applyInPandas(
+        fold, "o_custkey long, n_orders long, ema_cents long"
+    )
+
+
+_EMA_ORACLE = """
+WITH RECURSIVE ord AS (
+  SELECT o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+),
+ema AS (
+  SELECT o_custkey, rn, cents AS e FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.o_custkey, o.rn, (o.cents + 3 * e.e) // 4 AS e
+  FROM ema e JOIN ord o ON o.o_custkey = e.o_custkey AND o.rn = e.rn + 1
+)
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       arg_max(e, rn) AS ema_cents
+FROM ema GROUP BY o_custkey
+"""
+
+QUERIES.append(
+    QueryDef(
+        "ema_customer_spend",
+        ema_customer_spend,
+        _EMA_ORACLE,
+        "per-customer integer-exact EMA (α=1/4 floor recurrence) via "
+        "grouped sequential applyInPandas fold; oracle = recursive CTE",
+    )
+)

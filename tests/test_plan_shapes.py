@@ -580,3 +580,50 @@ def test_weighted_sample_salted_two_level_topk(spark):
     # Spark 4 additionally prunes BOTH windows map-side (Partial
     # WindowGroupLimit before each exchange) — keep that free win pinned
     assert plan.count("row_number(), 10, Partial") == 2, plan
+
+
+def test_gram_matrix_single_mapcombined_exchange(spark):
+    """The Gram matrix's d²/2-per-row products must stay pipelined in
+    the scan stage: ONE hash exchange total, with a partial_sum
+    HashAggregate below it — the exchange carries P×d(d+1)/2 cells, not
+    N×d² product rows."""
+    from feature_generation_benchmark_spark.workloads.similarity import (
+        embedding_gram_matrix,
+    )
+
+    plan = _physical(embedding_gram_matrix(spark, SF_PLANS))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    exch = plan.index("Exchange hashpartitioning")
+    assert "partial_sum" in plan[exch:], plan
+    assert "Generate explode" in plan, plan
+
+
+def test_ema_one_exchange_grouped_pandas(spark):
+    """The sequential fold is ONE custkey hash exchange feeding a
+    grouped-map pandas exec — no join, no global sort, no window."""
+    from feature_generation_benchmark_spark.workloads.timeseries import (
+        ema_customer_spend,
+    )
+
+    plan = _physical(ema_customer_spend(spark, SF_PLANS))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "SortMergeJoin" not in plan and "Window [" not in plan, plan
+
+
+def test_bm25_two_passes_broadcast_model_takeordered_topk(spark):
+    """BM25 must read the corpus exactly TWICE (tf explode + the 1-row
+    df/totals conditional aggregate — a third tokenize pass is the
+    regression this pins), bring the model back as a 1-row broadcast,
+    and take the global top-k via TakeOrdered, not a full sort. The only
+    hash exchanges are the (doc,term) count and the per-doc sum."""
+    from feature_generation_benchmark_spark.workloads.text import (
+        bm25_doc_ranking,
+    )
+
+    plan = _physical(bm25_doc_ranking(spark, SF_PLANS))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row model cross
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("FileScan parquet") == 2, plan
+    assert "SortMergeJoin" not in plan, plan

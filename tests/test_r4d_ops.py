@@ -1,0 +1,223 @@
+"""Round-4d operators vs independent Python models: distributed Gram
+matrix (numpy int64 GEMM), per-customer integer-exact EMA (hand fold +
+partition invariance), and BM25 keyword ranking (math.log scorer). The
+DuckDB oracle is the cross-engine gate; these pin SEMANTICS on models
+that share no code with the engine.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import numpy as np
+import pandas as pd
+
+from feature_generation_benchmark_spark.workloads.similarity import (
+    _GRAM_Q,
+    embedding_gram_matrix,
+)
+from feature_generation_benchmark_spark.workloads.text import (
+    _BM25_K,
+    _BM25_TERMS,
+    bm25_doc_ranking,
+)
+from feature_generation_benchmark_spark.workloads.timeseries import (
+    ema_customer_spend,
+)
+from tests.conftest import SF_SMOKE
+
+
+# ---------------------------------------------------------------- gram ---
+
+
+def test_gram_matrix_matches_numpy_int64_gemm(spark):
+    got = {
+        (r["i"], r["j"]): r["dot_q"]
+        for r in embedding_gram_matrix(spark, SF_SMOKE).collect()
+    }
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    Q = np.round(V * _GRAM_Q).astype(np.int64)
+    G = Q.T @ Q
+    d = G.shape[0]
+    want = {(i, j): int(G[i, j]) for i in range(d) for j in range(i, d)}
+    assert got == want
+    assert len(got) == d * (d + 1) // 2  # upper triangle exactly once
+
+
+def test_gram_matrix_partition_invariant(spark):
+    """Integer cells ⇒ bit-identical under any input partitioning."""
+    base = embedding_gram_matrix(spark, SF_SMOKE)
+    reparted = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .repartition(13)
+        .cache()
+    )
+    try:
+        path = None  # reuse the query but on the repartitioned frame:
+        from pyspark.sql import functions as F
+        from feature_generation_benchmark_spark.operators.similarity import (
+            as_double_array,
+        )
+
+        q = F.transform(
+            as_double_array("embedding"),
+            lambda v: F.round(v * _GRAM_Q).cast("long"),
+        )
+        rows = reparted.select(q.alias("__q"))
+        last = F.size("__q") - F.lit(1)
+        cells = F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), last),
+                lambda i: F.transform(
+                    F.sequence(i, last),
+                    lambda j: F.struct(
+                        i.cast("int").alias("i"),
+                        j.cast("int").alias("j"),
+                        (F.get("__q", i) * F.get("__q", j)).alias("p"),
+                    ),
+                ),
+            )
+        )
+        alt = (
+            rows.select(F.explode(cells).alias("c"))
+            .select("c.i", "c.j", "c.p")
+            .groupBy("i", "j")
+            .agg(F.sum("p").alias("dot_q"))
+        )
+        lhs = {(r["i"], r["j"]): r["dot_q"] for r in base.collect()}
+        rhs = {(r["i"], r["j"]): r["dot_q"] for r in alt.collect()}
+        assert lhs == rhs
+    finally:
+        reparted.unpersist()
+
+
+# ----------------------------------------------------------------- ema ---
+
+
+def _ema_model(rows):
+    """Independent fold: rows = [(custkey, sort_key, cents)]."""
+    by_key = defaultdict(list)
+    for ck, sk, cents in rows:
+        by_key[ck].append((sk, cents))
+    out = {}
+    for ck, seq in by_key.items():
+        seq.sort()
+        e = None
+        for _, c in seq:
+            e = c if e is None else (c + 3 * e) // 4
+        out[ck] = (len(seq), e)
+    return out
+
+
+def test_ema_matches_python_fold_model(spark):
+    got = {
+        r["o_custkey"]: (r["n_orders"], r["ema_cents"])
+        for r in ema_customer_spend(spark, SF_SMOKE).collect()
+    }
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    rows = [
+        (
+            int(r.o_custkey),
+            (r.o_orderdate, int(r.o_orderkey)),
+            int(round(float(r.o_totalprice) * 100)),
+        )
+        for r in orders.itertuples()
+    ]
+    assert got == _ema_model(rows)
+
+
+def test_ema_known_sequence(spark):
+    """Hand-checkable: 400, 800, 1200 cents in date order →
+    e1=400, e2=(800+1200)//4=500, e3=(1200+1500)//4=675."""
+    df = spark.createDataFrame(
+        [
+            (7, "2024-01-03", 103, 12.00),
+            (7, "2024-01-01", 101, 4.00),
+            (7, "2024-01-02", 102, 8.00),
+        ],
+        "o_custkey long, o_orderdate string, o_orderkey long, o_totalprice double",
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        sf = os.path.join(td)
+        df.selectExpr(
+            "o_custkey",
+            "CAST(o_orderdate AS DATE) AS o_orderdate",
+            "o_orderkey",
+            "o_totalprice",
+        ).write.parquet(os.path.join(sf, "orders.parquet"))
+        got = ema_customer_spend(spark, sf).collect()
+    assert len(got) == 1
+    r = got[0]
+    # e1=400; e2=(800+3*400)//4=500; e3=(1200+3*500)//4=675
+    assert (r["o_custkey"], r["n_orders"], r["ema_cents"]) == (7, 3, 675)
+
+
+# ---------------------------------------------------------------- bm25 ---
+
+
+def _bm25_model(texts_by_doc):
+    """Independent scorer with math.log over Counter term stats."""
+    import re
+
+    tok_re = re.compile(r"[^a-z0-9]+")
+    toks = {
+        d: [t for t in tok_re.split(txt.lower()) if t]
+        for d, txt in texts_by_doc.items()
+    }
+    n_docs = len(toks)
+    sum_dl = sum(len(v) for v in toks.values())
+    avgdl = sum_dl / n_docs
+    dfreq = Counter()
+    tf = {}
+    for d, ts in toks.items():
+        c = Counter(t for t in ts if t in _BM25_TERMS)
+        tf[d] = c
+        for term in c:
+            dfreq[term] += 1
+    scores = {}
+    for d, c in tf.items():
+        if not c:
+            continue
+        dl = len(toks[d])
+        s = 0
+        for term, f in c.items():
+            idf = math.log(1.0 + (n_docs - dfreq[term] + 0.5) / (dfreq[term] + 0.5))
+            w = idf * (f * 2.2) / (f + 1.2 * (0.25 + (0.75 * dl) / avgdl))
+            s += int(round(w * 1e6))
+        scores[d] = s
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return ranked[:_BM25_K]
+
+
+def test_bm25_matches_python_model(spark):
+    got = [
+        (r["doc_id"], r["score_micro"])
+        for r in bm25_doc_ranking(spark, SF_SMOKE).collect()
+    ]
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    want = _bm25_model(dict(zip(docs["doc_id"].astype(int), docs["text"])))
+    assert got == want
+
+
+def test_bm25_rewards_term_density(spark):
+    """A short doc saturated with query terms must outrank a long doc
+    with a single occurrence (the length normalization b=0.75)."""
+    import tempfile, os
+
+    rows = [
+        (1, "join vector stream join vector stream", "en", "s", 10),
+        (2, "join " + "filler " * 200, "en", "s", 10),
+        (3, "nothing relevant here at all", "en", "s", 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        got = bm25_doc_ranking(spark, td).collect()
+    ids = [r["doc_id"] for r in got]
+    assert ids[0] == 1 and 2 in ids and 3 not in ids
