@@ -46,7 +46,13 @@ QUERIES = ("q7_nation_volume", "q13_order_histogram", "q18_large_orders",
            # r4c: BFS (supplier-dim output; per-level broadcast joins must
            # hold as the edge side grows), one-pass corr matrix (6 rows),
            # label MI (1 row, contingency table is domain-bounded)
-           "supplier_bfs_hops", "lineitem_corr_matrix", "lang_source_mi")
+           "supplier_bfs_hops", "lineitem_corr_matrix", "lang_source_mi",
+           # r4d: Gram matrix (d²-bounded output; the one exchange must
+           # stay partial-agg-bounded as the corpus grows), per-customer
+           # EMA (customer-dim output; per-key sequences grow 10× — the
+           # axis the sequential fold must be linear on), BM25 (k rows)
+           "embedding_gram_matrix", "ema_customer_spend",
+           "bm25_doc_ranking")
 
 #: event/document operators probed through a wrapping CHECKSUM aggregate:
 #: their full outputs grow with the scale factor, so collect() would ship
