@@ -562,3 +562,125 @@ QUERIES.append(
         "the only exchange carries P×d(d+1)/2 cells",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval — Reciprocal Rank Fusion of lexical BM25 + semantic ANN
+# ---------------------------------------------------------------------------
+
+_RRF_N = 50   # per-source candidate depth
+_RRF_C = 60   # the standard RRF dampening constant
+_RRF_K = 20   # fused results returned
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the lexical BM25 ranking (fixed keyword
+    query, ``workloads/text.py``) with the semantic cosine ranking
+    (query = embedding 0) by Reciprocal Rank Fusion —
+    ``score(d) = Σ_sources 1/(C + rank_source(d))``, C = 60 — the
+    standard fusion for RAG / retrieval pipelines (Cormack et al.).
+
+    Documents and embeddings share the id space by construction
+    (``doc_id`` ≡ ``vec_id``), so each source contributes a top-``_RRF_N``
+    ranking over the same corpus.
+
+    Determinism: both source rankings are already cross-engine exact
+    (BM25 ranks on integer micro-scores; cosine ranks on round-6 sims
+    with id tie-breaks), ranks are integers, and each contribution is
+    quantized to ``round(1e6/(C+rank))`` int64 BEFORE the order-free
+    integer sum — the fused score is bit-exact.
+
+    Scale posture: each source reduces to its top-N FIRST (BM25 via
+    TakeOrdered; cosine via the partial-top-k merge), so the ranking
+    windows and the fusion union/agg run on ≤2N rows — corpus-sized work
+    stays inside the two source plans, which are themselves
+    shuffle-bounded (see their docstrings)."""
+    from pyspark.sql import Window
+
+    from feature_generation_benchmark_spark.workloads.text import (
+        bm25_scores,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    sem = brute_force_topk_partial(q, emb, "vec_id", "embedding", k=_RRF_N)
+    w_sem = Window.orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    sem_rank = sem.select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.row_number().over(w_sem).alias("rank"),
+    )
+    lex_top = (
+        bm25_scores(spark, sf_dir)
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(_RRF_N)
+    )
+    w_lex = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id"))
+    lex_rank = lex_top.select(
+        "doc_id", F.row_number().over(w_lex).alias("rank")
+    )
+    contrib = F.round(F.lit(1e6) / (F.lit(_RRF_C) + F.col("rank"))).cast(
+        "long"
+    )
+    return (
+        sem_rank.select("doc_id", contrib.alias("c"))
+        .unionByName(lex_rank.select("doc_id", contrib.alias("c")))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("rrf_micro"),
+            F.count(F.lit(1)).alias("n_sources"),
+        )
+        .orderBy(F.col("rrf_micro").desc(), "doc_id")
+        .limit(_RRF_K)
+    )
+
+
+def _rrf_oracle() -> str:
+    from feature_generation_benchmark_spark.workloads.text import (
+        _BM25_SCORE_CTES,
+    )
+
+    return f"""
+WITH {_BM25_SCORE_CTES.strip().rstrip()},
+e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+sem AS (
+  SELECT e.vec_id AS doc_id,
+         row_number() OVER (
+           ORDER BY round(list_cosine_similarity(qv.q, e.v), 6) DESC,
+                    e.vec_id
+         ) AS rank
+  FROM e CROSS JOIN qv WHERE e.vec_id <> 0
+),
+lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rank
+  FROM bm25_scores
+),
+contrib AS (
+  SELECT doc_id, CAST(round(1e6 / ({_RRF_C} + rank)) AS BIGINT) AS c
+  FROM sem WHERE rank <= {_RRF_N}
+  UNION ALL
+  SELECT doc_id, CAST(round(1e6 / ({_RRF_C} + rank)) AS BIGINT) AS c
+  FROM lex WHERE rank <= {_RRF_N}
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS rrf_micro,
+       CAST(count(*) AS BIGINT) AS n_sources
+FROM contrib GROUP BY doc_id
+ORDER BY rrf_micro DESC, doc_id
+LIMIT {_RRF_K}
+"""
+
+
+QUERIES.append(
+    QueryDef(
+        "hybrid_search_rrf",
+        hybrid_search_rrf,
+        _rrf_oracle(),
+        "Reciprocal Rank Fusion of BM25 lexical + cosine semantic top-N: "
+        "each source top-k's first, fusion runs on ≤2N rows with integer "
+        "micro-contributions",
+    )
+)

@@ -947,6 +947,18 @@ def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     the case-when pattern), broadcast back, so document frequency costs
     no shuffle at all. The global top-k is a TakeOrdered, not a sort —
     two hash exchanges end to end (tf count, per-doc sum)."""
+    return (
+        bm25_scores(spark, sf_dir)
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(_BM25_K)
+    )
+
+
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unranked per-doc BM25 scores ``(doc_id, score_micro)`` for the
+    fixed ``_BM25_TERMS`` query — the pre-top-k frame
+    :func:`bm25_doc_ranking` and the RRF hybrid both consume (see that
+    docstring for the determinism and two-pass scale analysis)."""
     docs = load_table(spark, sf_dir, "documents")
     with_dl = docs.select(
         "doc_id", F.size(tokens("text")).alias("dl"), tokens("text").alias("toks")
@@ -988,13 +1000,13 @@ def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.round(w * 1e6).cast("long").alias("w_micro"))
         .groupBy("doc_id")
         .agg(F.sum("w_micro").alias("score_micro"))
-        .orderBy(F.col("score_micro").desc(), "doc_id")
-        .limit(_BM25_K)
     )
 
 
-_BM25_ORACLE = f"""
-WITH dl AS (
+# Shared CTE block: per-doc BM25 scores (ends with a `bm25_scores`
+# relation) — embedded by both the bm25 oracle and the RRF hybrid oracle.
+_BM25_SCORE_CTES = f"""
+dl AS (
   SELECT doc_id, len({_TOKS_SQL}) AS dl, {_TOKS_SQL} AS toks FROM documents
 ),
 totals AS (
@@ -1017,9 +1029,17 @@ w AS (
                         / (CAST(t.sum_dl AS DOUBLE) / t.n_docs)))
       * 1e6) AS BIGINT) AS w_micro
   FROM tf JOIN dfreq d USING (term) CROSS JOIN totals t
+),
+bm25_scores AS (
+  SELECT doc_id, CAST(sum(w_micro) AS BIGINT) AS score_micro
+  FROM w GROUP BY doc_id
 )
-SELECT doc_id, CAST(sum(w_micro) AS BIGINT) AS score_micro
-FROM w GROUP BY doc_id
+"""
+
+_BM25_ORACLE = f"""
+WITH {_BM25_SCORE_CTES}
+SELECT doc_id, score_micro
+FROM bm25_scores
 ORDER BY score_micro DESC, doc_id
 LIMIT {_BM25_K}
 """

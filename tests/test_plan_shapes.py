@@ -627,3 +627,21 @@ def test_bm25_two_passes_broadcast_model_takeordered_topk(spark):
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert plan.count("FileScan parquet") == 2, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_hybrid_rrf_fuses_after_source_topk(spark):
+    """RRF's ranking windows must run AFTER each source's top-N (the
+    ≤2N-row frames), never over the corpus: the lexical side keeps its
+    TakeOrdered/limit below the window, and the final fused top-k is
+    itself a TakeOrdered."""
+    from feature_generation_benchmark_spark.workloads.similarity import (
+        hybrid_search_rrf,
+    )
+
+    plan = _physical(hybrid_search_rrf(spark, SF_PLANS))
+    # two TakeOrdereds: the lexical source's top-N and the final fusion
+    assert plan.count("TakeOrderedAndProject") == 2, plan
+    # three windows: the partial-top-k's internal merge rank (pruned
+    # map-side by WindowGroupLimit) + one ≤N-row rank window per source
+    assert plan.count("Window [") == 3, plan
+    assert "WindowGroupLimit" in plan, plan

@@ -221,3 +221,89 @@ def test_bm25_rewards_term_density(spark):
         got = bm25_doc_ranking(spark, td).collect()
     ids = [r["doc_id"] for r in got]
     assert ids[0] == 1 and 2 in ids and 3 not in ids
+
+
+# ----------------------------------------------------------------- rrf ---
+
+
+def test_hybrid_rrf_matches_python_fusion_model(spark):
+    """Independent fusion: numpy cosine ranking + the math.log BM25
+    model, fused with integer micro-RRF — no engine code shared."""
+    from feature_generation_benchmark_spark.workloads.similarity import (
+        _RRF_C,
+        _RRF_K,
+        _RRF_N,
+        hybrid_search_rrf,
+    )
+
+    got = [
+        (r["doc_id"], r["rrf_micro"], r["n_sources"])
+        for r in hybrid_search_rrf(spark, SF_SMOKE).collect()
+    ]
+
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    ids = emb["vec_id"].astype(int).to_numpy()
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    q = Vn[list(ids).index(0)]
+    sims = np.round(Vn @ q, 6)
+    order = sorted(
+        (i for i in range(len(ids)) if ids[i] != 0),
+        key=lambda i: (-sims[i], ids[i]),
+    )[:_RRF_N]
+    sem_rank = {int(ids[i]): r + 1 for r, i in enumerate(order)}
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    # reuse the BM25 scorer model but rank to depth _RRF_N
+    all_scores = dict(
+        _bm25_model_full(dict(zip(docs["doc_id"].astype(int), docs["text"])))
+    )
+    lex_sorted = sorted(all_scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    lex_rank = {d: r + 1 for r, (d, _) in enumerate(lex_sorted[:_RRF_N])}
+
+    fused = Counter()
+    nsrc = Counter()
+    for d, r in sem_rank.items():
+        fused[d] += int(round(1e6 / (_RRF_C + r)))
+        nsrc[d] += 1
+    for d, r in lex_rank.items():
+        fused[d] += int(round(1e6 / (_RRF_C + r)))
+        nsrc[d] += 1
+    want = sorted(
+        ((d, s, nsrc[d]) for d, s in fused.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:_RRF_K]
+    assert got == want
+    assert any(n == 2 for _, _, n in got)  # fusion actually fuses
+
+
+def _bm25_model_full(texts_by_doc):
+    """All per-doc BM25 micro-scores (unranked) — shared by the rrf test."""
+    import re
+
+    tok_re = re.compile(r"[^a-z0-9]+")
+    toks = {
+        d: [t for t in tok_re.split(txt.lower()) if t]
+        for d, txt in texts_by_doc.items()
+    }
+    n_docs = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n_docs
+    dfreq = Counter()
+    tf = {}
+    for d, ts in toks.items():
+        c = Counter(t for t in ts if t in _BM25_TERMS)
+        tf[d] = c
+        for term in c:
+            dfreq[term] += 1
+    out = []
+    for d, c in tf.items():
+        if not c:
+            continue
+        dl = len(toks[d])
+        s = 0
+        for term, f in c.items():
+            idf = math.log(1.0 + (n_docs - dfreq[term] + 0.5) / (dfreq[term] + 0.5))
+            w = idf * (f * 2.2) / (f + 1.2 * (0.25 + (0.75 * dl) / avgdl))
+            s += int(round(w * 1e6))
+        out.append((d, s))
+    return out
