@@ -1203,3 +1203,55 @@ QUERIES.append(
         "built-in session_window vs first-principles islands oracle",
     )
 )
+
+
+def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — ``((returnflag, linestatus),
+    (linestatus), ())`` — the set list neither CUBE nor ROLLUP can
+    express (it skips the ``(returnflag)`` level), via Spark 4's
+    ``DataFrame.groupingSets``. Completes the multi-level-agg trio with
+    :func:`cube_lineitem_stats` / ``rollup_order_totals``.
+
+    Same single-scan plan family as CUBE: one Expand×|sets| + ONE
+    shuffle (the expand multiplies rows map-side and the partial
+    aggregate combines before the exchange), vs |sets| separate
+    aggregations each re-scanning the fact table. ``grouping_id``
+    disambiguates roll-up NULLs from genuine NULL key values."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").alias("qty"),
+        _cents("l_extendedprice").alias("price_cents"),
+    )
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.sum("qty").alias("sum_qty"),
+        F.sum("price_cents").alias("sum_price_cents"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_GROUPING_SETS_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+    AS gid,
+  sum(l_quantity) AS sum_qty,
+  sum(round(l_extendedprice*100)) AS sum_price_cents,
+  CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+"""
+
+QUERIES.append(
+    QueryDef(
+        "grouping_sets_lineitem",
+        grouping_sets_lineitem,
+        _GROUPING_SETS_ORACLE,
+        "arbitrary GROUPING SETS (not cube/rollup-expressible) in one "
+        "Expand + one shuffle, grouping_id-disambiguated",
+    )
+)

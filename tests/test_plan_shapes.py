@@ -645,3 +645,17 @@ def test_hybrid_rrf_fuses_after_source_topk(spark):
     # map-side by WindowGroupLimit) + one ≤N-row rank window per source
     assert plan.count("Window [") == 3, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_grouping_sets_one_expand_one_shuffle(spark):
+    """GROUPING SETS must plan as ONE scan + ONE Expand + ONE map-combined
+    exchange — |sets| separate aggregations re-scanning the fact table is
+    the regression this pins."""
+    from feature_generation_benchmark_spark.workloads.relational import (
+        grouping_sets_lineitem,
+    )
+
+    plan = _physical(grouping_sets_lineitem(spark, SF_PLANS))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("Expand") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -307,3 +307,49 @@ def _bm25_model_full(texts_by_doc):
             s += int(round(w * 1e6))
         out.append((d, s))
     return out
+
+
+# ------------------------------------------------------- grouping sets ---
+
+
+def test_grouping_sets_equals_union_of_plain_aggs(spark):
+    """Cross-strategy equality: the one-Expand plan must match the naive
+    union of the three separate aggregations it replaces."""
+    from pyspark.sql import functions as F
+
+    from feature_generation_benchmark_spark.workloads.relational import (
+        _cents,
+        grouping_sets_lineitem,
+    )
+
+    got = {
+        (r["l_returnflag"], r["l_linestatus"], r["gid"]): (
+            r["sum_qty"], r["sum_price_cents"], r["n_lines"],
+        )
+        for r in grouping_sets_lineitem(spark, SF_SMOKE).collect()
+    }
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").alias("qty"),
+        _cents("l_extendedprice").alias("price_cents"),
+    )
+
+    def agg(df):
+        return df.agg(
+            F.sum("qty").alias("sq"),
+            F.sum("price_cents").alias("sp"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    want = {}
+    for r in agg(li.groupBy("l_returnflag", "l_linestatus")).collect():
+        want[(r["l_returnflag"], r["l_linestatus"], 0)] = (
+            r["sq"], r["sp"], r["n"],
+        )
+    for r in agg(li.groupBy("l_linestatus")).collect():
+        want[(None, r["l_linestatus"], 2)] = (r["sq"], r["sp"], r["n"])
+    t = agg(li).collect()[0]
+    want[(None, None, 3)] = (t["sq"], t["sp"], t["n"])
+    assert got == want
