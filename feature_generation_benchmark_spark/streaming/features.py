@@ -359,3 +359,62 @@ def running_features(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+EMA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("ema_cents", T.LongType()),
+    ]
+)
+
+_EMA_STATE_SCHEMA = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("e", T.LongType())]
+)
+
+
+def _ema_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    rows = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
+    n, e = state.get if state.exists else (0, 0)
+    for c in rows["cents"]:
+        c = int(c)
+        e = c if n == 0 else (c + 3 * e) // 4
+        n += 1
+    state.update((n, e))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "ema_cents": [e]}
+    )
+
+
+def ema_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch per-key EMA fold
+    (``workloads/timeseries.py::ema_customer_spend``): the same
+    integer-exact ``e ← (x + 3e) // 4`` recurrence carried across
+    micro-batches in ``applyInPandasWithState`` value state — (n, e) is
+    the ENTIRE per-key state, so state size is O(keys) regardless of
+    stream length. Output mode Update: one refreshed (n, ema) row per
+    touched key per micro-batch; the latest emission per key is the
+    answer.
+
+    Ordering contract (inherent to any sequential fold over a stream):
+    within a micro-batch rows are sorted by (ts_us, event_id) before
+    folding, so the result equals the batch fold whenever micro-batches
+    arrive in per-key event-time order (file source in mtime order,
+    kafka partitioned by key). Late out-of-order data WOULD need the
+    fold re-run from a snapshot — the batch twin is that backfill path.
+
+    Input needs columns (user_id long, ts_us long, event_id long,
+    cents long)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _ema_fn,
+        outputStructType=EMA_OUTPUT_SCHEMA,
+        stateStructType=_EMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

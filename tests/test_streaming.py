@@ -481,3 +481,86 @@ def test_running_feature_processor_logic():
         "user_id": 11, "n_events": 2, "sum_cents": -13,
         "min_cents": -13, "max_cents": 0,
     }
+
+
+def test_ema_stream_equals_batch_fold_across_batches(spark, event_dir):
+    """The EMA recurrence must CARRY ACROSS micro-batches: the source is
+    split into an early-half and late-half file with pinned mtimes and
+    maxFilesPerTrigger=1, so availableNow processes two ordered batches;
+    each key's LAST update-mode emission must equal the single batch
+    fold over all its events."""
+    import os
+    import tempfile
+    import shutil
+
+    from feature_generation_benchmark_spark.streaming.features import (
+        ema_stream,
+    )
+
+    base = (
+        spark.read.parquet(event_dir)
+        .select(
+            "user_id",
+            "ts_us",
+            "event_id",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    cut = base.approxQuantile("ts_us", [0.5], 0.0)[0]
+    d = tempfile.mkdtemp(prefix="fgb_ema_stream_")
+    try:
+        early = os.path.join(d, "p0")
+        late = os.path.join(d, "p1")
+        base.filter(F.col("ts_us") <= cut).coalesce(1).write.parquet(early)
+        base.filter(F.col("ts_us") > cut).coalesce(1).write.parquet(late)
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        for i, part in enumerate((early, late)):
+            f = [x for x in os.listdir(part) if x.endswith(".parquet")][0]
+            dst = os.path.join(src, f"part-{i}.parquet")
+            shutil.copy(os.path.join(part, f), dst)
+            os.utime(dst, (1_700_000_000 + i * 3600,) * 2)
+
+        stream = (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            ema_stream(stream)
+            .writeStream.format("memory")
+            .queryName("ema_stream_out")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        # two batches must actually have run (cross-batch state exercised)
+        assert q.lastProgress is not None
+        emitted = spark.sql(
+            "SELECT * FROM ema_stream_out"
+        ).collect()
+        # the LAST emission per key (memory sink appends update rows in
+        # batch order; max n_events per key is the final state)
+        got = {}
+        for r in emitted:
+            prev = got.get(r["user_id"])
+            if prev is None or r["n_events"] > prev[0]:
+                got[r["user_id"]] = (r["n_events"], r["ema_cents"])
+
+        want = {}
+        for r in (
+            base.orderBy("ts_us", "event_id").collect()
+        ):
+            n, e = want.get(r["user_id"], (0, 0))
+            c = int(r["cents"])
+            e = c if n == 0 else (c + 3 * e) // 4
+            want[r["user_id"]] = (n + 1, e)
+        assert got == want
+        # multiple users actually emitted twice (state carried over)
+        from collections import Counter
+
+        per_user = Counter(r["user_id"] for r in emitted)
+        assert any(v >= 2 for v in per_user.values())
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
