@@ -1255,3 +1255,45 @@ QUERIES.append(
         "Expand + one shuffle, grouping_id-disambiguated",
     )
 )
+
+
+_NS_PER_DAY_HLL = 86_400 * 10**9
+
+
+def hll_users_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct-count sketches — the ONLY way distinct
+    users roll up at 100 TB without re-scanning raw events: per
+    (event_type, day) Apache DataSketches HLL sketches
+    (``hll_sketch_agg`` — the storable pre-aggregate artifact), then a
+    register-wise ``hll_union_agg`` merge to the per-type estimate.
+    ``approx_users_per_type`` answers one fixed question in one pass;
+    this materializes the day-grain sketch table any (type, day-range)
+    distinct question can then be served from at sketch-table cost.
+
+    Deterministic (rows-only driver check — DuckDB has no DataSketches
+    twin): HLL register updates are idempotent maxes, so the sketch —
+    and the estimate — is independent of row order and partitioning;
+    ``test_hll_rollup_matches_single_pass`` pins the two-level merge to
+    the one-level sketch exactly and within 5% of the exact count."""
+    ev = load_table(spark, sf_dir, "events")
+    day_sketches = ev.groupBy(
+        "event_type",
+        (F.col("ts") / F.lit(_NS_PER_DAY_HLL)).cast("long").alias("day"),
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return day_sketches.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.hll_sketch_estimate(F.hll_union_agg("sk")))
+        .cast("long")
+        .alias("est_users"),
+    )
+
+
+QUERIES.append(
+    QueryDef(
+        "hll_users_sketch_rollup",
+        hll_users_sketch_rollup,
+        None,  # DataSketches HLL has no DuckDB twin — rows-only by design
+        "day-grain HLL sketch table merged to per-type distinct "
+        "estimates: the storable, re-aggregatable pre-agg pattern",
+    )
+)

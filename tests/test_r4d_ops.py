@@ -353,3 +353,47 @@ def test_grouping_sets_equals_union_of_plain_aggs(spark):
     t = agg(li).collect()[0]
     want[(None, None, 3)] = (t["sq"], t["sp"], t["n"])
     assert got == want
+
+
+# ------------------------------------------------------------------ hll ---
+
+
+def test_hll_rollup_matches_single_pass(spark):
+    """HLL register updates are idempotent maxes, so merging day-grain
+    sketches must equal the one-level sketch over all events EXACTLY,
+    and land within 5% of the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from feature_generation_benchmark_spark.sources.testdata import (
+        load_table,
+    )
+    from feature_generation_benchmark_spark.workloads.relational import (
+        hll_users_sketch_rollup,
+    )
+
+    got = {
+        r["event_type"]: (r["n_days"], r["est_users"])
+        for r in hll_users_sketch_rollup(spark, SF_SMOKE).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    one = {
+        r["event_type"]: r["e"]
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.round(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")))
+            .cast("long")
+            .alias("e")
+        )
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(one) == set(exact) and got
+    for t, (n_days, est) in got.items():
+        assert n_days > 1  # the rollup actually merged multiple sketches
+        assert est == one[t]  # two-level merge == one-level sketch
+        assert abs(est - exact[t]) <= max(1, round(0.05 * exact[t]))
