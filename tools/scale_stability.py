@@ -52,7 +52,12 @@ QUERIES = ("q7_nation_volume", "q13_order_histogram", "q18_large_orders",
            # EMA (customer-dim output; per-key sequences grow 10× — the
            # axis the sequential fold must be linear on), BM25 (k rows)
            "embedding_gram_matrix", "ema_customer_spend",
-           "bm25_doc_ranking")
+           "bm25_doc_ranking",
+           # r4d (2): RRF fusion (k rows; both sources must top-k before
+           # fusing), GROUPING SETS (|domains|-bounded), HLL rollup
+           # (type-dim output; the sketch table is the only exchange)
+           "hybrid_search_rrf", "grouping_sets_lineitem",
+           "hll_users_sketch_rollup")
 
 #: event/document operators probed through a wrapping CHECKSUM aggregate:
 #: their full outputs grow with the scale factor, so collect() would ship
