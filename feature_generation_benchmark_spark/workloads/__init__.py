@@ -75,6 +75,7 @@ def registry() -> dict[str, QueryDef]:
         funnel,
         intervals,
         linkage,
+        mlprep,
         pit,
         quality,
         similarity,
@@ -100,6 +101,7 @@ def registry() -> dict[str, QueryDef]:
         features_eng,
         udtf_ops,
         linkage,
+        mlprep,
         funnel,
         intervals,
         pit,

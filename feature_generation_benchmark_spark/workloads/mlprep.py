@@ -1,0 +1,425 @@
+"""Training-prep workload — feature drift (PSI), leakage-guarded target
+encoding, mergeable histogram-quantile rollups, and seeded random
+projection.
+
+The reference engine stops at windowed aggregation features
+(`impl/pyspark-pivot.py`, `impl/pyspark-case-when.py`); a production
+training pipeline also needs the model-prep layer above it: drift gates
+between time windows, supervised encodings that cannot leak the row's own
+label, storable quantile pre-aggregates, and dimensionality reduction.
+Engine-wide determinism rule applies: all distribution arithmetic is
+integer (cents, counts, e6-quantized scores) so every oracle is a
+bit-exact DuckDB twin; the only floats are single divisions / one ``ln``
+quantized per-item before any integer sum (same contract as
+``unigram_logprob``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from feature_generation_benchmark_spark.sources.testdata import load_table
+from feature_generation_benchmark_spark.workloads import QueryDef
+
+_NS_PER_DAY = 86_400 * 10**9
+
+#: PSI window split: 2024-01-16 as epoch days — Jan 1-15 is the reference
+#: window A, Jan 16-30 the comparison window B (events span the month).
+_PSI_SPLIT_DAY = 19_738
+
+#: PSI value bins: $50-wide cent bins over the observed [0, 500) value
+#: domain, clamped into bin 9 — a fixed known-values bin domain, same
+#: discipline as the engine's compiled-in category domains.
+_PSI_BINS = 10
+_PSI_BIN_CENTS = 5_000
+
+#: Histogram sketch bins: $25-wide cent bins, clamped into bin 19.
+_HIST_BINS = 20
+_HIST_BIN_CENTS = 2_500
+
+
+# --------------------------------------------------------------------------
+# PSI feature drift: the distribution-shift gate every recurring training
+# pipeline runs before refitting. Per event_type, bin `value` into the
+# fixed cent-bin domain, count per (bin, half-of-month), Laplace-smooth,
+# and sum the per-bin (pA-pB)·ln(pA/pB) contributions. One combining
+# groupBy(type, bin) shuffle over the scan; everything after is
+# bins×types-sized (50 rows). Per-bin contributions are e6-quantized
+# BEFORE the per-type sum, so the aggregate is an exact integer sum —
+# immune to accumulation order (unigram_logprob contract).
+# --------------------------------------------------------------------------
+
+def psi_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.least(
+                F.floor(
+                    F.round(F.col("value") * 100, 0).cast("long")
+                    / F.lit(_PSI_BIN_CENTS)
+                ),
+                F.lit(_PSI_BINS - 1),
+            ).alias("bin"),
+            (F.expr(f"ts div {_NS_PER_DAY}") < F.lit(_PSI_SPLIT_DAY))
+            .cast("int")
+            .alias("in_a"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum("in_a").alias("ca"),
+            F.sum(F.lit(1) - F.col("in_a")).alias("cb"),
+        )
+    )
+    # Full fixed bin grid so empty bins contribute their smoothed mass on
+    # both engines identically (types table is an aggregate — KB-sized).
+    grid = (
+        counts.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(_PSI_BINS - 1))).alias(
+                "bin"
+            ),
+        )
+    )
+    filled = grid.join(counts, ["event_type", "bin"], "left").select(
+        "event_type",
+        "bin",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    totals = filled.groupBy("event_type").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    pa = (F.col("ca") + 1) / (F.col("na") + _PSI_BINS)
+    pb = (F.col("cb") + 1) / (F.col("nb") + _PSI_BINS)
+    contrib = (
+        F.round((pa - pb) * F.log(pa / pb) * F.lit(1e6), 0)
+        .cast("long")
+        .alias("c_e6")
+    )
+    return (
+        filled.join(F.broadcast(totals), "event_type")
+        .select("event_type", "na", "nb", contrib)
+        .groupBy("event_type")
+        .agg(
+            F.first("na").alias("n_a"),
+            F.first("nb").alias("n_b"),
+            F.sum("c_e6").alias("psi_e6"),
+        )
+    )
+
+
+_PSI_ORACLE = f"""
+WITH ev AS (
+  SELECT event_type,
+    least(CAST(round(value*100) AS BIGINT) // {_PSI_BIN_CENTS},
+          {_PSI_BINS - 1}) AS bin,
+    CASE WHEN epoch_ns(ts) // {_NS_PER_DAY} < {_PSI_SPLIT_DAY}
+         THEN 1 ELSE 0 END AS in_a
+  FROM events
+),
+counts AS (
+  SELECT event_type, bin, sum(in_a) AS ca, sum(1 - in_a) AS cb
+  FROM ev GROUP BY event_type, bin
+),
+grid AS (
+  SELECT event_type, g.bin
+  FROM (SELECT DISTINCT event_type FROM counts)
+  CROSS JOIN (SELECT unnest(range({_PSI_BINS})) AS bin) g
+),
+filled AS (
+  SELECT grid.event_type, grid.bin,
+         coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+  FROM grid LEFT JOIN counts
+    ON grid.event_type = counts.event_type AND grid.bin = counts.bin
+),
+tot AS (
+  SELECT event_type, sum(ca) AS na, sum(cb) AS nb
+  FROM filled GROUP BY event_type
+),
+c AS (
+  SELECT filled.event_type, na, nb,
+    CAST(round(
+      ((ca+1.0)/(na+{_PSI_BINS}) - (cb+1.0)/(nb+{_PSI_BINS}))
+      * ln(((ca+1.0)/(na+{_PSI_BINS})) / ((cb+1.0)/(nb+{_PSI_BINS})))
+      * 1e6) AS BIGINT) AS c_e6
+  FROM filled JOIN tot USING (event_type)
+)
+SELECT event_type,
+  CAST(any_value(na) AS BIGINT) AS n_a,
+  CAST(any_value(nb) AS BIGINT) AS n_b,
+  CAST(sum(c_e6) AS BIGINT) AS psi_e6
+FROM c GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Leave-one-out target encoding: the supervised categorical encoding that
+# cannot leak the row's own label — enc(row) uses the category's label
+# mean EXCLUDING the row, plus m-estimate smoothing toward the global
+# mean. One tiny category aggregate (5 priorities) broadcast back over
+# the scan: zero per-row shuffle, so at 100 TB the cost is one pass.
+# Numerator/denominator stay exact integers except the one global-mean
+# division, identical IEEE on both engines before e6 quantization.
+# --------------------------------------------------------------------------
+
+_TE_SMOOTH_M = 10
+
+
+def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("cat"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("label"),
+    )
+    cat_stats = orders.groupBy("cat").agg(
+        F.sum("label").alias("cat_sum"), F.count(F.lit(1)).alias("cat_n")
+    )
+    glob = orders.agg(
+        (F.sum("label").cast("double") / F.count(F.lit(1))).alias("gmean")
+    )
+    return (
+        orders.join(F.broadcast(cat_stats), "cat")
+        .join(F.broadcast(glob))
+        .select(
+            "o_orderkey",
+            "cat",
+            "label",
+            F.round(
+                (
+                    F.col("cat_sum")
+                    - F.col("label")
+                    + F.lit(float(_TE_SMOOTH_M)) * F.col("gmean")
+                )
+                / (F.col("cat_n") - 1 + _TE_SMOOTH_M)
+                * F.lit(1e6),
+                0,
+            )
+            .cast("long")
+            .alias("enc_e6"),
+        )
+    )
+
+
+_TE_ORACLE = f"""
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority AS cat,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+  FROM orders
+),
+cs AS (SELECT cat, sum(label) AS cat_sum, count(*) AS cat_n
+       FROM o GROUP BY cat),
+g AS (SELECT CAST(sum(label) AS DOUBLE) / count(*) AS gmean FROM o)
+SELECT o_orderkey, cat, CAST(label AS BIGINT) AS label,
+  CAST(round(
+    (cat_sum - label + {float(_TE_SMOOTH_M)} * gmean)
+    / (cat_n - 1 + {_TE_SMOOTH_M}) * 1e6) AS BIGINT) AS enc_e6
+FROM o JOIN cs USING (cat) CROSS JOIN g
+"""
+
+
+# --------------------------------------------------------------------------
+# Mergeable histogram-quantile rollup — the quantile analog of
+# hll_users_sketch_rollup: per (event_type, day) fixed-bin cent
+# histograms collected into a storable sorted struct-array sketch (the
+# day-grain pre-agg artifact any (type, day-range) quantile question can
+# be served from), then merged per type and read out as lower-bound
+# p50/p90. Unlike HLL, the histogram merge is EXACT integer addition, so
+# the DuckDB oracle is bit-exact. Shuffles: one combining
+# groupBy(type,day,bin) over the scan; the sketch collect and merge move
+# only types×days×bins rows.
+# --------------------------------------------------------------------------
+
+def histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"ts div {_NS_PER_DAY}").alias("day"),
+        F.least(
+            F.floor(
+                F.round(F.col("value") * 100, 0).cast("long")
+                / F.lit(_HIST_BIN_CENTS)
+            ),
+            F.lit(_HIST_BINS - 1),
+        ).alias("bin"),
+    )
+    day_sketches = (
+        ev.groupBy("event_type", "day", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("event_type", "day")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("bin", "cnt"))
+            ).alias("sketch")
+        )
+    )
+    merged = (
+        day_sketches.select(
+            "event_type", F.explode("sketch").alias("bc")
+        )
+        .groupBy("event_type", F.col("bc.bin").alias("bin"))
+        .agg(F.sum("bc.cnt").alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = merged.select(
+        "event_type",
+        "bin",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    return cum.groupBy("event_type").agg(
+        F.first("n").alias("n"),
+        F.min(
+            F.when(F.col("cum") >= (F.col("n") + 1) / F.lit(2), F.col("bin"))
+        ).alias("p50_bin"),
+        F.min(
+            F.when(
+                F.col("cum") * 10 >= F.col("n") * 9, F.col("bin")
+            )
+        ).alias("p90_bin"),
+    ).select(
+        "event_type",
+        "n",
+        "p50_bin",
+        "p90_bin",
+        (F.col("p50_bin") * _HIST_BIN_CENTS).alias("p50_lb_cents"),
+        (F.col("p90_bin") * _HIST_BIN_CENTS).alias("p90_lb_cents"),
+    )
+
+
+_HIST_ORACLE = f"""
+WITH ev AS (
+  SELECT event_type, epoch_ns(ts) // {_NS_PER_DAY} AS day,
+    least(CAST(round(value*100) AS BIGINT) // {_HIST_BIN_CENTS},
+          {_HIST_BINS - 1}) AS bin
+  FROM events
+),
+merged AS (
+  SELECT event_type, bin, count(*) AS cnt
+  FROM ev GROUP BY event_type, bin
+),
+cum AS (
+  SELECT event_type, bin,
+    sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+    sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM merged
+)
+SELECT event_type,
+  CAST(any_value(n) AS BIGINT) AS n,
+  CAST(min(CASE WHEN cum >= (n + 1) / 2 THEN bin END) AS BIGINT)
+    AS p50_bin,
+  CAST(min(CASE WHEN cum * 10 >= n * 9 THEN bin END) AS BIGINT)
+    AS p90_bin,
+  CAST(min(CASE WHEN cum >= (n + 1) / 2 THEN bin END)
+       * {_HIST_BIN_CENTS} AS BIGINT) AS p50_lb_cents,
+  CAST(min(CASE WHEN cum * 10 >= n * 9 THEN bin END)
+       * {_HIST_BIN_CENTS} AS BIGINT) AS p90_lb_cents
+FROM cum GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Seeded random projection (Johnson-Lindenstrauss sign matrix): 64-dim
+# embeddings down to 8 dims with a ±1 matrix derived from md5, the
+# standard cheap dimensionality reduction in front of clustering / LSH.
+# Embeddings are e6-int-quantized FIRST, so every projection is an exact
+# int64 dot product — order-independent and bit-exact across engines.
+# Row-local arithmetic only: zero shuffles, the plan is scan → project.
+# --------------------------------------------------------------------------
+
+_RP_OUT_DIMS = 8
+_RP_IN_DIMS = 64
+
+
+def _rp_sign(i: int, j: int) -> int:
+    h = hashlib.md5(f"rp:{i}:{j}".encode()).digest()
+    return 1 if h[0] & 1 else -1
+
+
+_RP_MATRIX = [
+    [_rp_sign(i, j) for j in range(_RP_IN_DIMS)]
+    for i in range(_RP_OUT_DIMS)
+]
+
+
+def random_projection_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, "
+            "x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"
+        ).alias("q"),
+    )
+    projs = [
+        F.expr(
+            "aggregate(zip_with(q, array("
+            + ",".join(f"{s}L" for s in _RP_MATRIX[i])
+            + "), (x, y) -> x * y), 0L, (a, x) -> a + x)"
+        ).alias(f"p{i}")
+        for i in range(_RP_OUT_DIMS)
+    ]
+    return emb.select("vec_id", *projs)
+
+
+def _rp_oracle() -> str:
+    cols = ",\n  ".join(
+        "CAST(list_dot_product(q, ["
+        + ",".join(str(s) for s in _RP_MATRIX[i])
+        + f"]) AS BIGINT) AS p{i}"
+        for i in range(_RP_OUT_DIMS)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS q
+  FROM embeddings
+)
+SELECT vec_id,
+  {cols}
+FROM e
+"""
+
+
+QUERIES = [
+    QueryDef(
+        "psi_feature_drift",
+        psi_feature_drift,
+        _PSI_ORACLE,
+        "population-stability-index drift gate between month halves "
+        "(fixed bins, smoothed, e6-quantized per-bin contributions)",
+    ),
+    QueryDef(
+        "target_encoding_loo",
+        target_encoding_loo,
+        _TE_ORACLE,
+        "leave-one-out m-smoothed target encoding (leakage-guarded, "
+        "broadcast category stats, zero per-row shuffle)",
+    ),
+    QueryDef(
+        "histogram_quantile_rollup",
+        histogram_quantile_rollup,
+        _HIST_ORACLE,
+        "storable day-grain histogram sketches merged to per-type "
+        "p50/p90 — the exact-integer quantile pre-agg pattern",
+    ),
+    QueryDef(
+        "random_projection_embeddings",
+        random_projection_embeddings,
+        _rp_oracle(),
+        "seeded JL sign-matrix projection 64→8 dims, exact int64 dot "
+        "products, shuffle-free",
+    ),
+]

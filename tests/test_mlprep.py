@@ -1,0 +1,154 @@
+"""Semantic + plan-shape tests for the training-prep workload (PSI drift,
+LOO target encoding, histogram-quantile rollup, random projection).
+
+Oracle parity is covered by test_oracle_parity; these pin the *semantics*
+(non-negativity, leakage exclusion, quantile bracketing, linearity) and
+the plan shapes that make each op viable at 100 TB.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+from feature_generation_benchmark_spark.workloads.mlprep import (
+    _HIST_BIN_CENTS,
+    _RP_MATRIX,
+    _TE_SMOOTH_M,
+    histogram_quantile_rollup,
+    psi_feature_drift,
+    random_projection_embeddings,
+    target_encoding_loo,
+)
+
+from tests.conftest import SF_SMOKE
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------- PSI ----
+
+def test_psi_nonnegative_and_totals(spark):
+    rows = psi_feature_drift(spark, SF_SMOKE).collect()
+    assert rows
+    per_type = duckdb.sql(
+        "SELECT event_type, count(*) AS n FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet') GROUP BY event_type"
+    ).fetchall()
+    raw = dict(per_type)
+    for r in rows:
+        # every (pa-pb)*ln(pa/pb) term is >= 0, so the quantized sum can
+        # dip below zero only by accumulated half-ulp rounding (10 bins).
+        assert r.psi_e6 >= -10, r
+        assert r.n_a + r.n_b == raw[r.event_type], r
+
+
+def test_psi_identical_windows_is_zero(spark):
+    # A distribution compared against itself must score PSI == 0: feed
+    # the same counts into both windows by checking bins where ca == cb
+    # contribute nothing — verified end-to-end on a symmetric fixture.
+    df = spark.createDataFrame(
+        [
+            # same value pattern in both halves of the month → ca == cb
+            (i, 1_704_067_200_000_000_000 + d * 86_400 * 10**9, i % 7,
+             "t", float(v))
+            for i, (d, v) in enumerate(
+                (d, v) for v in (10.0, 60.0, 110.0, 260.0)
+                for d in (2, 20)  # one row each side of the Jan-16 split
+            )
+        ],
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double",
+    )
+    path = "/tmp/psi_sym_fixture"
+    df.write.mode("overwrite").parquet(f"{path}/events.parquet")
+    out = psi_feature_drift(spark, path).collect()
+    assert len(out) == 1
+    assert out[0].psi_e6 == 0
+    assert out[0].n_a == out[0].n_b == 4
+
+
+# ------------------------------------------------- target encoding ----
+
+def test_target_encoding_excludes_own_label(spark):
+    pdf = target_encoding_loo(spark, SF_SMOKE).toPandas()
+    con = duckdb.sql(
+        "SELECT o_orderpriority AS cat, "
+        "sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS s, "
+        "count(*) AS n FROM "
+        f"read_parquet('{SF_SMOKE}/orders.parquet') GROUP BY cat"
+    ).fetchall()
+    gsum = sum(s for _, s, _ in con)
+    gn = sum(n for _, _, n in con)
+    gmean = gsum / gn
+    stats = {c: (s, n) for c, s, n in con}
+    for _, row in pdf.iterrows():
+        s, n = stats[row["cat"]]
+        want = round(
+            (s - row["label"] + _TE_SMOOTH_M * gmean)
+            / (n - 1 + _TE_SMOOTH_M)
+            * 1e6
+        )
+        assert row["enc_e6"] == want, (row, want)
+
+
+def test_target_encoding_is_broadcast_only(spark):
+    plan = _physical(target_encoding_loo(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) == 2, plan
+
+
+# ------------------------------------------- histogram quantile rollup ----
+
+def test_histogram_quantiles_bracket_exact(spark):
+    rows = histogram_quantile_rollup(spark, SF_SMOKE).collect()
+    exact = dict(
+        duckdb.sql(
+            "SELECT event_type, "
+            "quantile_disc(CAST(round(value*100) AS BIGINT), 0.5) FROM "
+            f"read_parquet('{SF_SMOKE}/events.parquet') GROUP BY event_type"
+        ).fetchall()
+    )
+    for r in rows:
+        med = exact[r.event_type]
+        assert r.p50_lb_cents <= med < r.p50_lb_cents + _HIST_BIN_CENTS, (
+            r,
+            med,
+        )
+        assert r.p90_bin >= r.p50_bin
+
+
+# ------------------------------------------------- random projection ----
+
+def test_random_projection_matches_numpy(spark):
+    pdf = random_projection_embeddings(spark, SF_SMOKE).toPandas()
+    raw = duckdb.sql(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{SF_SMOKE}/embeddings.parquet')"
+    ).fetchall()
+    R = np.array(_RP_MATRIX, dtype=np.int64)
+    want = {}
+    for vid, emb in raw:
+        q = np.round(np.array(emb, dtype=np.float64) * 1e6).astype(np.int64)
+        want[vid] = R @ q
+    for _, row in pdf.iterrows():
+        got = np.array([row[f"p{i}"] for i in range(8)], dtype=np.int64)
+        assert (got == want[row["vec_id"]]).all(), row["vec_id"]
+
+
+def test_random_projection_is_shuffle_free(spark):
+    plan = _physical(random_projection_embeddings(spark, SF_SMOKE))
+    assert "Exchange" not in plan, plan
+
+
+def test_rp_matrix_is_balanced():
+    # a JL sign matrix should be near-balanced; guards against a seed
+    # change silently degenerating the projection
+    flat = [s for row in _RP_MATRIX for s in row]
+    assert abs(sum(flat)) < len(flat) * 0.25
+    assert {1, -1} == set(flat)
