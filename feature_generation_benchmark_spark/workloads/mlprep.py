@@ -393,6 +393,242 @@ FROM e
 """
 
 
+# --------------------------------------------------------------------------
+# Audience overlap: pairwise EXACT Jaccard between event types' user sets —
+# the segment-overlap question behind dataset mixing and dedup-across-
+# sources decisions. Spark-first set-similarity without a self-join:
+# one distinct (user, type) agg, collect each user's type set (≤5, domain-
+# bounded), explode its ordered pairs (≤C(5,2)=10 per user), count per
+# pair. Shuffles: the distinct agg + one pair-keyed combining agg — the
+# inverted-index pattern, never |U|×|U|. Pairs with zero intersection are
+# absent on both engines identically (observed-pairs contract).
+# --------------------------------------------------------------------------
+
+def audience_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ut = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    sizes = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        ut.groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("types"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(types, (a, i) -> "
+                    "transform(slice(types, i + 2, size(types)), "
+                    "b -> struct(a AS ta, b AS tb))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.ta").alias("ta"), F.col("p.tb").alias("tb"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("event_type").alias("ta"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("event_type").alias("tb"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "ta")
+        .join(F.broadcast(sb), "tb")
+        .select(
+            "ta",
+            "tb",
+            "inter",
+            "na",
+            "nb",
+            F.round(
+                F.col("inter")
+                * F.lit(1e6)
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                0,
+            )
+            .cast("long")
+            .alias("jaccard_e6"),
+        )
+    )
+
+
+_AUDIENCE_ORACLE = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+s AS (SELECT event_type, count(*) AS n FROM ut GROUP BY event_type),
+p AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS inter
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY ta, tb
+)
+SELECT ta, tb, CAST(inter AS BIGINT) AS inter,
+  CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb,
+  CAST(round(inter * 1e6 / (sa.n + sb.n - inter)) AS BIGINT)
+    AS jaccard_e6
+FROM p JOIN s sa ON p.ta = sa.event_type
+       JOIN s sb ON p.tb = sb.event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Robust outlier stats: median/MAD per event type — the heavy-tail-safe
+# sibling of the mean/std anomaly flags (user_daily_anomaly). Exact
+# interpolated percentiles on integer cents (the value_percentiles
+# IEEE-parity contract); the 3·1.4826·MAD fence and the |x-median|
+# deviations are the same double expression tree on both engines. Two
+# passes (median, then MAD of deviations) — each a type-keyed combining
+# agg; the 5-row median frame is broadcast back over the scan.
+# --------------------------------------------------------------------------
+
+def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    med = ev.groupBy("event_type").agg(
+        F.percentile("cents", 0.5).alias("med_cents")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med_cents",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("dev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first("med_cents").alias("med_cents"),
+        F.percentile("dev", 0.5).alias("mad_cents"),
+    )
+    return (
+        dev.select("event_type", "dev")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("n").alias("n"),
+            F.first("med_cents").alias("med_cents"),
+            F.first("mad_cents").alias("mad_cents"),
+            F.sum(
+                (
+                    F.col("dev")
+                    > F.lit(3.0) * F.lit(1.4826) * F.col("mad_cents")
+                )
+                .cast("long")
+            ).alias("n_outliers"),
+        )
+    )
+
+
+_MAD_ORACLE = """
+WITH ev AS (
+  SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents FROM events
+),
+med AS (
+  SELECT event_type, quantile_cont(cents, 0.5) AS med_cents
+  FROM ev GROUP BY event_type
+),
+dev AS (
+  SELECT ev.event_type, med_cents, abs(cents - med_cents) AS dev
+  FROM ev JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type, any_value(med_cents) AS med_cents,
+         count(*) AS n, quantile_cont(dev, 0.5) AS mad_cents
+  FROM dev GROUP BY event_type
+)
+SELECT dev.event_type,
+  CAST(any_value(mad.n) AS BIGINT) AS n,
+  any_value(mad.med_cents) AS med_cents,
+  any_value(mad.mad_cents) AS mad_cents,
+  CAST(sum(CASE WHEN dev.dev > 3.0 * 1.4826 * mad.mad_cents
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev JOIN mad USING (event_type)
+GROUP BY dev.event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Label-centroid separability: per-label mean embedding (e6-quantized)
+# and pairwise squared distances between label centroids — the class-
+# separability QA a labeled embedding table gets before training. The
+# per-dim sums ride ONE combining groupBy(label, dim) exchange (explode
+# rows partial-aggregate map-side to labels×dims entries per task —
+# shuffle is P×10×64 partials, not N×d rows); the 10-row centroid frame
+# then self-joins broadcast-side. All integers: quantized inputs, exact
+# int sums, one division quantized back to e6 means, exact int distances.
+# --------------------------------------------------------------------------
+
+def label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        F.expr(
+            "transform(embedding, "
+            "x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"
+        ).alias("q"),
+    )
+    sums = (
+        emb.select("label", F.posexplode("q").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    cents = (
+        sums.select(
+            "label",
+            "dim",
+            F.round(F.col("s").cast("double") / F.col("n"), 0)
+            .cast("long")
+            .alias("m"),
+        )
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "m"))
+            ).alias("dm")
+        )
+        .select(
+            "label", F.expr("transform(dm, x -> x.m)").alias("centroid")
+        )
+    )
+    a = cents.select(
+        F.col("label").alias("label_a"), F.col("centroid").alias("ca")
+    )
+    b = cents.select(
+        F.col("label").alias("label_b"), F.col("centroid").alias("cb")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.expr(
+                "aggregate(zip_with(ca, cb, (x, y) -> (x - y) * (x - y)), "
+                "0L, (acc, v) -> acc + v)"
+            ).alias("dist2"),
+        )
+    )
+
+
+_CENTROID_ORACLE = """
+WITH e AS (
+  SELECT label,
+    list_transform(embedding,
+      x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS q
+  FROM embeddings
+),
+sums AS (
+  SELECT label, i.i AS dim, sum(q[i.i + 1]) AS s, count(*) AS n
+  FROM e CROSS JOIN (SELECT unnest(range(64)) AS i) i
+  GROUP BY label, i.i
+),
+cents AS (
+  SELECT label,
+    list(CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY dim)
+      AS centroid
+  FROM sums GROUP BY label
+)
+SELECT a.label AS label_a, b.label AS label_b,
+  CAST(list_dot_product(a.centroid, a.centroid)
+       - 2 * list_dot_product(a.centroid, b.centroid)
+       + list_dot_product(b.centroid, b.centroid) AS BIGINT) AS dist2
+FROM cents a JOIN cents b ON a.label < b.label
+"""
+
+
 QUERIES = [
     QueryDef(
         "psi_feature_drift",
@@ -421,5 +657,26 @@ QUERIES = [
         _rp_oracle(),
         "seeded JL sign-matrix projection 64→8 dims, exact int64 dot "
         "products, shuffle-free",
+    ),
+    QueryDef(
+        "audience_overlap_jaccard",
+        audience_overlap_jaccard,
+        _AUDIENCE_ORACLE,
+        "pairwise exact Jaccard of event-type user sets via per-user "
+        "type-set pair explosion (never a user-table self-join)",
+    ),
+    QueryDef(
+        "mad_robust_outliers",
+        mad_robust_outliers,
+        _MAD_ORACLE,
+        "median/MAD robust stats + 3-sigma-equivalent outlier counts "
+        "per event type (exact interpolated percentiles on cents)",
+    ),
+    QueryDef(
+        "label_centroid_distances",
+        label_centroid_distances,
+        _CENTROID_ORACLE,
+        "per-label e6-int centroid embeddings + exact pairwise squared "
+        "distances (class-separability QA)",
     ),
 ]

@@ -16,7 +16,10 @@ from feature_generation_benchmark_spark.workloads.mlprep import (
     _HIST_BIN_CENTS,
     _RP_MATRIX,
     _TE_SMOOTH_M,
+    audience_overlap_jaccard,
     histogram_quantile_rollup,
+    label_centroid_distances,
+    mad_robust_outliers,
     psi_feature_drift,
     random_projection_embeddings,
     target_encoding_loo,
@@ -152,3 +155,72 @@ def test_rp_matrix_is_balanced():
     flat = [s for row in _RP_MATRIX for s in row]
     assert abs(sum(flat)) < len(flat) * 0.25
     assert {1, -1} == set(flat)
+
+
+# ------------------------------------------------- audience overlap ----
+
+def test_audience_overlap_invariants(spark):
+    rows = audience_overlap_jaccard(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 10  # C(5,2) event-type pairs max
+    for r in rows:
+        assert r.ta < r.tb
+        assert 0 < r.inter <= min(r.na, r.nb)
+        assert 0 < r.jaccard_e6 <= 1_000_000
+
+
+def test_audience_overlap_no_self_join_shuffle(spark):
+    plan = _physical(audience_overlap_jaccard(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan, plan
+
+
+# ------------------------------------------------------ MAD robust ----
+
+def test_mad_resists_outlier_injection(spark, tmp_path):
+    base = [(i, 1_704_067_200_000_000_000 + i, i, "t", 100.0 + (i % 9))
+            for i in range(99)]
+    spike = [(999, 1_704_067_200_000_000_000, 999, "t", 9_999_999.0)]
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double"
+    )
+    p1 = str(tmp_path / "clean")
+    p2 = str(tmp_path / "spiked")
+    spark.createDataFrame(base, schema).write.parquet(f"{p1}/events.parquet")
+    spark.createDataFrame(base + spike, schema).write.parquet(
+        f"{p2}/events.parquet"
+    )
+    clean = mad_robust_outliers(spark, p1).collect()[0]
+    spiked = mad_robust_outliers(spark, p2).collect()[0]
+    # median and MAD barely move under a 100000x spike; the spike is
+    # counted as the (single) outlier
+    assert abs(spiked.med_cents - clean.med_cents) <= 100
+    assert abs(spiked.mad_cents - clean.mad_cents) <= 100
+    assert spiked.n_outliers == 1
+    assert clean.n_outliers == 0
+
+
+# ------------------------------------------------- label centroids ----
+
+def test_label_centroids_match_numpy(spark):
+    rows = label_centroid_distances(spark, SF_SMOKE).collect()
+    raw = duckdb.sql(
+        f"SELECT label, embedding FROM "
+        f"read_parquet('{SF_SMOKE}/embeddings.parquet')"
+    ).fetchall()
+    def half_away(x):
+        # Spark/DuckDB ROUND is half-away-from-zero; np.round is half-even
+        return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+    by_label = {}
+    for lab, emb in raw:
+        q = half_away(np.array(emb, dtype=np.float64) * 1e6)
+        by_label.setdefault(lab, []).append(q)
+    cents = {
+        lab: half_away(np.sum(vs, axis=0).astype(np.float64) / len(vs))
+        for lab, vs in by_label.items()
+    }
+    n_labels = len(cents)
+    assert len(rows) == n_labels * (n_labels - 1) // 2
+    for r in rows:
+        d = cents[r.label_a] - cents[r.label_b]
+        assert r.dist2 == int(np.dot(d, d)), (r.label_a, r.label_b)

@@ -57,7 +57,17 @@ QUERIES = ("q7_nation_volume", "q13_order_histogram", "q18_large_orders",
            # fusing), GROUPING SETS (|domains|-bounded), HLL rollup
            # (type-dim output; the sketch table is the only exchange)
            "hybrid_search_rrf", "grouping_sets_lineitem",
-           "hll_users_sketch_rollup")
+           "hll_users_sketch_rollup",
+           # r4e: PSI drift + histogram rollup (type-dim outputs; the one
+           # combining groupBy(type,bin) / (type,day,bin) exchange must
+           # stay partial-agg-bounded as the event side grows)
+           "psi_feature_drift", "histogram_quantile_rollup",
+           # r4e (2): audience overlap (pair-domain output; per-user pair
+           # explosion is ≤C(5,2)-bounded), MAD robust stats (type-dim),
+           # label centroids (label²-bounded; per-dim sums must stay
+           # partial-agg-bounded as the corpus grows)
+           "audience_overlap_jaccard", "mad_robust_outliers",
+           "label_centroid_distances")
 
 #: event/document operators probed through a wrapping CHECKSUM aggregate:
 #: their full outputs grow with the scale factor, so collect() would ship
@@ -79,7 +89,9 @@ NOOP_QUERIES = ("gap_fill_daily", "heavy_hitters", "funnel_conversions",
                  "top_ngram_coverage", "unigram_logprob",
                  # r4 wave operators whose outputs grow with docs/users
                  "char_entropy", "bigram_logprob", "scd2_intervals",
-                 "user_spend_percentile", "embedding_quantize_int8")
+                 "user_spend_percentile", "embedding_quantize_int8",
+                 # r4e: per-row outputs (orders / embeddings sized)
+                 "target_encoding_loo", "random_projection_embeddings")
 
 
 def build_scaled(spark, factor: int) -> str:
