@@ -1054,3 +1054,131 @@ QUERIES.append(
         "micro-quantized before the order-free integer sum",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Skip-gram PMI — the co-occurrence statistic embedding/collocation
+# pipelines are trained on (word2vec's SGNS objective factorizes a
+# shifted PMI matrix; Levy & Goldberg 2014)
+# ---------------------------------------------------------------------------
+
+_PMI_WINDOW = 2
+_PMI_MIN_COUNT = 5
+_PMI_TOP_K = 200
+
+
+def skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of unordered token pairs co-occurring
+    within a ±2 skip-gram window, thresholded and global-top-K.
+
+    Spark-first pair extraction: pairs come from ARRAY-LOCAL
+    ``zip_with(slice, slice)`` over each doc's token array (one row per
+    co-occurrence, no positional self-join); the only shuffles are the
+    combining pair-count and unigram-count aggs — both vocab²/vocab-
+    bounded, far below corpus size at 100 TB. The final top-K is a
+    TakeOrdered (per-partition top-K merge), not a global sort.
+
+    Determinism: counts are exact ints; the PMI argument is computed as
+    ``(c_ab/N)·(T/c_a)·(T/c_b)`` — three divisions and two products of
+    exact integers in the SAME association on both engines (never an
+    integer product that could exceed 2^53) — then ONE ``ln``, quantized
+    to e6 (unigram_logprob residual-risk contract)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    t_total = uni.agg(F.sum("c").alias("t_tok"))
+
+    arr = docs.select(tokens("text").alias("t"))
+    pair_cols = []
+    for d in range(1, _PMI_WINDOW + 1):
+        pair_cols.append(
+            F.expr(
+                f"zip_with(slice(t, 1, size(t) - {d}), "
+                f"slice(t, {d + 1}, size(t) - {d}), "
+                "(a, b) -> struct(least(a, b) AS ta, "
+                "greatest(a, b) AS tb))"
+            )
+        )
+    pairs = (
+        arr.select(
+            F.explode(F.concat(*pair_cols)).alias("p")
+        )
+        .select("p.ta", "p.tb")
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+    )
+    n_pairs = pairs.agg(F.sum("c_ab").alias("n_pair"))
+    ua = uni.select(F.col("tok").alias("ta"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("tok").alias("tb"), F.col("c").alias("c_b"))
+    scored = (
+        pairs.join(ua, "ta")
+        .join(ub, "tb")
+        .crossJoin(F.broadcast(n_pairs))
+        .crossJoin(F.broadcast(t_total))
+        .select(
+            "ta",
+            "tb",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.round(
+                F.log(
+                    (F.col("c_ab").cast("double") / F.col("n_pair"))
+                    * (F.col("t_tok").cast("double") / F.col("c_a"))
+                    * (F.col("t_tok").cast("double") / F.col("c_b"))
+                )
+                * F.lit(1e6),
+                0,
+            )
+            .cast("long")
+            .alias("pmi_e6"),
+        )
+    )
+    return scored.orderBy(
+        F.col("c_ab").desc(), F.col("ta"), F.col("tb")
+    ).limit(_PMI_TOP_K)
+
+
+_PMI_ORACLE = f"""
+WITH tokpos AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         unnest(range(len(toks))) AS pos
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+),
+uni AS (SELECT tok, count(*) AS c FROM tokpos GROUP BY tok),
+t AS (SELECT sum(c) AS t_tok FROM uni),
+p AS (
+  SELECT least(a.tok, b.tok) AS ta, greatest(a.tok, b.tok) AS tb,
+         count(*) AS c_ab
+  FROM tokpos a JOIN tokpos b
+    ON a.doc_id = b.doc_id
+   AND b.pos - a.pos BETWEEN 1 AND {_PMI_WINDOW}
+  GROUP BY ta, tb
+  HAVING count(*) >= {_PMI_MIN_COUNT}
+),
+n AS (SELECT sum(c_ab) AS n_pair FROM p)
+SELECT ta, tb, CAST(c_ab AS BIGINT) AS c_ab,
+  CAST(ua.c AS BIGINT) AS c_a, CAST(ub.c AS BIGINT) AS c_b,
+  CAST(round(ln(
+      (CAST(c_ab AS DOUBLE) / n_pair)
+      * (CAST(t_tok AS DOUBLE) / ua.c)
+      * (CAST(t_tok AS DOUBLE) / ub.c)
+    ) * 1e6) AS BIGINT) AS pmi_e6
+FROM p JOIN uni ua ON p.ta = ua.tok
+       JOIN uni ub ON p.tb = ub.tok
+CROSS JOIN n CROSS JOIN t
+ORDER BY c_ab DESC, ta, tb
+LIMIT {_PMI_TOP_K}
+"""
+
+QUERIES.append(
+    QueryDef(
+        "skipgram_pmi",
+        skipgram_pmi,
+        _PMI_ORACLE,
+        "±2-window skip-gram PMI collocations: array-local pair "
+        "extraction (no positional self-join), vocab-bounded aggs, "
+        "TakeOrdered top-k",
+    )
+)

@@ -1,0 +1,65 @@
+"""Model tests for the r4e text additions (skip-gram PMI)."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import duckdb
+
+from feature_generation_benchmark_spark.workloads.text import (
+    _PMI_MIN_COUNT,
+    _PMI_TOP_K,
+    _PMI_WINDOW,
+    skipgram_pmi,
+)
+
+from tests.conftest import SF_SMOKE
+
+
+def _toks(text: str) -> list[str]:
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+def test_skipgram_pmi_matches_counter_model(spark):
+    rows = skipgram_pmi(spark, SF_SMOKE).collect()
+    texts = [
+        t
+        for (t,) in duckdb.sql(
+            f"SELECT text FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+        ).fetchall()
+    ]
+    uni: Counter = Counter()
+    pairs: Counter = Counter()
+    for text in texts:
+        toks = _toks(text)
+        uni.update(toks)
+        for d in range(1, _PMI_WINDOW + 1):
+            for a, b in zip(toks, toks[d:]):
+                pairs[(min(a, b), max(a, b))] += 1
+    kept = {p: c for p, c in pairs.items() if c >= _PMI_MIN_COUNT}
+    n_pair = sum(kept.values())
+    t_tok = sum(uni.values())
+    want_order = sorted(kept.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :_PMI_TOP_K
+    ]
+    assert len(rows) == len(want_order)
+    got = {(r.ta, r.tb): r for r in rows}
+    for (ta, tb), c_ab in want_order:
+        r = got[(ta, tb)]
+        assert r.c_ab == c_ab
+        assert r.c_a == uni[ta] and r.c_b == uni[tb]
+        pmi = math.log(
+            (c_ab / n_pair) * (t_tok / uni[ta]) * (t_tok / uni[tb])
+        )
+        # model multiplies in the same order as the engines; allow 1
+        # micro-log unit for the quantization boundary
+        assert abs(r.pmi_e6 - round(pmi * 1e6)) <= 1, (ta, tb)
+
+
+def test_skipgram_pmi_collocations_score_high(spark):
+    # a pair that always co-occurs must out-PMI a pair of independent
+    # frequent tokens — sanity of sign and ordering on real data
+    rows = skipgram_pmi(spark, SF_SMOKE).collect()
+    assert any(r.pmi_e6 > 0 for r in rows)

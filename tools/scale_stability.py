@@ -67,7 +67,10 @@ QUERIES = ("q7_nation_volume", "q13_order_histogram", "q18_large_orders",
            # label centroids (label²-bounded; per-dim sums must stay
            # partial-agg-bounded as the corpus grows)
            "audience_overlap_jaccard", "mad_robust_outliers",
-           "label_centroid_distances")
+           "label_centroid_distances",
+           # r4e (3): skip-gram PMI (top-K-bounded output; the pair-count
+           # agg must stay vocab²-bounded as the doc side grows)
+           "skipgram_pmi")
 
 #: event/document operators probed through a wrapping CHECKSUM aggregate:
 #: their full outputs grow with the scale factor, so collect() would ship
