@@ -418,3 +418,50 @@ def ema_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def histogram_sketch_stream(
+    events: DataFrame,
+    category: str = "event_type",
+    ts_col: str = "event_ts",
+    measure: str = "value",
+    grain: str = "1 day",
+    watermark: str = "1 hour",
+    bin_cents: int = 2_500,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Streaming producer of the storable day-grain histogram sketch
+    table (the batch consumer is ``workloads/mlprep.py::
+    histogram_quantile_rollup``): tumbling event-time windows per
+    (category, fixed cent bin), counting into exact integer histogram
+    cells. Counts fold incrementally through streaming aggregation
+    state (watermark-bounded: live state is windows×types×bins rows);
+    downstream readers merge day rows by integer addition — the same
+    mergeable pre-agg contract as the batch rollup, so any (type,
+    day-range) quantile question is served from this sink at
+    sketch-table cost. On a batch frame the identical aggregation runs,
+    so tests assert stream-vs-batch equality."""
+    src = (
+        events.withWatermark(ts_col, watermark)
+        if events.isStreaming
+        else events
+    )
+    return (
+        src.select(
+            F.col(category),
+            F.col(ts_col),
+            F.least(
+                F.floor(
+                    F.round(F.col(measure) * 100, 0).cast("long")
+                    / F.lit(bin_cents)
+                ),
+                F.lit(n_bins - 1),
+            ).alias("bin"),
+        )
+        .groupBy(
+            F.window(F.col(ts_col), grain).alias("day"),
+            F.col(category),
+            F.col("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -564,3 +564,54 @@ def test_ema_stream_equals_batch_fold_across_batches(spark, event_dir):
         assert any(v >= 2 for v in per_user.values())
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_histogram_sketch_stream_equals_batch_and_merges(spark, event_dir):
+    """The streaming day-grain histogram sketch must equal the batch
+    aggregation, and its rows must MERGE (integer addition per (type,
+    bin)) to the same per-type totals the batch mlprep rollup merges to
+    — the mergeable pre-agg contract, end-to-end through a real
+    streaming run."""
+    from feature_generation_benchmark_spark.streaming.features import (
+        histogram_sketch_stream,
+    )
+
+    static = spark.read.parquet(event_dir)
+
+    def canon(df):
+        return sorted(
+            (r["day"]["start"], r["event_type"], r["bin"], r["cnt"])
+            for r in df.collect()
+        )
+
+    want = canon(histogram_sketch_stream(static))
+    stream = spark.readStream.schema(static.schema).parquet(event_dir)
+    q = (
+        histogram_sketch_stream(stream)
+        .writeStream.format("memory")
+        .queryName("hist_sketch_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = canon(spark.table("hist_sketch_stream"))
+    assert got == want and len(got) > 0
+
+    # merge the streamed day rows per (type, bin) and compare against a
+    # direct single-pass histogram of the raw events
+    merged = {}
+    for _, etype, b, cnt in got:
+        merged[(etype, b)] = merged.get((etype, b), 0) + cnt
+    direct = {
+        (r["event_type"], r["bin"]): r["n"]
+        for r in static.selectExpr(
+            "event_type",
+            "least(CAST(round(value*100) AS BIGINT) div 2500, 19) AS bin",
+        )
+        .groupBy("event_type", "bin")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert merged == direct
