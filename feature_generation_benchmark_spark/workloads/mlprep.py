@@ -680,3 +680,122 @@ QUERIES = [
         "distances (class-separability QA)",
     ),
 ]
+
+
+# --------------------------------------------------------------------------
+# KLL quantile sketch rollup — the DataSketches sibling of
+# histogram_quantile_rollup: per (type, day) KLL sketches over cents (the
+# storable pre-agg artifact), merged per type, read out as p50/p90.
+# Unlike the fixed-bin histogram, KLL's rank error is distribution-free
+# (no bin-domain assumption) — the right tool when the value range is
+# unknown/unbounded at 100 TB. Rows-only driver check (DuckDB has no
+# DataSketches twin); the test pins the merged estimates within KLL's
+# published rank error of the exact percentiles.
+# --------------------------------------------------------------------------
+
+def kll_value_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"ts div {_NS_PER_DAY}").alias("day"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    day_sketches = ev.groupBy("event_type", "day").agg(
+        F.kll_sketch_agg_bigint("cents").alias("sk")
+    )
+    merged = day_sketches.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.kll_merge_agg_bigint("sk").alias("sk"),
+    )
+    return merged.select(
+        "event_type",
+        "n_days",
+        F.kll_sketch_get_n_bigint("sk").alias("n"),
+        F.kll_sketch_get_quantile_bigint("sk", F.lit(0.5)).alias(
+            "p50_cents"
+        ),
+        F.kll_sketch_get_quantile_bigint("sk", F.lit(0.9)).alias(
+            "p90_cents"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Theta-sketch audience set algebra — the sketch sibling of
+# audience_overlap_jaccard: distinct-user theta sketches per event type
+# support UNION / INTERSECTION / DIFFERENCE estimates (HLL can only
+# union), answering audience-overlap questions at sketch-table cost
+# without rescanning raw events. Fixed pair (purchase vs error) as the
+# benchmark query; rows-only driver check, test pins estimates against
+# exact counts (theta sketches are EXACT below their sampling threshold,
+# so at test scales the estimates equal the true cardinalities).
+# --------------------------------------------------------------------------
+
+def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id"
+    )
+    sketches = ev.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id").alias("sk")
+    )
+    a = sketches.filter(F.col("event_type") == "purchase").select(
+        F.col("sk").alias("sk_a")
+    )
+    b = sketches.filter(F.col("event_type") == "error").select(
+        F.col("sk").alias("sk_b")
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .select(
+            F.lit("purchase").alias("type_a"),
+            F.lit("error").alias("type_b"),
+            F.round(F.theta_sketch_estimate(F.col("sk_a")))
+            .cast("long")
+            .alias("est_a"),
+            F.round(F.theta_sketch_estimate(F.col("sk_b")))
+            .cast("long")
+            .alias("est_b"),
+            F.round(
+                F.theta_sketch_estimate(
+                    F.theta_union(F.col("sk_a"), F.col("sk_b"))
+                )
+            )
+            .cast("long")
+            .alias("est_union"),
+            F.round(
+                F.theta_sketch_estimate(
+                    F.theta_intersection(F.col("sk_a"), F.col("sk_b"))
+                )
+            )
+            .cast("long")
+            .alias("est_intersect"),
+            F.round(
+                F.theta_sketch_estimate(
+                    F.theta_difference(F.col("sk_a"), F.col("sk_b"))
+                )
+            )
+            .cast("long")
+            .alias("est_a_only"),
+        )
+    )
+
+
+QUERIES.append(
+    QueryDef(
+        "kll_value_sketch_rollup",
+        kll_value_sketch_rollup,
+        None,  # DataSketches KLL has no DuckDB twin — rows-only by design
+        "day-grain KLL quantile sketches merged to per-type p50/p90 — "
+        "the distribution-free mergeable quantile pre-agg "
+        "(histogram_quantile_rollup's exact-twin sibling)",
+    )
+)
+QUERIES.append(
+    QueryDef(
+        "theta_audience_overlap",
+        theta_audience_overlap,
+        None,  # DataSketches theta has no DuckDB twin — rows-only by design
+        "theta-sketch audience set algebra: union/intersect/difference "
+        "distinct-user estimates (audience_overlap_jaccard's sketch "
+        "sibling)",
+    )
+)

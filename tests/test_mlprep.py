@@ -18,11 +18,13 @@ from feature_generation_benchmark_spark.workloads.mlprep import (
     _TE_SMOOTH_M,
     audience_overlap_jaccard,
     histogram_quantile_rollup,
+    kll_value_sketch_rollup,
     label_centroid_distances,
     mad_robust_outliers,
     psi_feature_drift,
     random_projection_embeddings,
     target_encoding_loo,
+    theta_audience_overlap,
 )
 
 from tests.conftest import SF_SMOKE
@@ -224,3 +226,49 @@ def test_label_centroids_match_numpy(spark):
     for r in rows:
         d = cents[r.label_a] - cents[r.label_b]
         assert r.dist2 == int(np.dot(d, d)), (r.label_a, r.label_b)
+
+
+# --------------------------------------------------- sketch siblings ----
+
+def test_kll_rollup_quantiles_within_rank_error(spark):
+    rows = kll_value_sketch_rollup(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        cents = [
+            c
+            for (c,) in duckdb.sql(
+                "SELECT CAST(round(value*100) AS BIGINT) FROM "
+                f"read_parquet('{SF_SMOKE}/events.parquet') "
+                f"WHERE event_type = '{r.event_type}'"
+            ).fetchall()
+        ]
+        cents.sort()
+        assert r.n == len(cents)
+        for est, q in ((r.p50_cents, 0.5), (r.p90_cents, 0.9)):
+            # the returned value's true rank must sit within KLL's
+            # default-k normalized rank error (~1.7%) of the target,
+            # plus discreteness slack on a few hundred samples
+            import bisect
+
+            rank = bisect.bisect_right(cents, est) / len(cents)
+            assert abs(rank - q) <= 0.05, (r.event_type, q, rank)
+
+
+def test_theta_overlap_exact_below_sampling_threshold(spark):
+    r = theta_audience_overlap(spark, SF_SMOKE).collect()[0]
+    exact = duckdb.sql(
+        "WITH p AS (SELECT DISTINCT user_id FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet') "
+        "WHERE event_type='purchase'), "
+        "e AS (SELECT DISTINCT user_id FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet') "
+        "WHERE event_type='error') "
+        "SELECT (SELECT count(*) FROM p), (SELECT count(*) FROM e), "
+        "(SELECT count(*) FROM (SELECT * FROM p UNION SELECT * FROM e)), "
+        "(SELECT count(*) FROM (SELECT * FROM p INTERSECT SELECT * FROM e)), "
+        "(SELECT count(*) FROM (SELECT * FROM p EXCEPT SELECT * FROM e))"
+    ).fetchall()[0]
+    # theta sketches are exact below their sampling threshold, and the
+    # smoke corpus has far fewer distinct users than that
+    assert (r.est_a, r.est_b, r.est_union, r.est_intersect, r.est_a_only) \
+        == exact

@@ -70,7 +70,11 @@ QUERIES = ("q7_nation_volume", "q13_order_histogram", "q18_large_orders",
            "label_centroid_distances",
            # r4e (3): skip-gram PMI (top-K-bounded output; the pair-count
            # agg must stay vocab²-bounded as the doc side grows)
-           "skipgram_pmi")
+           "skipgram_pmi",
+           # r4e (4): DataSketches siblings (type-dim outputs; sketch
+           # state is k-bounded per (type,day) / per type regardless of
+           # the event side)
+           "kll_value_sketch_rollup", "theta_audience_overlap")
 
 #: event/document operators probed through a wrapping CHECKSUM aggregate:
 #: their full outputs grow with the scale factor, so collect() would ship
