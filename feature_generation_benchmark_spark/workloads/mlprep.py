@@ -278,8 +278,9 @@ def histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cum.groupBy("event_type").agg(
         F.first("n").alias("n"),
+        # smallest bin with cum >= ceil(q·n), kept integral: cum·2 >= n
         F.min(
-            F.when(F.col("cum") >= (F.col("n") + 1) / F.lit(2), F.col("bin"))
+            F.when(F.col("cum") * 2 >= F.col("n"), F.col("bin"))
         ).alias("p50_bin"),
         F.min(
             F.when(
@@ -316,11 +317,11 @@ cum AS (
 )
 SELECT event_type,
   CAST(any_value(n) AS BIGINT) AS n,
-  CAST(min(CASE WHEN cum >= (n + 1) / 2 THEN bin END) AS BIGINT)
+  CAST(min(CASE WHEN cum * 2 >= n THEN bin END) AS BIGINT)
     AS p50_bin,
   CAST(min(CASE WHEN cum * 10 >= n * 9 THEN bin END) AS BIGINT)
     AS p90_bin,
-  CAST(min(CASE WHEN cum >= (n + 1) / 2 THEN bin END)
+  CAST(min(CASE WHEN cum * 2 >= n THEN bin END)
        * {_HIST_BIN_CENTS} AS BIGINT) AS p50_lb_cents,
   CAST(min(CASE WHEN cum * 10 >= n * 9 THEN bin END)
        * {_HIST_BIN_CENTS} AS BIGINT) AS p90_lb_cents
