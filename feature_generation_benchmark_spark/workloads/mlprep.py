@@ -800,3 +800,97 @@ QUERIES.append(
         "sibling)",
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Purged temporal cross-validation folds — the leakage-guarded time-CV
+# split (purge/embargo à la De Prado): K contiguous day-range test folds;
+# each fold's TRAIN is everything strictly before the test window minus
+# an embargo gap, whose rows are PURGED (neither train nor test) so
+# look-ahead leakage through windowed features cannot cross the boundary.
+# One broadcast of the 3-row fold spec over the scan + one (fold, role)
+# combining agg — zero per-row shuffle beyond it. Pure integer day/cent
+# arithmetic; bit-exact DuckDB twin.
+# --------------------------------------------------------------------------
+
+_FOLD_DAYS = 10
+_N_FOLDS = 3
+_EMBARGO_DAYS = 2
+_EPOCH_DAY0 = 19_723  # 2024-01-01
+
+
+def purged_time_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.expr(f"ts div {_NS_PER_DAY}") - F.lit(_EPOCH_DAY0)).alias("day"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    folds = spark.range(_N_FOLDS).select(
+        F.col("id").alias("fold"),
+        (F.col("id") * _FOLD_DAYS).alias("test_start"),
+        ((F.col("id") + 1) * _FOLD_DAYS).alias("test_end"),
+    )
+    role = (
+        F.when(
+            (F.col("day") >= F.col("test_start"))
+            & (F.col("day") < F.col("test_end")),
+            F.lit("test"),
+        )
+        .when(
+            (F.col("day") >= F.col("test_start") - _EMBARGO_DAYS)
+            & (F.col("day") < F.col("test_start")),
+            F.lit("purged"),
+        )
+        .when(F.col("day") < F.col("test_start"), F.lit("train"))
+        .otherwise(F.lit("future"))
+    )
+    return (
+        ev.join(F.broadcast(folds))
+        .select("fold", role.alias("role"), "cents")
+        .filter(F.col("role") != "future")
+        .groupBy("fold", "role")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+
+
+_FOLDS_ORACLE = f"""
+WITH ev AS (
+  SELECT epoch_ns(ts) // {_NS_PER_DAY} - {_EPOCH_DAY0} AS day,
+         CAST(round(value*100) AS BIGINT) AS cents
+  FROM events
+),
+folds AS (
+  SELECT f AS fold, f * {_FOLD_DAYS} AS test_start,
+         (f + 1) * {_FOLD_DAYS} AS test_end
+  FROM (SELECT unnest(range({_N_FOLDS})) AS f)
+),
+r AS (
+  SELECT fold,
+    CASE
+      WHEN day >= test_start AND day < test_end THEN 'test'
+      WHEN day >= test_start - {_EMBARGO_DAYS} AND day < test_start
+        THEN 'purged'
+      WHEN day < test_start THEN 'train'
+      ELSE 'future'
+    END AS role,
+    cents
+  FROM ev CROSS JOIN folds
+)
+SELECT CAST(fold AS BIGINT) AS fold, role,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM r WHERE role <> 'future'
+GROUP BY fold, role
+"""
+
+QUERIES.append(
+    QueryDef(
+        "purged_time_folds",
+        purged_time_folds,
+        _FOLDS_ORACLE,
+        "purged/embargoed temporal CV folds: leakage-guarded time-series "
+        "train/test assignment, broadcast fold spec, one combining agg",
+    )
+)

@@ -22,6 +22,7 @@ from feature_generation_benchmark_spark.workloads.mlprep import (
     label_centroid_distances,
     mad_robust_outliers,
     psi_feature_drift,
+    purged_time_folds,
     random_projection_embeddings,
     target_encoding_loo,
     theta_audience_overlap,
@@ -272,3 +273,26 @@ def test_theta_overlap_exact_below_sampling_threshold(spark):
     # smoke corpus has far fewer distinct users than that
     assert (r.est_a, r.est_b, r.est_union, r.est_intersect, r.est_a_only) \
         == exact
+
+
+# --------------------------------------------------- purged time folds ----
+
+def test_purged_folds_partition_and_embargo(spark):
+    rows = purged_time_folds(spark, SF_SMOKE).collect()
+    total = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF_SMOKE}/events.parquet')"
+    ).fetchall()[0][0]
+    by_fold = {}
+    for r in rows:
+        by_fold.setdefault(r.fold, {})[r.role] = r.n
+    assert set(by_fold) == {0, 1, 2}
+    # fold 0's test window starts at day 0: nothing can be train/purged
+    assert set(by_fold[0]) == {"test"}
+    for k in (1, 2):
+        assert set(by_fold[k]) == {"train", "purged", "test"}
+        # the purge gap sits between train and test; all roles + the
+        # excluded future rows partition the corpus
+        future = total - sum(by_fold[k].values())
+        assert future >= 0
+    # later folds train on strictly more history
+    assert by_fold[2]["train"] > by_fold[1]["train"]

@@ -74,7 +74,11 @@ QUERIES = ("q7_nation_volume", "q13_order_histogram", "q18_large_orders",
            # r4e (4): DataSketches siblings (type-dim outputs; sketch
            # state is k-bounded per (type,day) / per type regardless of
            # the event side)
-           "kll_value_sketch_rollup", "theta_audience_overlap")
+           "kll_value_sketch_rollup", "theta_audience_overlap",
+           # r4e (5): purged temporal CV folds (folds×roles-bounded
+           # output; the broadcast fold spec + one combining agg must
+           # hold as the event side grows)
+           "purged_time_folds")
 
 #: event/document operators probed through a wrapping CHECKSUM aggregate:
 #: their full outputs grow with the scale factor, so collect() would ship
