@@ -894,3 +894,79 @@ QUERIES.append(
         "train/test assignment, broadcast fold spec, one combining agg",
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Equal-frequency discretizer (quantile binning), fit + transform in one
+# plan: fit per-type quartile boundaries (exact interpolated percentiles
+# on cents — the value_percentiles IEEE-parity contract), broadcast the
+# 5-row boundary model back over the scan, and assign every event its
+# quartile bin by comparing exact-int cents against the identical-IEEE
+# boundary doubles. The "fit a model, apply it broadcast" shape — zero
+# per-row shuffle beyond the one combining (type, qbin) output agg.
+# --------------------------------------------------------------------------
+
+def quantile_bin_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    model = ev.groupBy("event_type").agg(
+        F.percentile("cents", 0.25).alias("b1"),
+        F.percentile("cents", 0.5).alias("b2"),
+        F.percentile("cents", 0.75).alias("b3"),
+    )
+    qbin = (
+        F.when(F.col("cents") <= F.col("b1"), F.lit(0))
+        .when(F.col("cents") <= F.col("b2"), F.lit(1))
+        .when(F.col("cents") <= F.col("b3"), F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    return (
+        ev.join(F.broadcast(model), "event_type")
+        .select("event_type", qbin.alias("qbin"), "cents")
+        .groupBy("event_type", "qbin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+    )
+
+
+_QBIN_ORACLE = """
+WITH ev AS (
+  SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents FROM events
+),
+model AS (
+  SELECT event_type,
+    quantile_cont(cents, 0.25) AS b1,
+    quantile_cont(cents, 0.5)  AS b2,
+    quantile_cont(cents, 0.75) AS b3
+  FROM ev GROUP BY event_type
+),
+t AS (
+  SELECT ev.event_type,
+    CASE WHEN cents <= b1 THEN 0
+         WHEN cents <= b2 THEN 1
+         WHEN cents <= b3 THEN 2
+         ELSE 3 END AS qbin,
+    cents
+  FROM ev JOIN model USING (event_type)
+)
+SELECT event_type, CAST(qbin AS INT) AS qbin,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(min(cents) AS BIGINT) AS lo_cents,
+  CAST(max(cents) AS BIGINT) AS hi_cents
+FROM t GROUP BY event_type, qbin
+"""
+
+QUERIES.append(
+    QueryDef(
+        "quantile_bin_transform",
+        quantile_bin_transform,
+        _QBIN_ORACLE,
+        "equal-frequency quartile discretizer: fit exact percentile "
+        "boundaries, broadcast-apply, one combining output agg",
+    )
+)

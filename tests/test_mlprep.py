@@ -23,6 +23,7 @@ from feature_generation_benchmark_spark.workloads.mlprep import (
     mad_robust_outliers,
     psi_feature_drift,
     purged_time_folds,
+    quantile_bin_transform,
     random_projection_embeddings,
     target_encoding_loo,
     theta_audience_overlap,
@@ -296,3 +297,21 @@ def test_purged_folds_partition_and_embargo(spark):
         assert future >= 0
     # later folds train on strictly more history
     assert by_fold[2]["train"] > by_fold[1]["train"]
+
+
+# ---------------------------------------------- quantile discretizer ----
+
+def test_quantile_bins_are_equal_frequency(spark):
+    rows = quantile_bin_transform(spark, SF_SMOKE).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, {})[r.qbin] = r
+    for etype, bins in by_type.items():
+        assert set(bins) == {0, 1, 2, 3}
+        n = sum(r.n for r in bins.values())
+        for q, r in bins.items():
+            # equal-frequency within interpolation/tie slack
+            assert abs(r.n - n / 4) <= max(2, 0.1 * n), (etype, q, r.n, n)
+        # bins tile the value range in order without overlap
+        for q in (0, 1, 2):
+            assert bins[q].hi_cents <= bins[q + 1].lo_cents

@@ -78,7 +78,10 @@ QUERIES = ("q7_nation_volume", "q13_order_histogram", "q18_large_orders",
            # r4e (5): purged temporal CV folds (folds×roles-bounded
            # output; the broadcast fold spec + one combining agg must
            # hold as the event side grows)
-           "purged_time_folds")
+           "purged_time_folds",
+           # r4e (6): quantile discretizer (type×4-bounded output; the
+           # percentile fit + broadcast-apply must hold at scale)
+           "quantile_bin_transform")
 
 #: event/document operators probed through a wrapping CHECKSUM aggregate:
 #: their full outputs grow with the scale factor, so collect() would ship
