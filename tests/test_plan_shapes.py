@@ -598,16 +598,20 @@ def test_gram_matrix_single_mapcombined_exchange(spark):
     assert "Generate explode" in plan, plan
 
 
-def test_ema_one_exchange_grouped_pandas(spark):
-    """The sequential fold is ONE custkey hash exchange feeding a
-    grouped-map pandas exec — no join, no global sort, no window."""
+def test_ema_one_exchange_jvm_fold(spark):
+    """The sequential fold is ONE custkey hash exchange feeding a JVM
+    collect_list + aggregate() lambda — no Python exec (the grouped-map
+    pandas form paid one pandas frame per customer: 22 s vs ~0.5 s at
+    sf0.1), no join, no global sort, no window."""
     from feature_generation_benchmark_spark.workloads.timeseries import (
         ema_customer_spend,
     )
 
     plan = _physical(ema_customer_spend(spark, SF_PLANS))
     assert plan.count("Exchange hashpartitioning") == 1, plan
-    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "FlatMapGroupsInPandas" not in plan, plan
+    assert "InPandas" not in plan and "ArrowEval" not in plan, plan
+    assert "collect_list" in plan, plan
     assert "SortMergeJoin" not in plan and "Window [" not in plan, plan
 
 
