@@ -1091,10 +1091,12 @@ def skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = docs.select(tokens("text").alias("t"))
     pair_cols = []
     for d in range(1, _PMI_WINDOW + 1):
+        # greatest(..., 0): a doc with <= d tokens yields an empty pair
+        # array (negative slice lengths are a runtime error)
         pair_cols.append(
             F.expr(
-                f"zip_with(slice(t, 1, size(t) - {d}), "
-                f"slice(t, {d + 1}, size(t) - {d}), "
+                f"zip_with(slice(t, 1, greatest(size(t) - {d}, 0)), "
+                f"slice(t, {d + 1}, greatest(size(t) - {d}, 0)), "
                 "(a, b) -> struct(least(a, b) AS ta, "
                 "greatest(a, b) AS tb))"
             )
