@@ -359,3 +359,135 @@ QUERIES.append(
         "lags share one user-keyed window",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# windowFunnel: max ordered-chain depth within a time window of the
+# chain's FIRST event (ClickHouse windowFunnel semantics) — the funnel
+# metric product analytics actually ships, and a different computation
+# than funnel_conversions' min-timestamp staged joins.
+# ---------------------------------------------------------------------------
+
+_WF_WINDOW_US = 7 * 86_400 * 10**6  # 7 days
+
+
+def window_funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user max funnel depth over view→click→purchase where every
+    chain event lies within 7 days of the chain's first event; output
+    the depth histogram (depth 0..3 → distinct-user counts).
+
+    Spark-first: a sequence-pattern DP as a JVM ``aggregate()`` fold
+    over each user's time-sorted (ts, step) array — state is one
+    3-field struct holding, per depth, the MAX chain-start time among
+    chains reaching that depth (the optimal frontier: a larger start
+    leaves the most window room), so the fold is O(events·steps) with
+    O(steps) state. ONE user-keyed exchange; no per-step join chain, no
+    window function. Ties: events sort by (ts, step), so an equal-ts
+    later step may chain off an equal-ts earlier step (t2 >= t1 — the
+    oracle twin encodes the same >=).
+
+    Oracle: exists-chain SQL (view t1 <= click t2 <= purchase t3,
+    t_k - t1 <= W) — existence is equivalent to the max-frontier DP."""
+    step = (
+        F.when(F.col("event_type") == _STAGES[0], 1)
+        .when(F.col("event_type") == _STAGES[1], 2)
+        .when(F.col("event_type") == _STAGES[2], 3)
+    )
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr("ts div 1000").alias("ts_us"),
+            step.alias("step"),
+        )
+    )
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("step").isNotNull(),
+                        F.struct("ts_us", "step"),
+                    )
+                )
+            ).alias("seq")
+        )
+        .select(
+            "user_id",
+            F.expr(
+                f"""
+                aggregate(
+                  seq,
+                  named_struct('f1', -1L, 'f2', -1L, 'f3', -1L),
+                  (s, x) -> named_struct(
+                    'f1', IF(x.step = 1, greatest(s.f1, x.ts_us), s.f1),
+                    'f2', IF(x.step = 2 AND s.f1 >= 0L
+                             AND x.ts_us - s.f1 <= {_WF_WINDOW_US}L,
+                             greatest(s.f2, s.f1), s.f2),
+                    'f3', IF(x.step = 3 AND s.f2 >= 0L
+                             AND x.ts_us - s.f2 <= {_WF_WINDOW_US}L,
+                             greatest(s.f3, s.f2), s.f3)),
+                  s -> CASE WHEN s.f3 >= 0L THEN 3
+                            WHEN s.f2 >= 0L THEN 2
+                            WHEN s.f1 >= 0L THEN 1
+                            ELSE 0 END
+                )
+                """
+            ).alias("depth"),
+        )
+    )
+    return per_user.groupBy("depth").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+
+
+_WF_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+    CASE event_type WHEN '{_STAGES[0]}' THEN 1
+                    WHEN '{_STAGES[1]}' THEN 2
+                    WHEN '{_STAGES[2]}' THEN 3 END AS step
+  FROM events
+),
+d1 AS (SELECT DISTINCT user_id FROM ev WHERE step = 1),
+d2 AS (
+  SELECT DISTINCT a.user_id
+  FROM ev a JOIN ev b ON a.user_id = b.user_id
+  WHERE a.step = 1 AND b.step = 2
+    AND b.ts_us >= a.ts_us AND b.ts_us - a.ts_us <= {_WF_WINDOW_US}
+),
+d3 AS (
+  SELECT DISTINCT a.user_id
+  FROM ev a JOIN ev b ON a.user_id = b.user_id
+            JOIN ev c ON a.user_id = c.user_id
+  WHERE a.step = 1 AND b.step = 2 AND c.step = 3
+    AND b.ts_us >= a.ts_us AND c.ts_us >= b.ts_us
+    AND c.ts_us - a.ts_us <= {_WF_WINDOW_US}
+),
+depth AS (
+  SELECT u.user_id,
+    CASE WHEN d3.user_id IS NOT NULL THEN 3
+         WHEN d2.user_id IS NOT NULL THEN 2
+         WHEN d1.user_id IS NOT NULL THEN 1
+         ELSE 0 END AS depth
+  FROM (SELECT DISTINCT user_id FROM ev) u
+  LEFT JOIN d1 ON u.user_id = d1.user_id
+  LEFT JOIN d2 ON u.user_id = d2.user_id
+  LEFT JOIN d3 ON u.user_id = d3.user_id
+)
+SELECT CAST(depth AS INT) AS depth,
+  CAST(count(*) AS BIGINT) AS n_users
+FROM depth GROUP BY depth
+"""
+
+QUERIES.append(
+    QueryDef(
+        "window_funnel_depth",
+        window_funnel_depth,
+        _WF_ORACLE,
+        "ClickHouse-style windowFunnel: max view→click→purchase chain "
+        "depth within 7d of chain start, as an O(steps)-state JVM DP "
+        "fold per user (no step-join chain)",
+    )
+)

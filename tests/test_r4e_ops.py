@@ -63,3 +63,46 @@ def test_skipgram_pmi_collocations_score_high(spark):
     # frequent tokens — sanity of sign and ordering on real data
     rows = skipgram_pmi(spark, SF_SMOKE).collect()
     assert any(r.pmi_e6 > 0 for r in rows)
+
+
+def test_window_funnel_matches_bruteforce_model(spark):
+    """The O(steps)-state DP frontier must agree with brute-force chain
+    enumeration on the real corpus."""
+    import itertools
+
+    from feature_generation_benchmark_spark.workloads.funnel import (
+        _WF_WINDOW_US,
+        window_funnel_depth,
+    )
+
+    rows = duckdb.sql(
+        "SELECT user_id, epoch_us(ts) AS us, event_type FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet')"
+    ).fetchall()
+    steps = {"view": 1, "click": 2, "purchase": 3}
+    by_user = {}
+    for uid, us, et in rows:
+        by_user.setdefault(uid, []).append((us, steps.get(et)))
+
+    def brute_depth(evs):
+        evs = sorted((us, s) for us, s in evs if s)
+        t1s = [us for us, s in evs if s == 1]
+        t2s = [us for us, s in evs if s == 2]
+        t3s = [us for us, s in evs if s == 3]
+        best = 0
+        if t1s:
+            best = 1
+        for t1, t2 in itertools.product(t1s, t2s):
+            if t2 >= t1 and t2 - t1 <= _WF_WINDOW_US:
+                best = max(best, 2)
+                for t3 in t3s:
+                    if t3 >= t2 and t3 - t1 <= _WF_WINDOW_US:
+                        return 3
+        return best
+
+    want = Counter(brute_depth(evs) for evs in by_user.values())
+    got = {
+        r["depth"]: r["n_users"]
+        for r in window_funnel_depth(spark, SF_SMOKE).collect()
+    }
+    assert got == dict(want)

@@ -81,7 +81,10 @@ QUERIES = ("q7_nation_volume", "q13_order_histogram", "q18_large_orders",
            "purged_time_folds",
            # r4e (6): quantile discretizer (type×4-bounded output; the
            # percentile fit + broadcast-apply must hold at scale)
-           "quantile_bin_transform")
+           "quantile_bin_transform",
+           # r4e (7): windowFunnel DP fold (4-row output; one user-keyed
+           # exchange, O(steps) state per user regardless of event count)
+           "window_funnel_depth")
 
 #: event/document operators probed through a wrapping CHECKSUM aggregate:
 #: their full outputs grow with the scale factor, so collect() would ship
