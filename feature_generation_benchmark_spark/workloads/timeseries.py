@@ -598,3 +598,132 @@ QUERIES.append(
         "grouped sequential applyInPandas fold; oracle = recursive CTE",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point alarms — the sequential drift detector (Page 1954)
+# ---------------------------------------------------------------------------
+
+_CUSUM_H_MULT = 2  # alarm when s_t exceeds 2x the reference level
+
+
+def cusum_daily_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type CUSUM over the daily total-cents series: the upper
+    one-sided recurrence ``s_t = max(0, s_{t-1} + x_t - k)`` with the
+    reference level ``k = floor(mean daily total)``, alarming when
+    ``s_t > 2k`` — the classic sequential change-point detector a data
+    pipeline runs on its own volume series.
+
+    INTEGER-EXACT like the EMA fold: x_t and k are exact cent integers,
+    so the recurrence is bit-portable; the oracle is the suite's second
+    recursive-CTE twin. Plan: one (type, day) combining agg over the
+    scan, a broadcast per-type k, and a JVM ``aggregate()`` fold over
+    each type's sorted day array (calendar-bounded state). The fold
+    carries (s, n_alarms, max_s) — one pass, O(1) state per step."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr(f"ts div {_NS_PER_DAY}").alias("day"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("x"))
+    )
+    # integer floor division: CAST(double) truncates on Spark but ROUNDS
+    # on DuckDB, so the reference level must never pass through a double
+    k = daily.groupBy("event_type").agg(
+        F.expr("sum(x) div count(1)").alias("k"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    folded = (
+        daily.groupBy("event_type")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("day", "x"))).alias(
+                "series"
+            )
+        )
+        .join(F.broadcast(k), "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "k",
+            F.expr(
+                f"""
+                aggregate(
+                  series,
+                  named_struct('s', 0L, 'n_alarms', 0L, 'max_s', 0L),
+                  (acc, e) -> named_struct(
+                    's', greatest(0L, acc.s + e.x - k),
+                    'n_alarms', acc.n_alarms + IF(
+                      greatest(0L, acc.s + e.x - k) > {_CUSUM_H_MULT}L * k,
+                      1L, 0L),
+                    'max_s', greatest(acc.max_s,
+                                      greatest(0L, acc.s + e.x - k)))
+                )
+                """
+            ).alias("st"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "k",
+            F.col("st.n_alarms").alias("n_alarms"),
+            F.col("st.max_s").alias("max_s"),
+        )
+    )
+    return folded
+
+
+_CUSUM_ORACLE = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, epoch_ns(ts) // {_NS_PER_DAY} AS day,
+         sum(CAST(round(value*100) AS BIGINT)) AS x
+  FROM events GROUP BY event_type, day
+),
+kk AS (
+  SELECT event_type, sum(x) // count(*) AS k,
+         count(*) AS n_days
+  FROM daily GROUP BY event_type
+),
+idx AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily
+),
+walk AS (
+  SELECT i.event_type, i.rn,
+         greatest(0, i.x - kk.k) AS s,
+         CASE WHEN greatest(0, i.x - kk.k) > {_CUSUM_H_MULT} * kk.k
+              THEN 1 ELSE 0 END AS n_alarms,
+         greatest(0, i.x - kk.k) AS max_s
+  FROM idx i JOIN kk USING (event_type) WHERE i.rn = 1
+  UNION ALL
+  SELECT i.event_type, i.rn,
+         greatest(0, w.s + i.x - kk.k) AS s,
+         w.n_alarms + CASE WHEN greatest(0, w.s + i.x - kk.k)
+                                > {_CUSUM_H_MULT} * kk.k
+                           THEN 1 ELSE 0 END AS n_alarms,
+         greatest(w.max_s, greatest(0, w.s + i.x - kk.k)) AS max_s
+  FROM walk w
+  JOIN idx i ON i.event_type = w.event_type AND i.rn = w.rn + 1
+  JOIN kk ON kk.event_type = i.event_type
+)
+SELECT w.event_type,
+  CAST(kk.n_days AS BIGINT) AS n_days,
+  CAST(kk.k AS BIGINT) AS k,
+  CAST(w.n_alarms AS BIGINT) AS n_alarms,
+  CAST(w.max_s AS BIGINT) AS max_s
+FROM walk w
+JOIN kk ON kk.event_type = w.event_type AND w.rn = kk.n_days
+"""
+
+QUERIES.append(
+    QueryDef(
+        "cusum_daily_alarms",
+        cusum_daily_alarms,
+        _CUSUM_ORACLE,
+        "Page's CUSUM drift alarms on daily cent totals: integer-exact "
+        "max(0, s+x-k) fold per type, recursive-CTE oracle",
+    )
+)

@@ -106,3 +106,35 @@ def test_window_funnel_matches_bruteforce_model(spark):
         for r in window_funnel_depth(spark, SF_SMOKE).collect()
     }
     assert got == dict(want)
+
+
+def test_cusum_matches_python_model(spark):
+    from feature_generation_benchmark_spark.workloads.timeseries import (
+        _CUSUM_H_MULT,
+        cusum_daily_alarms,
+    )
+
+    rows = duckdb.sql(
+        "SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, "
+        "sum(CAST(round(value*100) AS BIGINT)) AS x FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet') "
+        "GROUP BY event_type, day ORDER BY event_type, day"
+    ).fetchall()
+    series = {}
+    for et, day, x in rows:
+        series.setdefault(et, []).append(x)
+    want = {}
+    for et, xs in series.items():
+        k = sum(xs) // len(xs)
+        s = alarms = max_s = 0
+        for x in xs:
+            s = max(0, s + x - k)
+            if s > _CUSUM_H_MULT * k:
+                alarms += 1
+            max_s = max(max_s, s)
+        want[et] = (len(xs), k, alarms, max_s)
+    got = {
+        r.event_type: (r.n_days, r.k, r.n_alarms, r.max_s)
+        for r in cusum_daily_alarms(spark, SF_SMOKE).collect()
+    }
+    assert got == want

@@ -84,7 +84,11 @@ QUERIES = ("q7_nation_volume", "q13_order_histogram", "q18_large_orders",
            "quantile_bin_transform",
            # r4e (7): windowFunnel DP fold (4-row output; one user-keyed
            # exchange, O(steps) state per user regardless of event count)
-           "window_funnel_depth")
+           "window_funnel_depth",
+           # r4e (8): CUSUM alarms (type-dim output; the (type,day)
+           # combining agg is the only corpus-sized exchange, the fold
+           # state is calendar-bounded)
+           "cusum_daily_alarms")
 
 #: event/document operators probed through a wrapping CHECKSUM aggregate:
 #: their full outputs grow with the scale factor, so collect() would ship
