@@ -669,3 +669,80 @@ QUERIES.append(
         "lineitem measures",
     )
 )
+
+
+# --------------------------------------------------------------------------
+# per-user OLS spend trend — closed-form regression as ONE combining agg:
+# slope of daily spend vs day index from the five classic sums
+# (n, Σx, Σy, Σxy, Σx²), all exact integers (x = epoch day, y = cents),
+# so the only floats are the final numerator/denominator division —
+# bit-deterministic (single-division contract). The churn-style trend
+# feature at 100 TB cost: one (user, day) pre-agg + one user-keyed agg.
+# --------------------------------------------------------------------------
+
+_NS_PER_DAY_TREND = 86_400 * 10**9
+
+
+def user_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr(f"ts div {_NS_PER_DAY_TREND}").alias("day"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.sum("cents").alias("y"))
+    )
+    sums = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("day").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("day") * F.col("y")).alias("sxy"),
+        F.sum(F.col("day") * F.col("day")).alias("sxx"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        det != 0,
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            * F.lit(1e6)
+            / det,
+            0,
+        ).cast("long"),
+    )
+    return sums.select(
+        "user_id",
+        "n",
+        slope.alias("slope_e6_cents_per_day"),
+    )
+
+
+_TREND_ORACLE = f"""
+WITH daily AS (
+  SELECT user_id, epoch_ns(ts) // {_NS_PER_DAY_TREND} AS day,
+         sum(CAST(round(value*100) AS BIGINT)) AS y
+  FROM events GROUP BY user_id, day
+),
+s AS (
+  SELECT user_id, count(*) AS n, sum(day) AS sx, sum(y) AS sy,
+         sum(day * y) AS sxy, sum(day * day) AS sxx
+  FROM daily GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+  CASE WHEN n * sxx - sx * sx <> 0 THEN
+    CAST(round((n * sxy - sx * sy) * 1e6
+               / (n * sxx - sx * sx)) AS BIGINT)
+  END AS slope_e6_cents_per_day
+FROM s
+"""
+
+QUERIES.append(
+    QueryDef(
+        "user_trend_slope",
+        user_trend_slope,
+        _TREND_ORACLE,
+        "per-user OLS daily-spend trend slope from exact integer sums "
+        "(one pre-agg + one user-keyed combining agg, single division)",
+    )
+)

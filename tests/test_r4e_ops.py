@@ -138,3 +138,39 @@ def test_cusum_matches_python_model(spark):
         for r in cusum_daily_alarms(spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_trend_slope_recovers_planted_line(spark, tmp_path_factory):
+    """A user with exactly linear daily spend must recover the planted
+    slope; a flat user must get slope 0."""
+    import datetime as dt
+
+    from feature_generation_benchmark_spark.workloads.features_eng import (
+        user_trend_slope,
+    )
+
+    day_ns = 86_400 * 10**9
+    base = 1_704_067_200_000_000_000
+    rows = []
+    eid = 0
+    for d in range(10):
+        # user 1: cents = 1000 + 250*d  (slope 250 cents/day)
+        rows.append((eid, base + d * day_ns, 1, "t", (1000 + 250 * d) / 100))
+        eid += 1
+        # user 2: flat 500 cents
+        rows.append((eid, base + d * day_ns, 2, "t", 5.0))
+        eid += 1
+    d = tmp_path_factory.mktemp("trend")
+    spark.createDataFrame(
+        [(e, dt.datetime(1970, 1, 1) + dt.timedelta(
+            microseconds=ns // 1000), u, t, v, "{}")
+         for e, ns, u, t, v in rows],
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    ).write.parquet(str(d / "events.parquet"))
+    got = {
+        r.user_id: r.slope_e6_cents_per_day
+        for r in user_trend_slope(spark, str(d)).collect()
+    }
+    assert got[1] == 250 * 10**6
+    assert got[2] == 0

@@ -112,7 +112,9 @@ NOOP_QUERIES = ("gap_fill_daily", "heavy_hitters", "funnel_conversions",
                  "char_entropy", "bigram_logprob", "scd2_intervals",
                  "user_spend_percentile", "embedding_quantize_int8",
                  # r4e: per-row outputs (orders / embeddings sized)
-                 "target_encoding_loo", "random_projection_embeddings")
+                 "target_encoding_loo", "random_projection_embeddings",
+                 # r4e (8): user-dim output grows with the user axis
+                 "user_trend_slope")
 
 
 def build_scaled(spark, factor: int) -> str:
