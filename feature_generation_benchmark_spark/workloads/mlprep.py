@@ -1,12 +1,17 @@
-"""Training-prep workload — feature drift (PSI), leakage-guarded target
-encoding, mergeable histogram-quantile rollups, and seeded random
-projection.
+"""Training-prep workload — the model-prep layer above feature
+generation: PSI drift gates, leakage-guarded target encoding, mergeable
+quantile pre-aggregates (exact fixed-bin histograms AND DataSketches KLL),
+seeded random projection, audience set similarity (exact Jaccard AND
+theta-sketch set algebra), robust median/MAD outlier stats, label-centroid
+separability QA, purged/embargoed temporal CV folds, and an
+equal-frequency quantile discretizer.
 
 The reference engine stops at windowed aggregation features
 (`impl/pyspark-pivot.py`, `impl/pyspark-case-when.py`); a production
-training pipeline also needs the model-prep layer above it: drift gates
-between time windows, supervised encodings that cannot leak the row's own
-label, storable quantile pre-aggregates, and dimensionality reduction.
+training pipeline also needs this layer. Each approximate/sketch operator
+here is paired with an exact twin that carries the DuckDB hash gate
+(histogram↔KLL, Jaccard↔theta), the same pairing discipline as
+``distinct_users_per_type``↔``approx_users_per_type``.
 Engine-wide determinism rule applies: all distribution arithmetic is
 integer (cents, counts, e6-quantized scores) so every oracle is a
 bit-exact DuckDB twin; the only floats are single divisions / one ``ln``
@@ -690,8 +695,11 @@ QUERIES = [
 # Unlike the fixed-bin histogram, KLL's rank error is distribution-free
 # (no bin-domain assumption) — the right tool when the value range is
 # unknown/unbounded at 100 TB. Rows-only driver check (DuckDB has no
-# DataSketches twin); the test pins the merged estimates within KLL's
-# published rank error of the exact percentiles.
+# DataSketches twin) — and unlike HLL's idempotent register maxes, KLL
+# compaction is RANDOMIZED, so estimates vary run-to-run within the rank
+# error; the stable contract is the row set (one per type) and the exact
+# n, and the test pins the estimates within KLL's published rank error
+# of the exact percentiles.
 # --------------------------------------------------------------------------
 
 def kll_value_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
