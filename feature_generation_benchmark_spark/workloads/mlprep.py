@@ -978,3 +978,107 @@ QUERIES.append(
         "boundaries, broadcast-apply, one combining output agg",
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Deterministic Poisson bootstrap — standard errors for a distributed
+# aggregate WITHOUT resampling passes: each event gets B=10 replicate
+# weights drawn Poisson(1) from an md5 hash of (event_id, replicate), the
+# online-bootstrap trick (Oza & Russell 2001; Poisson(1) approximates
+# multinomial resampling). Because the "randomness" is the engine-wide
+# md5-prefix idiom against PRE-COMPUTED integer CDF thresholds, replicate
+# sums are exact integers and bit-identical on both engines — a fully
+# oracle-checkable bootstrap. Plan: one (type, replicate) combining agg
+# (fan-out ×10 combines map-side), then a 10-row-per-type variance agg.
+# --------------------------------------------------------------------------
+
+_BOOT_B = 10
+#: Poisson(1) CDF k=0..4 scaled to the md5-prefix's 2^32 domain; u >= the
+#: last threshold draws weight 5 (P ≈ 3.7e-4 truncation, standard for
+#: online bootstrap weights)
+_BOOT_THRESH = (1580030168, 3160060337, 3950075421, 4213413783, 4279248373)
+
+
+def _boot_weight_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_BOOT_THRESH)
+    )
+    return f"CASE {cases} ELSE {len(_BOOT_THRESH)} END"
+
+
+def bootstrap_se_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    u = (
+        "CAST(conv(substring(md5(concat(CAST(event_id AS STRING), ':', "
+        "CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+    )
+    reps = ev.select(
+        "event_type",
+        "cents",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_BOOT_B - 1}), b -> "
+                f"named_struct('b', b, 'w', {_boot_weight_sql(u)}))"
+            )
+        ).alias("r"),
+    )
+    sums = reps.groupBy(
+        "event_type", F.col("r.b").alias("b")
+    ).agg(F.sum(F.col("r.w") * F.col("cents")).alias("s"))
+    big_b = F.lit(_BOOT_B)
+    return sums.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_reps"),
+        F.sum("s").alias("rep_sum_cents"),
+        # replicate variance from exact integer sums; the double products
+        # are the same expression tree on both engines
+        F.round(
+            (
+                big_b * F.sum(F.col("s").cast("double") * F.col("s"))
+                - F.sum("s").cast("double") * F.sum("s")
+            )
+            / (big_b * (big_b - 1)),
+            0,
+        )
+        .cast("long")
+        .alias("boot_var_cents2"),
+    )
+
+
+_BOOT_U_SQL = (
+    "CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' || "
+    "CAST(b AS VARCHAR)), 1, 8)) AS BIGINT)"
+)
+
+_BOOT_ORACLE = f"""
+WITH reps AS (
+  SELECT event_type,
+         CAST(round(value*100) AS BIGINT) AS cents,
+         b, {_boot_weight_sql(_BOOT_U_SQL)} AS w
+  FROM events CROSS JOIN (SELECT unnest(range({_BOOT_B})) AS b)
+),
+sums AS (
+  SELECT event_type, b, sum(w * cents) AS s
+  FROM reps GROUP BY event_type, b
+)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_reps,
+  CAST(sum(s) AS BIGINT) AS rep_sum_cents,
+  CAST(round(
+    ({_BOOT_B} * sum(CAST(s AS DOUBLE) * s) - CAST(sum(s) AS DOUBLE) * sum(s))
+    / ({_BOOT_B} * ({_BOOT_B} - 1))) AS BIGINT) AS boot_var_cents2
+FROM sums GROUP BY event_type
+"""
+
+QUERIES.append(
+    QueryDef(
+        "bootstrap_se_spend",
+        bootstrap_se_spend,
+        _BOOT_ORACLE,
+        "deterministic Poisson(1) online bootstrap: md5-seeded replicate "
+        "weights, exact integer replicate sums, oracle-checked variance",
+    )
+)

@@ -174,3 +174,30 @@ def test_trend_slope_recovers_planted_line(spark, tmp_path_factory):
     }
     assert got[1] == 250 * 10**6
     assert got[2] == 0
+
+
+def test_bootstrap_weights_are_poisson1_and_deterministic(spark):
+    """The md5-threshold weights must (a) be reproducible run-to-run and
+    (b) draw from Poisson(1): mean weight ~ 1 and the replicate grand
+    sum ~ B x the true total."""
+    from feature_generation_benchmark_spark.workloads.mlprep import (
+        _BOOT_B,
+        bootstrap_se_spend,
+    )
+
+    a = sorted(tuple(r) for r in bootstrap_se_spend(spark, SF_SMOKE).collect())
+    b = sorted(tuple(r) for r in bootstrap_se_spend(spark, SF_SMOKE).collect())
+    assert a == b  # hash-seeded: no run-to-run randomness
+    totals = dict(
+        duckdb.sql(
+            "SELECT event_type, sum(CAST(round(value*100) AS BIGINT)) FROM "
+            f"read_parquet('{SF_SMOKE}/events.parquet') GROUP BY event_type"
+        ).fetchall()
+    )
+    for et, n_reps, rep_sum, var in a:
+        assert n_reps == _BOOT_B
+        true_total = totals[et]
+        # E[rep_sum] = B * total; Poisson(1) keeps it within a few
+        # percent at a couple hundred events per type
+        assert abs(rep_sum - _BOOT_B * true_total) < 0.2 * _BOOT_B * true_total
+        assert var > 0

@@ -88,7 +88,10 @@ QUERIES = ("q7_nation_volume", "q13_order_histogram", "q18_large_orders",
            # r4e (8): CUSUM alarms (type-dim output; the (type,day)
            # combining agg is the only corpus-sized exchange, the fold
            # state is calendar-bounded)
-           "cusum_daily_alarms")
+           "cusum_daily_alarms",
+           # r4e (9): Poisson bootstrap (type-dim output; the ×B fan-out
+           # combines map-side into (type, replicate) partials)
+           "bootstrap_se_spend")
 
 #: event/document operators probed through a wrapping CHECKSUM aggregate:
 #: their full outputs grow with the scale factor, so collect() would ship
