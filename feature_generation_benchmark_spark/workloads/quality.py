@@ -156,3 +156,166 @@ QUERIES = [
         "deequ-style constraint report: uniqueness, nulls, FK, domain, range",
     ),
 ]
+
+
+# --------------------------------------------------------------------------
+# Referential-integrity audit across every TPC-H FK edge — the
+# cross-table sibling of dq_expectations' single-edge FK check: orphan
+# counts for all six fact→dim edges in one result. Each edge is a
+# LEFT ANTI join; dims (nation, supplier-keys, part-keys, customer-keys,
+# order-keys) are either broadcast outright or key-projected before the
+# anti join, so at 100 TB each edge costs one fact scan + one
+# key-distinct build side. Exact integer counts; trivially oracle-exact.
+# --------------------------------------------------------------------------
+
+def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def edge(name, fact, fk, dim, pk, broadcast_dim):
+        keys = dim.select(F.col(pk).alias(fk)).distinct()
+        if broadcast_dim:
+            keys = F.broadcast(keys)
+        orphans = fact.select(fk).join(keys, fk, "left_anti")
+        return (
+            fact.select(F.count(F.lit(1)).alias("n_rows"))
+            .crossJoin(
+                orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+            )
+            .select(
+                F.lit(name).alias("edge"),
+                "n_rows",
+                "n_orphans",
+            )
+        )
+
+    edges = [
+        edge("lineitem->orders", li, "l_orderkey", orders, "o_orderkey",
+             False),
+        edge("lineitem->part", li, "l_partkey", part, "p_partkey", True),
+        edge("lineitem->supplier", li, "l_suppkey", supplier, "s_suppkey",
+             True),
+        edge("orders->customer", orders, "o_custkey", customer,
+             "c_custkey", True),
+        edge("customer->nation", customer, "c_nationkey", nation,
+             "n_nationkey", True),
+        edge("supplier->nation", supplier, "s_nationkey", nation,
+             "n_nationkey", True),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out
+
+
+_FK_ORACLE = """
+SELECT 'lineitem->orders' AS edge,
+  CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_rows,
+  CAST((SELECT count(*) FROM lineitem l LEFT JOIN orders o
+        ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
+    AS BIGINT) AS n_orphans
+UNION ALL
+SELECT 'lineitem->part',
+  (SELECT count(*) FROM lineitem),
+  (SELECT count(*) FROM lineitem l LEFT JOIN part p
+   ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL)
+UNION ALL
+SELECT 'lineitem->supplier',
+  (SELECT count(*) FROM lineitem),
+  (SELECT count(*) FROM lineitem l LEFT JOIN supplier s
+   ON l.l_suppkey = s.s_suppkey WHERE s.s_suppkey IS NULL)
+UNION ALL
+SELECT 'orders->customer',
+  (SELECT count(*) FROM orders),
+  (SELECT count(*) FROM orders o LEFT JOIN customer c
+   ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+UNION ALL
+SELECT 'customer->nation',
+  (SELECT count(*) FROM customer),
+  (SELECT count(*) FROM customer c LEFT JOIN nation n
+   ON c.c_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL)
+UNION ALL
+SELECT 'supplier->nation',
+  (SELECT count(*) FROM supplier),
+  (SELECT count(*) FROM supplier s LEFT JOIN nation n
+   ON s.s_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL)
+"""
+
+QUERIES.append(
+    QueryDef(
+        "fk_orphan_audit",
+        fk_orphan_audit,
+        _FK_ORACLE,
+        "referential-integrity orphan counts across all six TPC-H FK "
+        "edges via anti joins (broadcast key builds)",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# Column profiler — the first query anyone runs on an unknown table:
+# per-column null count, exact distinct count, min/max (stringified for
+# a uniform schema). ONE wide aggregate pass over lineitem computes
+# every column's stats simultaneously (count_distinct per column is a
+# single Expand + partial agg under AQE), then an unpivot to the
+# (column, stat) long form — no per-column scans.
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS = (
+    "l_orderkey",
+    "l_quantity",
+    "l_returnflag",
+    "l_linestatus",
+    "l_extendedprice",
+)
+
+
+def schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    rows = [
+        f"named_struct('col_name', '{c}', 'n_rows', n_rows, "
+        f"'n_nulls', {c}__nulls, 'n_distinct', {c}__distinct, "
+        f"'min_str', {c}__min, 'max_str', {c}__max)"
+        for c in _PROFILE_COLS
+    ]
+    return wide.select(
+        F.explode(F.expr("array(" + ", ".join(rows) + ")")).alias("p")
+    ).select("p.*")
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(f"""
+SELECT '{c}' AS col_name,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+  CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+  min(CAST({c} AS VARCHAR)) AS min_str,
+  max(CAST({c} AS VARCHAR)) AS max_str
+FROM lineitem""")
+    return "\nUNION ALL\n".join(parts)
+
+
+QUERIES.append(
+    QueryDef(
+        "schema_profile",
+        schema_profile,
+        _profile_oracle(),
+        "one-pass column profiler: null/distinct/min/max for five "
+        "lineitem columns in a single wide aggregate + unpivot",
+    )
+)

@@ -58,3 +58,46 @@ def test_violations_are_detected(spark, dirty_dir):
     for check, (n, v) in expect.items():
         r = rows[check]
         assert (r.n_checked, r.violations, r.passed) == (n, v, False), check
+
+
+def test_fk_orphan_audit_clean_on_testdata(spark):
+    from feature_generation_benchmark_spark.workloads.quality import (
+        fk_orphan_audit,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = {r.edge: r for r in fk_orphan_audit(spark, SF_SMOKE).collect()}
+    assert len(rows) == 6
+    # driver testdata is referentially intact; the audit must prove it
+    assert all(r.n_orphans == 0 for r in rows.values())
+    assert rows["lineitem->orders"].n_rows == rows["lineitem->part"].n_rows
+
+
+def test_fk_orphan_audit_detects_planted_orphans(spark, tmp_path):
+    import shutil
+
+    from feature_generation_benchmark_spark.workloads.quality import (
+        fk_orphan_audit,
+    )
+    from tests.conftest import SF_SMOKE
+
+    d = str(tmp_path / "broken")
+    shutil.copytree(SF_SMOKE, d)
+    # re-point 3 orders at a customer key that cannot exist
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    from pyspark.sql import functions as F
+
+    broken = orders.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 500 == 0, F.lit(10**12)).otherwise(
+            F.col("o_custkey")
+        ),
+    )
+    import os
+
+    os.remove(f"{d}/orders.parquet")  # testdata tables are single files
+    broken.write.parquet(f"{d}/orders.parquet")
+    n_planted = broken.filter(F.col("o_custkey") == 10**12).count()
+    rows = {r.edge: r for r in fk_orphan_audit(spark, d).collect()}
+    assert rows["orders->customer"].n_orphans == n_planted > 0
+    assert rows["customer->nation"].n_orphans == 0

@@ -91,7 +91,11 @@ QUERIES = ("q7_nation_volume", "q13_order_histogram", "q18_large_orders",
            "cusum_daily_alarms",
            # r4e (9): Poisson bootstrap (type-dim output; the ×B fan-out
            # combines map-side into (type, replicate) partials)
-           "bootstrap_se_spend")
+           "bootstrap_se_spend",
+           # r4e (10): data-ops queries (edge-count / col-count bounded
+           # outputs; anti-join key builds and the one wide agg must
+           # hold as facts grow)
+           "fk_orphan_audit", "schema_profile")
 
 #: event/document operators probed through a wrapping CHECKSUM aggregate:
 #: their full outputs grow with the scale factor, so collect() would ship
