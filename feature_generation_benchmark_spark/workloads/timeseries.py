@@ -727,3 +727,108 @@ QUERIES.append(
         "max(0, s+x-k) fold per type, recursive-CTE oracle",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Lead-lag cross-correlation — does click volume today predict purchase
+# volume k days later? The marketing/causal-screening series statistic.
+# ---------------------------------------------------------------------------
+
+_LEADLAG_MAX = 7
+
+
+def leadlag_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between daily click counts and purchase counts
+    shifted by lag = 0..7 days, one row per lag (e6-quantized).
+
+    Spark-first: ONE (type, day) combining agg builds both daily series;
+    the lag alignment is a self-join of the tiny day-grain frame (30
+    rows/side) on ``day + lag`` after a broadcast of the 8-row lag
+    spec — the corpus is scanned once regardless of how many lags are
+    screened. Correlation is computed from the five exact integer sums
+    (n, Σx, Σy, Σxy, Σx², Σy²) per lag, so the only floats are the final
+    covariance/denominator expression — identical IEEE on both engines,
+    then e6 quantization (single-division contract)."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            "event_type", F.expr(f"ts div {_NS_PER_DAY}").alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    clicks = daily.filter(F.col("event_type") == "click").select(
+        "day", F.col("n").alias("x")
+    )
+    purchases = daily.filter(F.col("event_type") == "purchase").select(
+        "day", F.col("n").alias("y")
+    )
+    lags = spark.range(_LEADLAG_MAX + 1).select(F.col("id").alias("lag"))
+    pairs = (
+        clicks.crossJoin(F.broadcast(lags))
+        .join(
+            purchases.withColumnRenamed("day", "pday"),
+            F.col("pday") == F.col("day") + F.col("lag"),
+        )
+        .select("lag", "x", "y")
+    )
+    sums = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return sums.select(
+        "lag",
+        "n",
+        F.when(den > 0, F.round(num * F.lit(1e6) / den, 0).cast("long"))
+        .alias("corr_e6"),
+    )
+
+
+_LEADLAG_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, epoch_ns(ts) // {_NS_PER_DAY} AS day,
+         count(*) AS n
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY event_type, day
+),
+c AS (SELECT day, n AS x FROM daily WHERE event_type = 'click'),
+p AS (SELECT day AS pday, n AS y FROM daily WHERE event_type = 'purchase'),
+pairs AS (
+  SELECT lag, x, y
+  FROM c CROSS JOIN (SELECT unnest(range({_LEADLAG_MAX + 1})) AS lag)
+  JOIN p ON pday = day + lag
+),
+s AS (
+  SELECT lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
+  CASE WHEN sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * (n*syy - sy*sy)) > 0
+  THEN CAST(round((n*sxy - sx*sy) * 1e6
+       / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * (n*syy - sy*sy)))
+       AS BIGINT) END AS corr_e6
+FROM s
+"""
+
+QUERIES.append(
+    QueryDef(
+        "leadlag_click_purchase",
+        leadlag_click_purchase,
+        _LEADLAG_ORACLE,
+        "lead-lag Pearson correlation (lag 0..7d) between daily click "
+        "and purchase volumes from exact integer sums; corpus scanned "
+        "once for all lags",
+    )
+)

@@ -95,7 +95,10 @@ QUERIES = ("q7_nation_volume", "q13_order_histogram", "q18_large_orders",
            # r4e (10): data-ops queries (edge-count / col-count bounded
            # outputs; anti-join key builds and the one wide agg must
            # hold as facts grow)
-           "fk_orphan_audit", "schema_profile")
+           "fk_orphan_audit", "schema_profile",
+           # r4e (11): lead-lag corr (8-row output; one (type,day)
+           # combining agg, lag alignment on the 30-row day frame)
+           "leadlag_click_purchase")
 
 #: event/document operators probed through a wrapping CHECKSUM aggregate:
 #: their full outputs grow with the scale factor, so collect() would ship
