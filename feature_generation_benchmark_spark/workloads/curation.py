@@ -719,3 +719,130 @@ QUERIES.append(
         "deterministic sampling -> corpus stats, one scan + two shuffles",
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Quality-stratified curriculum mixture — the step after quality scoring
+# and before mixing: bin every document into per-source quality quartiles
+# (exact interpolated percentile boundaries on an integer quality proxy),
+# then keep the top quartile fully and deterministically downsample lower
+# quartiles at fixed rates (md5-key threshold — the mixture_sampling
+# idiom with CONSTANT per-bin rates, so the hex thresholds are literals).
+# One scan computes scores; the 4-row-per-source boundary model is
+# broadcast back; output is the (source, quartile) keep report.
+# --------------------------------------------------------------------------
+
+#: per-quartile keep rates, quartile 0 (worst) .. 3 (best); md5 4-hex
+#: prefix thresholds = rate * 0x10000
+_STRAT_THR = ("2000", "4000", "8000", None)  # 1/8, 1/4, 1/2, keep-all
+
+
+def quality_stratified_mixture(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+    )
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        # integer quality proxy: distinct-token permille
+        F.expr(
+            "CAST(size(array_distinct(filter(split(lower(text), "
+            "'[^a-z0-9]+'), x -> x != ''))) * 1000 AS BIGINT)"
+            " div "
+            "size(filter(split(lower(text), '[^a-z0-9]+'), x -> x != ''))"
+        ).alias("q_score"),
+    )
+    bounds = scored.groupBy("source").agg(
+        F.percentile("q_score", 0.25).alias("b1"),
+        F.percentile("q_score", 0.5).alias("b2"),
+        F.percentile("q_score", 0.75).alias("b3"),
+    )
+    qbin = (
+        F.when(F.col("q_score") <= F.col("b1"), F.lit(0))
+        .when(F.col("q_score") <= F.col("b2"), F.lit(1))
+        .when(F.col("q_score") <= F.col("b3"), F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    thr = F.lit(None).cast("string")
+    for q, t in enumerate(_STRAT_THR):
+        if t is not None:
+            thr = F.when(F.col("qbin") == q, F.lit(t)).otherwise(thr)
+    binned = (
+        scored.join(F.broadcast(bounds), "source")
+        .select(
+            "source",
+            "n_tokens",
+            qbin.alias("qbin"),
+            key.alias("k"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "qbin",
+            (thr.isNull() | (F.col("k") < thr)).cast("long").alias("kept"),
+        )
+    )
+    return binned.groupBy("source", "qbin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("kept").alias("n_kept"),
+        F.sum(F.col("kept") * F.col("n_tokens")).alias("kept_tokens"),
+    )
+
+
+_STRAT_ORACLE = """
+WITH scored AS (
+  SELECT doc_id, source,
+    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         x -> x <> '')) AS BIGINT) AS n_tokens,
+    CAST(len(list_distinct(list_filter(string_split_regex(lower(text),
+         '[^a-z0-9]+'), x -> x <> ''))) * 1000 AS BIGINT)
+      // len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         x -> x <> '')) AS q_score
+  FROM documents
+),
+bounds AS (
+  SELECT source,
+    quantile_cont(q_score, 0.25) AS b1,
+    quantile_cont(q_score, 0.5)  AS b2,
+    quantile_cont(q_score, 0.75) AS b3
+  FROM scored GROUP BY source
+),
+binned AS (
+  SELECT scored.source, n_tokens,
+    CASE WHEN q_score <= b1 THEN 0
+         WHEN q_score <= b2 THEN 1
+         WHEN q_score <= b3 THEN 2
+         ELSE 3 END AS qbin,
+    substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS k
+  FROM scored JOIN bounds USING (source)
+),
+kept AS (
+  SELECT source, n_tokens, qbin,
+    CASE WHEN qbin = 3 THEN 1
+         WHEN qbin = 2 AND k < '8000' THEN 1
+         WHEN qbin = 1 AND k < '4000' THEN 1
+         WHEN qbin = 0 AND k < '2000' THEN 1
+         ELSE 0 END AS kept
+  FROM binned
+)
+SELECT source, CAST(qbin AS INT) AS qbin,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(kept) AS BIGINT) AS n_kept,
+  CAST(sum(kept * n_tokens) AS BIGINT) AS kept_tokens
+FROM kept GROUP BY source, qbin
+"""
+
+QUERIES.append(
+    QueryDef(
+        "quality_stratified_mixture",
+        quality_stratified_mixture,
+        _STRAT_ORACLE,
+        "quality-quartile curriculum sampling: per-source exact "
+        "percentile bins, constant md5-threshold keep rates, one scan",
+    )
+)

@@ -208,3 +208,32 @@ def test_semdedup_keep_rule(spark):
     for r in rows:
         if not r["kept"]:
             assert cell[r["dup_of"]] == r["cell"]
+
+
+def test_quality_stratified_keep_rates(spark):
+    """Quartiles are ~equal-frequency per source, the best quartile is
+    kept whole, and lower-quartile keep fractions track the planted
+    1/2, 1/4, 1/8 md5-threshold rates."""
+    from feature_generation_benchmark_spark.workloads.curation import (
+        quality_stratified_mixture,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = quality_stratified_mixture(spark, SF_SMOKE).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, {})[r.qbin] = r
+    want_rate = {0: 1 / 8, 1: 1 / 4, 2: 1 / 2, 3: 1.0}
+    for src, bins in by_src.items():
+        n = sum(r.n_docs for r in bins.values())
+        for q, r in bins.items():
+            assert abs(r.n_docs - n / 4) <= max(3, 0.25 * n), (src, q)
+            if q == 3:
+                assert r.n_kept == r.n_docs
+            else:
+                # binomial slack around the planted rate
+                import math
+
+                exp = want_rate[q] * r.n_docs
+                slack = 4 * math.sqrt(max(exp, 1)) + 2
+                assert abs(r.n_kept - exp) <= slack, (src, q, r)

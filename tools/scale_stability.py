@@ -98,7 +98,10 @@ QUERIES = ("q7_nation_volume", "q13_order_histogram", "q18_large_orders",
            "fk_orphan_audit", "schema_profile",
            # r4e (11): lead-lag corr (8-row output; one (type,day)
            # combining agg, lag alignment on the 30-row day frame)
-           "leadlag_click_purchase")
+           "leadlag_click_purchase",
+           # r4e (12): quality-stratified mixture (source×4-bounded
+           # output; percentile fit + broadcast-apply + one agg)
+           "quality_stratified_mixture")
 
 #: event/document operators probed through a wrapping CHECKSUM aggregate:
 #: their full outputs grow with the scale factor, so collect() would ship
