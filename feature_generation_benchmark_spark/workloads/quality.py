@@ -177,20 +177,24 @@ def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
 
     def edge(name, fact, fk, dim, pk, broadcast_dim):
-        keys = dim.select(F.col(pk).alias(fk)).distinct()
+        # ONE fact scan per edge: left join against the key build side,
+        # then a single agg counts rows and null-hits together (an anti
+        # join + separate count would scan the fact twice)
+        keys = dim.select(F.col(pk).alias(fk)).distinct().withColumn(
+            "__hit", F.lit(1)
+        )
         if broadcast_dim:
             keys = F.broadcast(keys)
-        orphans = fact.select(fk).join(keys, fk, "left_anti")
         return (
-            fact.select(F.count(F.lit(1)).alias("n_rows"))
-            .crossJoin(
-                orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+            fact.select(fk)
+            .join(keys, fk, "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("__hit").isNull().cast("long")).alias(
+                    "n_orphans"
+                ),
             )
-            .select(
-                F.lit(name).alias("edge"),
-                "n_rows",
-                "n_orphans",
-            )
+            .select(F.lit(name).alias("edge"), "n_rows", "n_orphans")
         )
 
     edges = [
