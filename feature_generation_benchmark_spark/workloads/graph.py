@@ -314,3 +314,134 @@ QUERIES.append(
         "(frontier iteration vs recursive-CTE oracle)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# GNN-style feature propagation — the message-passing pre-compute
+# (SGC / "feature smoothing") that graph ML pipelines run before training
+# ---------------------------------------------------------------------------
+
+def graph_feature_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One and two hops of neighbor-mean aggregation over the bipartite
+    customer↔supplier trade graph, per supplier: own account balance,
+    mean of trading customers' balances (1-hop), and mean over all
+    supplier endpoints of 2-hop paths supplier→customer→supplier
+    (MULTISET path semantics — a supplier reachable via k shared
+    customers contributes k times, the standard GNN message-passing
+    weighting; self-paths included).
+
+    Plan: ONE distinct (cust, supp) edge build; 1-hop = edge ⋈ customer
+    features + supplier-keyed agg; 2-hop = edge ⋈ edge on the customer
+    key (fan-out Σ_c deg(c)², the co-purchase density bound) + the same
+    agg — no iteration, no driver loop. All sums are exact integer
+    cents; the two means are single e6-quantized divisions."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .distinct()
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("c_cents"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"),
+        F.round(F.col("s_acctbal") * 100, 0).cast("long").alias("s_cents"),
+    )
+    h1 = (
+        edges.join(cust, "custkey")
+        .groupBy("suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_1hop"),
+            F.sum("c_cents").alias("sum_1hop_cents"),
+        )
+    )
+    e2 = edges.select("custkey", F.col("suppkey").alias("suppkey2"))
+    h2 = (
+        edges.join(e2, "custkey")
+        .join(
+            supp.select(
+                F.col("suppkey").alias("suppkey2"),
+                F.col("s_cents").alias("s2_cents"),
+            ),
+            "suppkey2",
+        )
+        .groupBy("suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_2hop"),
+            F.sum("s2_cents").alias("sum_2hop_cents"),
+        )
+    )
+    return (
+        supp.join(h1, "suppkey")
+        .join(h2, "suppkey")
+        .select(
+            "suppkey",
+            "s_cents",
+            "n_1hop",
+            F.round(
+                F.col("sum_1hop_cents") * F.lit(1e6) / F.col("n_1hop"), 0
+            )
+            .cast("long")
+            .alias("mean_1hop_e6"),
+            "n_2hop",
+            F.round(
+                F.col("sum_2hop_cents") * F.lit(1e6) / F.col("n_2hop"), 0
+            )
+            .cast("long")
+            .alias("mean_2hop_e6"),
+        )
+    )
+
+
+_GFP_ORACLE = """
+WITH edges AS (
+  SELECT DISTINCT o_custkey AS custkey, l_suppkey AS suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+cust AS (
+  SELECT c_custkey AS custkey,
+         CAST(round(c_acctbal*100) AS BIGINT) AS c_cents
+  FROM customer
+),
+supp AS (
+  SELECT s_suppkey AS suppkey,
+         CAST(round(s_acctbal*100) AS BIGINT) AS s_cents
+  FROM supplier
+),
+h1 AS (
+  SELECT suppkey, count(*) AS n_1hop, sum(c_cents) AS sum_1hop_cents
+  FROM edges JOIN cust USING (custkey) GROUP BY suppkey
+),
+h2 AS (
+  SELECT a.suppkey, count(*) AS n_2hop, sum(s2.s_cents) AS sum_2hop_cents
+  FROM edges a JOIN edges b ON a.custkey = b.custkey
+  JOIN supp s2 ON s2.suppkey = b.suppkey
+  GROUP BY a.suppkey
+)
+SELECT supp.suppkey, s_cents,
+  CAST(n_1hop AS BIGINT) AS n_1hop,
+  CAST(round(sum_1hop_cents * 1e6 / n_1hop) AS BIGINT) AS mean_1hop_e6,
+  CAST(n_2hop AS BIGINT) AS n_2hop,
+  CAST(round(sum_2hop_cents * 1e6 / n_2hop) AS BIGINT) AS mean_2hop_e6
+FROM supp JOIN h1 USING (suppkey) JOIN h2 USING (suppkey)
+"""
+
+QUERIES.append(
+    QueryDef(
+        "graph_feature_propagation",
+        graph_feature_propagation,
+        _GFP_ORACLE,
+        "GNN-style 1- and 2-hop neighbor-mean feature smoothing over "
+        "the trade graph (multiset path semantics, no iteration)",
+    )
+)

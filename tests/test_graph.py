@@ -36,3 +36,24 @@ def test_damping_bounds(spark):
         _scores(spark, [(1, 2), (2, 1)], damping_pct=0)
     with pytest.raises(ValueError):
         _scores(spark, [(1, 2), (2, 1)], damping_pct=100)
+
+
+def test_feature_propagation_smooths_toward_global_mean(spark):
+    """Message passing must contract the feature spread: the variance of
+    2-hop means is no larger than the variance of raw supplier balances
+    (the SGC smoothing property), and every n_2hop >= n_1hop (each
+    1-hop customer contributes at least the supplier's own edge back)."""
+    import statistics
+
+    from feature_generation_benchmark_spark.workloads.graph import (
+        graph_feature_propagation,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = graph_feature_propagation(spark, SF_SMOKE).collect()
+    assert rows
+    raw = [r.s_cents for r in rows]
+    h2 = [r.mean_2hop_e6 / 1e6 for r in rows]
+    assert statistics.pvariance(h2) <= statistics.pvariance(raw)
+    for r in rows:
+        assert r.n_2hop >= r.n_1hop, r

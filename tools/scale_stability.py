@@ -101,7 +101,11 @@ QUERIES = ("q7_nation_volume", "q13_order_histogram", "q18_large_orders",
            "leadlag_click_purchase",
            # r4e (12): quality-stratified mixture (source×4-bounded
            # output; percentile fit + broadcast-apply + one agg)
-           "quality_stratified_mixture")
+           "quality_stratified_mixture",
+           # r4e (13): GNN feature smoothing (supplier-dim output; the
+           # 2-hop edge⋈edge fan-out is the co-purchase density bound
+           # that must not flip plans as facts grow)
+           "graph_feature_propagation")
 
 #: event/document operators probed through a wrapping CHECKSUM aggregate:
 #: their full outputs grow with the scale factor, so collect() would ship
