@@ -1184,3 +1184,77 @@ QUERIES.append(
         "TakeOrdered top-k",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Negative-sampling noise table — skipgram_pmi's companion: word2vec SGNS
+# draws negatives from the unigram^0.75 distribution (Mikolov 2013)
+# ---------------------------------------------------------------------------
+
+_NEG_TOP_K = 500
+
+
+def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The top-500 noise-distribution rows for SGNS negative sampling:
+    per token, count^0.75 weight (e6-quantized BEFORE the cumulative
+    sum, so the running total is an exact integer prefix sum) and its
+    cumulative weight in (count desc, token) order — the table a sampler
+    binary-searches with a uniform draw.
+
+    Plan: ONE vocab-sized combining agg over the exploded tokens, then a
+    TakeOrdered top-K and a single-partition window prefix-sum over K
+    rows (K=500 — the window is deliberately AFTER the top-K cut, so no
+    global sort of the vocab ever happens). pow(c, 0.75) is one
+    transcendental per distinct count value, quantized per-row
+    (unigram_logprob residual-risk contract)."""
+    docs = load_table(spark, sf_dir, "documents")
+    uni = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    topk = (
+        uni.orderBy(F.col("c").desc(), F.col("tok"))
+        .limit(_NEG_TOP_K)
+        .select(
+            "tok",
+            "c",
+            F.round(F.pow(F.col("c").cast("double"), 0.75) * 1e6, 0)
+            .cast("long")
+            .alias("w_e6"),
+        )
+    )
+    w = (
+        Window.orderBy(F.col("c").desc(), F.col("tok"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return topk.select(
+        "tok", "c", "w_e6", F.sum("w_e6").over(w).alias("cum_w_e6")
+    )
+
+
+_NEG_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest({_TOKS_SQL}) AS tok FROM documents
+),
+uni AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+topk AS (
+  SELECT tok, CAST(c AS BIGINT) AS c,
+         CAST(round(pow(CAST(c AS DOUBLE), 0.75) * 1e6) AS BIGINT) AS w_e6
+  FROM uni ORDER BY c DESC, tok LIMIT {_NEG_TOP_K}
+)
+SELECT tok, c, w_e6,
+  CAST(sum(w_e6) OVER (ORDER BY c DESC, tok
+       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_w_e6
+FROM topk
+"""
+
+QUERIES.append(
+    QueryDef(
+        "negative_sampling_table",
+        negative_sampling_table,
+        _NEG_ORACLE,
+        "word2vec SGNS noise table: unigram^0.75 weights, exact integer "
+        "prefix sum AFTER the top-K cut (no global vocab sort)",
+    )
+)
