@@ -105,7 +105,10 @@ QUERIES = ("q7_nation_volume", "q13_order_histogram", "q18_large_orders",
            # r4e (13): GNN feature smoothing (supplier-dim output; the
            # 2-hop edge⋈edge fan-out is the co-purchase density bound
            # that must not flip plans as facts grow)
-           "graph_feature_propagation")
+           "graph_feature_propagation",
+           # r4e (14): SGNS noise table (top-500-bounded output; the
+           # vocab agg + TakeOrdered must hold as docs grow)
+           "negative_sampling_table")
 
 #: event/document operators probed through a wrapping CHECKSUM aggregate:
 #: their full outputs grow with the scale factor, so collect() would ship
