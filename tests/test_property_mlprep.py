@@ -234,3 +234,86 @@ def test_target_encoding_matches_python_model(
         )
         assert got[k]["enc_e6"] == want, (k, p, s)
         assert got[k]["label"] == label
+
+
+# -------------------------------------------------- r4e fold operators ----
+
+@given(rows=psi_streams())
+@settings(**_SETTINGS)
+def test_window_funnel_matches_bruteforce_on_random_streams(
+    spark, tmp_path_factory, rows
+):
+    """The O(steps)-state DP frontier equals brute-force chain search on
+    random streams (types remapped onto the funnel stages so chains of
+    every depth occur)."""
+    import itertools
+
+    from feature_generation_benchmark_spark.workloads.funnel import (
+        _WF_WINDOW_US,
+        window_funnel_depth,
+    )
+
+    stage = {"x": "view", "y": "click"}
+    remapped = [
+        (eid, us, uid, stage.get(typ, typ) if eid % 3 else "purchase", val)
+        for eid, us, uid, typ, val in rows
+    ]
+    d = _write_events(spark, tmp_path_factory, remapped, "wfprop")
+    steps = {"view": 1, "click": 2, "purchase": 3}
+    by_user = {}
+    for eid, us, uid, typ, _val in remapped:
+        by_user.setdefault(uid, []).append((us, steps.get(typ)))
+
+    def brute(evs):
+        t1s = sorted(us for us, s in evs if s == 1)
+        t2s = sorted(us for us, s in evs if s == 2)
+        t3s = sorted(us for us, s in evs if s == 3)
+        best = 1 if t1s else 0
+        for t1, t2 in itertools.product(t1s, t2s):
+            if t2 >= t1 and t2 - t1 <= _WF_WINDOW_US:
+                best = max(best, 2)
+                if any(
+                    t3 >= t2 and t3 - t1 <= _WF_WINDOW_US for t3 in t3s
+                ):
+                    return 3
+        return best
+
+    want = Counter(brute(evs) for evs in by_user.values())
+    got = {
+        r["depth"]: r["n_users"]
+        for r in window_funnel_depth(spark, d).collect()
+    }
+    assert got == dict(want)
+
+
+@given(rows=psi_streams())
+@settings(**_SETTINGS)
+def test_cusum_matches_python_on_random_streams(
+    spark, tmp_path_factory, rows
+):
+    from feature_generation_benchmark_spark.workloads.timeseries import (
+        _CUSUM_H_MULT,
+        cusum_daily_alarms,
+    )
+
+    d = _write_events(spark, tmp_path_factory, rows, "cusumprop")
+    daily = {}
+    for _eid, us, _uid, typ, val in rows:
+        day = us // (86_400 * _US)
+        daily.setdefault(typ, Counter())[day] += int(round(val * 100))
+    want = {}
+    for typ, series in daily.items():
+        xs = [series[day] for day in sorted(series)]
+        k = sum(xs) // len(xs)
+        s = alarms = max_s = 0
+        for x in xs:
+            s = max(0, s + x - k)
+            if s > _CUSUM_H_MULT * k:
+                alarms += 1
+            max_s = max(max_s, s)
+        want[typ] = (len(xs), k, alarms, max_s)
+    got = {
+        r["event_type"]: (r["n_days"], r["k"], r["n_alarms"], r["max_s"])
+        for r in cusum_daily_alarms(spark, d).collect()
+    }
+    assert got == want
