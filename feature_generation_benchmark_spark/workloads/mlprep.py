@@ -983,20 +983,24 @@ QUERIES.append(
 # --------------------------------------------------------------------------
 # Deterministic Poisson bootstrap — standard errors for a distributed
 # aggregate WITHOUT resampling passes: each event gets B=10 replicate
-# weights drawn Poisson(1) from an md5 hash of (event_id, replicate), the
-# online-bootstrap trick (Oza & Russell 2001; Poisson(1) approximates
-# multinomial resampling). Because the "randomness" is the engine-wide
-# md5-prefix idiom against PRE-COMPUTED integer CDF thresholds, replicate
-# sums are exact integers and bit-identical on both engines — a fully
-# oracle-checkable bootstrap. Plan: one (type, replicate) combining agg
-# (fan-out ×10 combines map-side), then a 10-row-per-type variance agg.
+# weights drawn Poisson(1) from ONE md5 hash per event — replicate b's
+# uniform is the disjoint 3-hex-digit slice [1+3b, 3] of the digest
+# against PRE-COMPUTED 4096-scale integer CDF thresholds (the
+# online-bootstrap trick, Oza & Russell 2001; Poisson(1) approximates
+# multinomial resampling). One hash per ROW, not per (row, replicate) —
+# a 10× cut in hash work (locally the explode+agg dominates, so the sf0.1
+# one-shot only moves 3.1→2.6 s; the hash cut is the wide-row/large-B
+# scale lever). Replicate sums stay exact
+# integers and bit-identical on both engines — a fully oracle-checkable
+# bootstrap. Plan: one (type, replicate) combining agg (fan-out ×10
+# combines map-side), then a 10-row-per-type variance agg.
 # --------------------------------------------------------------------------
 
 _BOOT_B = 10
-#: Poisson(1) CDF k=0..4 scaled to the md5-prefix's 2^32 domain; u >= the
-#: last threshold draws weight 5 (P ≈ 3.7e-4 truncation, standard for
+#: Poisson(1) CDF k=0..4 scaled to the 3-hex-digit (4096) domain; u >= the
+#: last threshold draws weight 5 (truncation P ≈ 3.7e-4, standard for
 #: online bootstrap weights)
-_BOOT_THRESH = (1580030168, 3160060337, 3950075421, 4213413783, 4279248373)
+_BOOT_THRESH = (1506, 3013, 3767, 4018, 4081)
 
 
 def _boot_weight_sql(u: str) -> str:
@@ -1009,13 +1013,12 @@ def _boot_weight_sql(u: str) -> str:
 def bootstrap_se_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
-        "event_id",
         F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        # ONE digest per event; hoisted so the lambda below slices it
+        # instead of re-hashing per replicate
+        F.md5(F.col("event_id").cast("string")).alias("h"),
     )
-    u = (
-        "CAST(conv(substring(md5(concat(CAST(event_id AS STRING), ':', "
-        "CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT)"
-    )
+    u = "CAST(conv(substring(h, 1 + 3 * b, 3), 16, 10) AS BIGINT)"
     reps = ev.select(
         "event_type",
         "cents",
@@ -1049,16 +1052,20 @@ def bootstrap_se_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BOOT_U_SQL = (
-    "CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' || "
-    "CAST(b AS VARCHAR)), 1, 8)) AS BIGINT)"
+    "CAST(('0x' || substr(h, CAST(1 + 3 * b AS INTEGER), 3)) AS BIGINT)"
 )
 
 _BOOT_ORACLE = f"""
-WITH reps AS (
+WITH ev AS (
   SELECT event_type,
          CAST(round(value*100) AS BIGINT) AS cents,
+         md5(CAST(event_id AS VARCHAR)) AS h
+  FROM events
+),
+reps AS (
+  SELECT event_type, cents,
          b, {_boot_weight_sql(_BOOT_U_SQL)} AS w
-  FROM events CROSS JOIN (SELECT unnest(range({_BOOT_B})) AS b)
+  FROM ev CROSS JOIN (SELECT unnest(range({_BOOT_B})) AS b)
 ),
 sums AS (
   SELECT event_type, b, sum(w * cents) AS s
