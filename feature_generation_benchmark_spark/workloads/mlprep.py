@@ -1089,3 +1089,180 @@ QUERIES.append(
         "weights, exact integer replicate sums, oracle-checked variance",
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Experimentation pair — the A/B-testing queries every event pipeline
+# serves: (1) difference-in-differences around a cutover date for an
+# observationally "treated" cohort, (2) the sample-ratio-mismatch chi²
+# guardrail on a deterministic 50/50 assignment.
+# --------------------------------------------------------------------------
+
+def diff_in_diff_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff-in-diff of mean event value around the Jan-16 cutover
+    between the two md5-parity arms (the same deterministic assignment
+    ``srm_check`` guards): per cell (arm × pre/post) exact cent sums +
+    counts, means as single divisions, and the e6 delta-of-deltas — on
+    a hash-randomized assignment the DiD is an A/A reading, the
+    experimentation platform's calibration query. ONE conditional
+    aggregate computes all four cells (no per-cell frames, no join);
+    empty cells surface as NULL means on both engines identically."""
+    arm = F.expr(
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 1),"
+        " 16, 10) % 2 AS INT)"
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        arm.alias("t"),
+        (F.expr(f"ts div {_NS_PER_DAY}") >= F.lit(_PSI_SPLIT_DAY))
+        .cast("int")
+        .alias("p"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+
+    def cell(t, p, col):
+        cond = (F.col("t") == t) & (F.col("p") == p)
+        if col == "n":
+            return F.sum(cond.cast("long")).alias(f"n_{t}{p}")
+        return F.sum(F.when(cond, F.col("cents")).otherwise(0)).alias(
+            f"s_{t}{p}"
+        )
+
+    wide = ev.agg(
+        *[cell(t, p, c) for t in (0, 1) for p in (0, 1) for c in ("n", "s")]
+    )
+    mean = lambda t, p: F.when(  # noqa: E731
+        F.col(f"n_{t}{p}") > 0,
+        F.col(f"s_{t}{p}").cast("double") / F.col(f"n_{t}{p}"),
+    )
+    return wide.select(
+        "n_00",
+        "n_01",
+        "n_10",
+        "n_11",
+        F.round((mean(1, 1) - mean(1, 0)) * 1e6, 0)
+        .cast("long")
+        .alias("treated_delta_e6"),
+        F.round((mean(0, 1) - mean(0, 0)) * 1e6, 0)
+        .cast("long")
+        .alias("control_delta_e6"),
+        F.round(
+            ((mean(1, 1) - mean(1, 0)) - (mean(0, 1) - mean(0, 0))) * 1e6,
+            0,
+        )
+        .cast("long")
+        .alias("did_e6"),
+    )
+
+
+_DID_ORACLE = f"""
+WITH ev AS (
+  SELECT
+    CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 1))
+         AS BIGINT) % 2 AS INT) AS t,
+    CASE WHEN epoch_ns(ts) // {_NS_PER_DAY} >= {_PSI_SPLIT_DAY}
+         THEN 1 ELSE 0 END AS p,
+    CAST(round(value*100) AS BIGINT) AS cents
+  FROM events
+),
+w AS (
+  SELECT
+    sum(CASE WHEN t=0 AND p=0 THEN 1 ELSE 0 END) AS n_00,
+    sum(CASE WHEN t=0 AND p=0 THEN cents ELSE 0 END) AS s_00,
+    sum(CASE WHEN t=0 AND p=1 THEN 1 ELSE 0 END) AS n_01,
+    sum(CASE WHEN t=0 AND p=1 THEN cents ELSE 0 END) AS s_01,
+    sum(CASE WHEN t=1 AND p=0 THEN 1 ELSE 0 END) AS n_10,
+    sum(CASE WHEN t=1 AND p=0 THEN cents ELSE 0 END) AS s_10,
+    sum(CASE WHEN t=1 AND p=1 THEN 1 ELSE 0 END) AS n_11,
+    sum(CASE WHEN t=1 AND p=1 THEN cents ELSE 0 END) AS s_11
+  FROM ev
+),
+m AS (
+  SELECT n_00, n_01, n_10, n_11,
+    CASE WHEN n_00 > 0 THEN CAST(s_00 AS DOUBLE)/n_00 END AS m_00,
+    CASE WHEN n_01 > 0 THEN CAST(s_01 AS DOUBLE)/n_01 END AS m_01,
+    CASE WHEN n_10 > 0 THEN CAST(s_10 AS DOUBLE)/n_10 END AS m_10,
+    CASE WHEN n_11 > 0 THEN CAST(s_11 AS DOUBLE)/n_11 END AS m_11
+  FROM w
+)
+SELECT CAST(n_00 AS BIGINT) AS n_00, CAST(n_01 AS BIGINT) AS n_01,
+  CAST(n_10 AS BIGINT) AS n_10, CAST(n_11 AS BIGINT) AS n_11,
+  CAST(round((m_11 - m_10) * 1e6) AS BIGINT) AS treated_delta_e6,
+  CAST(round((m_01 - m_00) * 1e6) AS BIGINT) AS control_delta_e6,
+  CAST(round(((m_11 - m_10) - (m_01 - m_00)) * 1e6) AS BIGINT) AS did_e6
+FROM m
+"""
+
+
+def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail: assign every user to a 50/50
+    arm by md5 parity (the deterministic hash-assignment every
+    experimentation platform uses), then the chi² statistic of observed
+    vs expected arm counts — integer counts, the chi² a single
+    expression of exact integers e6-quantized. One distinct-user agg,
+    one 2-row count agg."""
+    users = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            F.expr(
+                "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 1),"
+                " 16, 10) % 2 AS INT)"
+            ).alias("arm")
+        )
+    )
+    counts = users.groupBy("arm").agg(F.count(F.lit(1)).alias("n"))
+    a = counts.filter(F.col("arm") == 0).select(F.col("n").alias("n_a"))
+    b = counts.filter(F.col("arm") == 1).select(F.col("n").alias("n_b"))
+    tot = F.col("n_a") + F.col("n_b")
+    exp = tot.cast("double") / 2
+    chi2 = (
+        (F.col("n_a") - exp) * (F.col("n_a") - exp) / exp
+        + (F.col("n_b") - exp) * (F.col("n_b") - exp) / exp
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_a",
+        "n_b",
+        F.round(chi2 * 1e6, 0).cast("long").alias("chi2_e6"),
+    )
+
+
+_SRM_ORACLE = """
+WITH u AS (
+  SELECT CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 1))
+              AS BIGINT) % 2 AS INT) AS arm
+  FROM (SELECT DISTINCT user_id FROM events)
+),
+c AS (SELECT arm, count(*) AS n FROM u GROUP BY arm),
+w AS (
+  SELECT (SELECT n FROM c WHERE arm = 0) AS n_a,
+         (SELECT n FROM c WHERE arm = 1) AS n_b
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  CAST(round(
+    ((n_a - CAST(n_a + n_b AS DOUBLE)/2) * (n_a - CAST(n_a + n_b AS DOUBLE)/2)
+       / (CAST(n_a + n_b AS DOUBLE)/2)
+     + (n_b - CAST(n_a + n_b AS DOUBLE)/2) * (n_b - CAST(n_a + n_b AS DOUBLE)/2)
+       / (CAST(n_a + n_b AS DOUBLE)/2)) * 1e6) AS BIGINT) AS chi2_e6
+FROM w
+"""
+
+QUERIES.append(
+    QueryDef(
+        "diff_in_diff_arms",
+        diff_in_diff_arms,
+        _DID_ORACLE,
+        "A/A difference-in-differences around the mid-month cutover "
+        "between md5-parity arms: one conditional aggregate for all "
+        "four cells, e6 delta-of-deltas",
+    )
+)
+QUERIES.append(
+    QueryDef(
+        "srm_check",
+        srm_check,
+        _SRM_ORACLE,
+        "sample-ratio-mismatch chi-square on a deterministic md5 50/50 "
+        "arm assignment (the experimentation guardrail)",
+    )
+)

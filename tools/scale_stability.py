@@ -108,7 +108,10 @@ QUERIES = ("q7_nation_volume", "q13_order_histogram", "q18_large_orders",
            "graph_feature_propagation",
            # r4e (14): SGNS noise table (top-500-bounded output; the
            # vocab agg + TakeOrdered must hold as docs grow)
-           "negative_sampling_table")
+           "negative_sampling_table",
+           # r4e (15): experimentation pair (1-row outputs; one
+           # conditional agg / one distinct-user agg over the scan)
+           "diff_in_diff_arms", "srm_check")
 
 #: event/document operators probed through a wrapping CHECKSUM aggregate:
 #: their full outputs grow with the scale factor, so collect() would ship
