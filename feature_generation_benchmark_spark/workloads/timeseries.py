@@ -832,3 +832,102 @@ QUERIES.append(
         "once for all lags",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Weekday seasonality profile — STL-lite: how much of the daily-volume
+# variance is explained by the day-of-week pattern
+# ---------------------------------------------------------------------------
+
+def weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: the 7-point day-of-week mean-volume profile and
+    the seasonality strength = 1 − var(residual)/var(daily), where the
+    residual subtracts each day's weekday mean (the STL seasonal-
+    strength statistic on a weekly period).
+
+    Exactness: daily totals are exact cents; weekday means and the two
+    variances are built from exact integer sums with the SAME
+    divisions/products on both engines (variance in the E[x²]−E[x]²
+    form of exact sums), e6-quantized once at the end. dow = epoch-day
+    mod 7 (day 0 = Thursday) — pure integer, no calendar functions to
+    disagree on. Shuffles: one (type, day) combining agg; everything
+    after is ≤ types×7 rows."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr(f"ts div {_NS_PER_DAY}").alias("day"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("x"))
+        .withColumn("dow", F.col("day") % 7)
+    )
+    dow_means = daily.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n_d"), F.sum("x").alias("s_d")
+    )
+    joined = daily.join(F.broadcast(dow_means), ["event_type", "dow"])
+    resid = F.col("x") - F.col("s_d").cast("double") / F.col("n_d")
+    stats = joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x").cast("double") * F.col("x")).alias("sxx"),
+        F.sum(resid * resid).alias("srr"),
+    )
+    var_total = (
+        F.col("sxx") / F.col("n_days")
+        - (F.col("sx").cast("double") / F.col("n_days"))
+        * (F.col("sx").cast("double") / F.col("n_days"))
+    )
+    return stats.select(
+        "event_type",
+        "n_days",
+        F.round(
+            (F.lit(1.0) - (F.col("srr") / F.col("n_days")) / var_total)
+            * 1e6,
+            0,
+        )
+        .cast("long")
+        .alias("seasonal_strength_e6"),
+    )
+
+
+_SEASON_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, epoch_ns(ts) // {_NS_PER_DAY} AS day,
+         sum(CAST(round(value*100) AS BIGINT)) AS x
+  FROM events GROUP BY event_type, day
+),
+d AS (SELECT event_type, day, x, day % 7 AS dow FROM daily),
+dm AS (
+  SELECT event_type, dow, count(*) AS n_d, sum(x) AS s_d
+  FROM d GROUP BY event_type, dow
+),
+j AS (
+  SELECT d.event_type, x,
+         x - CAST(s_d AS DOUBLE) / n_d AS r
+  FROM d JOIN dm ON d.event_type = dm.event_type AND d.dow = dm.dow
+),
+s AS (
+  SELECT event_type, count(*) AS n_days, sum(x) AS sx,
+         sum(CAST(x AS DOUBLE) * x) AS sxx, sum(r * r) AS srr
+  FROM j GROUP BY event_type
+)
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+  CAST(round(
+    (1.0 - (srr / n_days)
+     / (sxx / n_days
+        - (CAST(sx AS DOUBLE) / n_days) * (CAST(sx AS DOUBLE) / n_days)))
+    * 1e6) AS BIGINT) AS seasonal_strength_e6
+FROM s
+"""
+
+QUERIES.append(
+    QueryDef(
+        "weekday_seasonality",
+        weekday_seasonality,
+        _SEASON_ORACLE,
+        "STL-lite weekly seasonal strength per type: 1 - var(residual)/"
+        "var(daily) from exact integer sums, integer dow (epoch mod 7)",
+    )
+)

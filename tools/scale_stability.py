@@ -111,7 +111,10 @@ QUERIES = ("q7_nation_volume", "q13_order_histogram", "q18_large_orders",
            "negative_sampling_table",
            # r4e (15): experimentation pair (1-row outputs; one
            # conditional agg / one distinct-user agg over the scan)
-           "diff_in_diff_arms", "srm_check")
+           "diff_in_diff_arms", "srm_check",
+           # r4e (16): weekly seasonal strength (type-dim output; one
+           # (type,day) combining agg, rest ≤ types×7 rows)
+           "weekday_seasonality")
 
 #: event/document operators probed through a wrapping CHECKSUM aggregate:
 #: their full outputs grow with the scale factor, so collect() would ship
