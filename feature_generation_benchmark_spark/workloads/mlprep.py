@@ -1266,3 +1266,116 @@ QUERIES.append(
         "arm assignment (the experimentation guardrail)",
     )
 )
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation — the classic customer-feature coding: per-user
+# Recency (days since last event), Frequency (event count), Monetary
+# (cent total), each quartile-binned against exact interpolated
+# percentile boundaries over the user population, concatenated into the
+# 3-digit RFM code. Output: users per code (the segment size report).
+# Two combining aggs (per-user, then per-code) + a broadcast 1-row
+# boundary model; all inputs exact integers, boundary compares on
+# identical-IEEE doubles (quantile_bin_transform contract).
+# --------------------------------------------------------------------------
+
+_RFM_REF_DAY = 19_754  # 2024-02-01, the day after the event window
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr(f"ts div {_NS_PER_DAY}").alias("day"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("user_id")
+        .agg(
+            (F.lit(_RFM_REF_DAY) - F.max("day")).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("cents").alias("monetary_cents"),
+        )
+    )
+    bounds = per_user.agg(
+        *[
+            F.percentile(c, q).alias(f"{c}_{int(q * 100)}")
+            for c in ("recency_days", "frequency", "monetary_cents")
+            for q in (0.25, 0.5, 0.75)
+        ]
+    )
+
+    def qbin(c, invert):
+        # recency: LOWER is better → invert so 3 is always "best"
+        raw = (
+            F.when(F.col(c) <= F.col(f"{c}_25"), 0)
+            .when(F.col(c) <= F.col(f"{c}_50"), 1)
+            .when(F.col(c) <= F.col(f"{c}_75"), 2)
+            .otherwise(3)
+        )
+        return (F.lit(3) - raw) if invert else raw
+
+    coded = per_user.crossJoin(F.broadcast(bounds)).select(
+        (
+            qbin("recency_days", True) * 100
+            + qbin("frequency", False) * 10
+            + qbin("monetary_cents", False)
+        ).alias("rfm_code"),
+        "monetary_cents",
+    )
+    return coded.groupBy("rfm_code").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("monetary_cents").alias("segment_cents"),
+    )
+
+
+_RFM_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id,
+    {_RFM_REF_DAY} - max(epoch_ns(ts) // {_NS_PER_DAY}) AS recency_days,
+    count(*) AS frequency,
+    sum(CAST(round(value*100) AS BIGINT)) AS monetary_cents
+  FROM events GROUP BY user_id
+),
+b AS (
+  SELECT
+    quantile_cont(recency_days, 0.25) AS r25,
+    quantile_cont(recency_days, 0.5)  AS r50,
+    quantile_cont(recency_days, 0.75) AS r75,
+    quantile_cont(frequency, 0.25) AS f25,
+    quantile_cont(frequency, 0.5)  AS f50,
+    quantile_cont(frequency, 0.75) AS f75,
+    quantile_cont(monetary_cents, 0.25) AS m25,
+    quantile_cont(monetary_cents, 0.5)  AS m50,
+    quantile_cont(monetary_cents, 0.75) AS m75
+  FROM per_user
+),
+coded AS (
+  SELECT
+    (3 - CASE WHEN recency_days <= r25 THEN 0
+              WHEN recency_days <= r50 THEN 1
+              WHEN recency_days <= r75 THEN 2 ELSE 3 END) * 100
+    + (CASE WHEN frequency <= f25 THEN 0
+            WHEN frequency <= f50 THEN 1
+            WHEN frequency <= f75 THEN 2 ELSE 3 END) * 10
+    + (CASE WHEN monetary_cents <= m25 THEN 0
+            WHEN monetary_cents <= m50 THEN 1
+            WHEN monetary_cents <= m75 THEN 2 ELSE 3 END) AS rfm_code,
+    monetary_cents
+  FROM per_user CROSS JOIN b
+)
+SELECT CAST(rfm_code AS INT) AS rfm_code,
+  CAST(count(*) AS BIGINT) AS n_users,
+  CAST(sum(monetary_cents) AS BIGINT) AS segment_cents
+FROM coded GROUP BY rfm_code
+"""
+
+QUERIES.append(
+    QueryDef(
+        "rfm_segments",
+        rfm_segments,
+        _RFM_ORACLE,
+        "RFM quartile segmentation: per-user recency/frequency/monetary "
+        "coded against exact percentile boundaries, segment size report",
+    )
+)

@@ -114,7 +114,10 @@ QUERIES = ("q7_nation_volume", "q13_order_histogram", "q18_large_orders",
            "diff_in_diff_arms", "srm_check",
            # r4e (16): weekly seasonal strength (type-dim output; one
            # (type,day) combining agg, rest ≤ types×7 rows)
-           "weekday_seasonality")
+           "weekday_seasonality",
+           # r4e (17): RFM segmentation (≤64-code output; per-user agg
+           # + broadcast 1-row boundary model + code agg)
+           "rfm_segments")
 
 #: event/document operators probed through a wrapping CHECKSUM aggregate:
 #: their full outputs grow with the scale factor, so collect() would ship
