@@ -1052,3 +1052,63 @@ QUERIES.append(
         "sums, one closed-form double expression",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Fulfillment-latency percentiles — the operational SLA query: order-to-
+# ship lag distribution per order priority
+# ---------------------------------------------------------------------------
+
+def ship_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of the order→ship lag in whole days per priority:
+    lineitem ⋈ orders on the order key (the fact-fact equi-join), lag as
+    exact integer epoch-day difference, exact interpolated percentiles
+    (value_percentiles IEEE-parity contract). One join shuffle + one
+    priority-keyed combining agg."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr("CAST(l_shipdate AS DATE)").alias("ship_d"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("CAST(o_orderdate AS DATE)").alias("order_d"),
+    )
+    lag = F.datediff(F.col("ship_d"), F.col("order_d")).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_orderpriority", lag.alias("lag_days"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.percentile("lag_days", 0.5).alias("p50_days"),
+            F.percentile("lag_days", 0.9).alias("p90_days"),
+            F.percentile("lag_days", 0.99).alias("p99_days"),
+        )
+    )
+
+
+_SHIP_LAG_ORACLE = """
+WITH j AS (
+  SELECT o_orderpriority,
+         date_diff('day', CAST(o_orderdate AS DATE),
+                   CAST(l_shipdate AS DATE)) AS lag_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT o_orderpriority,
+  CAST(count(*) AS BIGINT) AS n,
+  quantile_cont(lag_days, 0.5)  AS p50_days,
+  quantile_cont(lag_days, 0.9)  AS p90_days,
+  quantile_cont(lag_days, 0.99) AS p99_days
+FROM j GROUP BY o_orderpriority
+"""
+
+QUERIES.append(
+    QueryDef(
+        "ship_lag_percentiles",
+        ship_lag_percentiles,
+        _SHIP_LAG_ORACLE,
+        "order-to-ship lag p50/p90/p99 per priority: exact integer day "
+        "lags through the fact-fact join, interpolated percentiles",
+    )
+)

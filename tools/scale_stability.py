@@ -117,7 +117,10 @@ QUERIES = ("q7_nation_volume", "q13_order_histogram", "q18_large_orders",
            "weekday_seasonality",
            # r4e (17): RFM segmentation (≤64-code output; per-user agg
            # + broadcast 1-row boundary model + code agg)
-           "rfm_segments")
+           "rfm_segments",
+           # r4e (18): ship-lag SLA percentiles (priority-dim output;
+           # the fact-fact join must hold as both sides grow)
+           "ship_lag_percentiles")
 
 #: event/document operators probed through a wrapping CHECKSUM aggregate:
 #: their full outputs grow with the scale factor, so collect() would ship
