@@ -285,8 +285,11 @@ def schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs += [
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
             F.countDistinct(c).alias(f"{c}__distinct"),
-            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
-            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+            # min/max on the NATIVE column (true extremes), stringified
+            # once at the end for the uniform schema — lexicographic
+            # min/max of stringified numerics would report '10.0' < '9.0'
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
         ]
     wide = li.agg(*aggs)
     rows = [
@@ -308,8 +311,8 @@ SELECT '{c}' AS col_name,
   CAST(count(*) AS BIGINT) AS n_rows,
   CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
   CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
-  min(CAST({c} AS VARCHAR)) AS min_str,
-  max(CAST({c} AS VARCHAR)) AS max_str
+  CAST(min({c}) AS VARCHAR) AS min_str,
+  CAST(max({c}) AS VARCHAR) AS max_str
 FROM lineitem""")
     return "\nUNION ALL\n".join(parts)
 

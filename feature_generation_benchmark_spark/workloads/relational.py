@@ -1278,7 +1278,7 @@ def hll_users_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     day_sketches = ev.groupBy(
         "event_type",
-        (F.col("ts") / F.lit(_NS_PER_DAY_HLL)).cast("long").alias("day"),
+        F.expr(f"ts div {_NS_PER_DAY_HLL}").alias("day"),
     ).agg(F.hll_sketch_agg("user_id").alias("sk"))
     return day_sketches.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_days"),

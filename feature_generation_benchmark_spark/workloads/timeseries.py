@@ -595,7 +595,7 @@ QUERIES.append(
         ema_customer_spend,
         _EMA_ORACLE,
         "per-customer integer-exact EMA (α=1/4 floor recurrence) via "
-        "grouped sequential applyInPandas fold; oracle = recursive CTE",
+        "collect_list + JVM aggregate() fold; oracle = recursive CTE",
     )
 )
 
@@ -845,10 +845,16 @@ def weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual subtracts each day's weekday mean (the STL seasonal-
     strength statistic on a weekly period).
 
-    Exactness: daily totals are exact cents; weekday means and the two
-    variances are built from exact integer sums with the SAME
-    divisions/products on both engines (variance in the E[x²]−E[x]²
-    form of exact sums), e6-quantized once at the end. dow = epoch-day
+    Exactness: daily totals are exact cents and EVERY aggregate is an
+    exact integer/decimal sum — order-free, so the result cannot flip
+    with partitioning. The residual variance is never summed in floating
+    point; it is derived from the grouped-variance identity
+    ``sum((x - m_d)^2) = sum(x^2) - sum_d(s_d^2 / n_d)`` with each
+    ``s_d^2*1e6 div n_d`` a floor division of exact integers (identical
+    on both engines; the 1e-6 scale keeps the floor truncation ~1e-22
+    relative — invisible at e6 quantization). The only floating-point
+    step is ONE final division of two exact integers, then e6-round —
+    the same contract as ``leadlag_click_purchase``. dow = epoch-day
     mod 7 (day 0 = Thursday) — pure integer, no calendar functions to
     disagree on. Shuffles: one (type, day) combining agg; everything
     after is ≤ types×7 rows."""
@@ -863,32 +869,54 @@ def weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cents").alias("x"))
         .withColumn("dow", F.col("day") % 7)
     )
-    dow_means = daily.groupBy("event_type", "dow").agg(
-        F.count(F.lit(1)).alias("n_d"), F.sum("x").alias("s_d")
+    # (type, dow) level: exact counts, sums, and sums of squares.
+    xd = F.col("x").cast("decimal(19,0)")
+    dow_stats = daily.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n_d"),
+        F.sum("x").alias("s_d"),
+        F.sum((xd * xd).cast("decimal(38,0)")).alias("sxx_d"),
     )
-    joined = daily.join(F.broadcast(dow_means), ["event_type", "dow"])
-    resid = F.col("x") - F.col("s_d").cast("double") / F.col("n_d")
-    stats = joined.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_days"),
-        F.sum("x").alias("sx"),
-        F.sum(F.col("x").cast("double") * F.col("x")).alias("sxx"),
-        F.sum(resid * resid).alias("srr"),
+    # Per-dow between-group term, floor(s_d^2 * 1e6 / n_d): exact integer.
+    term = F.expr(
+        "cast(floor(cast(s_d as decimal(38,0)) * cast(s_d as decimal(38,0))"
+        " * 1000000 / n_d) as decimal(38,0))"
     )
-    var_total = (
-        F.col("sxx") / F.col("n_days")
-        - (F.col("sx").cast("double") / F.col("n_days"))
-        * (F.col("sx").cast("double") / F.col("n_days"))
+    stats = dow_stats.groupBy("event_type").agg(
+        F.sum("n_d").alias("n_days"),
+        F.sum("s_d").alias("sx"),
+        F.sum("sxx_d").alias("sxx"),
+        F.sum(term).alias("sum_term"),
     )
-    return stats.select(
+    # srr_scaled  = sxx*1e6 - sum_term          (residual SS, e6-scaled)
+    # den_scaled  = sxx*1e6 - floor(sx^2*1e6/n) (total SS,    e6-scaled)
+    # strength    = 1 - srr/den = (den - srr)/den = (sum_term - sx2term)/den
+    scaled = stats.select(
         "event_type",
         "n_days",
-        F.round(
-            (F.lit(1.0) - (F.col("srr") / F.col("n_days")) / var_total)
-            * 1e6,
-            0,
-        )
-        .cast("long")
-        .alias("seasonal_strength_e6"),
+        F.expr(
+            "cast(sxx as decimal(38,0)) * 1000000"
+            " - cast(floor(cast(sx as decimal(38,0))"
+            "   * cast(sx as decimal(38,0)) * 1000000 / n_days)"
+            "   as decimal(38,0))"
+        ).alias("den_scaled"),
+        F.expr(
+            "sum_term - cast(floor(cast(sx as decimal(38,0))"
+            "   * cast(sx as decimal(38,0)) * 1000000 / n_days)"
+            "   as decimal(38,0))"
+        ).alias("num_scaled"),
+    )
+    return scaled.select(
+        "event_type",
+        "n_days",
+        F.when(
+            F.col("den_scaled") > 0,
+            F.round(
+                F.col("num_scaled").cast("double")
+                / F.col("den_scaled").cast("double")
+                * 1e6,
+                0,
+            ).cast("long"),
+        ).alias("seasonal_strength_e6"),
     )
 
 
@@ -900,26 +928,30 @@ WITH daily AS (
 ),
 d AS (SELECT event_type, day, x, day % 7 AS dow FROM daily),
 dm AS (
-  SELECT event_type, dow, count(*) AS n_d, sum(x) AS s_d
+  SELECT event_type, dow, count(*) AS n_d,
+         sum(CAST(x AS HUGEINT)) AS s_d,
+         sum(CAST(x AS HUGEINT) * x) AS sxx_d,
+         (sum(CAST(x AS HUGEINT)) * sum(CAST(x AS HUGEINT)) * 1000000)
+           // count(*) AS term
   FROM d GROUP BY event_type, dow
 ),
-j AS (
-  SELECT d.event_type, x,
-         x - CAST(s_d AS DOUBLE) / n_d AS r
-  FROM d JOIN dm ON d.event_type = dm.event_type AND d.dow = dm.dow
-),
 s AS (
-  SELECT event_type, count(*) AS n_days, sum(x) AS sx,
-         sum(CAST(x AS DOUBLE) * x) AS sxx, sum(r * r) AS srr
-  FROM j GROUP BY event_type
+  SELECT event_type, sum(n_d) AS n_days, sum(s_d) AS sx,
+         sum(sxx_d) AS sxx, sum(term) AS sum_term
+  FROM dm GROUP BY event_type
+),
+sc AS (
+  SELECT event_type, n_days,
+         sxx * 1000000 - (sx * sx * 1000000) // n_days AS den_scaled,
+         sum_term - (sx * sx * 1000000) // n_days AS num_scaled
+  FROM s
 )
 SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
-  CAST(round(
-    (1.0 - (srr / n_days)
-     / (sxx / n_days
-        - (CAST(sx AS DOUBLE) / n_days) * (CAST(sx AS DOUBLE) / n_days)))
-    * 1e6) AS BIGINT) AS seasonal_strength_e6
-FROM s
+  CASE WHEN den_scaled > 0 THEN
+    CAST(round(CAST(num_scaled AS DOUBLE) / CAST(den_scaled AS DOUBLE)
+               * 1e6) AS BIGINT)
+  END AS seasonal_strength_e6
+FROM sc
 """
 
 QUERIES.append(
