@@ -54,9 +54,12 @@ def main() -> None:
     # into the JSON artifact so every BENCH_r{N} reading carries its own
     # host-capacity calibration
     from feature_generation_benchmark_spark.hostprobe import (
+        io_cache_probe,
         single_core_probe_sec,
     )
 
+    io_probe = io_cache_probe(sf_dir)  # BEFORE queries touch the data:
+    # a cold reading here labels the whole run cold-IO
     probe_before = single_core_probe_sec()
     timings: dict[str, float] = {}
     for name, fn in queries.items():
@@ -67,7 +70,7 @@ def main() -> None:
 
     shutil.rmtree(out_root, ignore_errors=True)
     detail_line, summary_line = format_output(
-        timings, sf, probe_before, single_core_probe_sec()
+        timings, sf, probe_before, single_core_probe_sec(), io_probe
     )
     try:
         with open(
@@ -88,6 +91,7 @@ def format_output(
     sf: float,
     probe_before: float,
     probe_after: float,
+    io_probe: dict | None = None,
 ) -> tuple[str, str]:
     """Build the (detail, summary) stdout lines.
 
@@ -130,6 +134,13 @@ def format_output(
             # host window and overstate every query time
             "probe_before_sec": probe_before,
             "probe_after_sec": probe_after,
+            # IO-side health (hostprobe.io_cache_probe, taken BEFORE the
+            # run touches data): read throughput over the sf parquet —
+            # GB/s-range = page-cache-warm, 10-100x lower = cold IO; the
+            # residual variance CPU probes can't see (r4 triplet spread
+            # 155-206 s on identical CPU probes was exactly this)
+            "io_probe_mbps": (io_probe or {}).get("io_mbps", -1.0),
+            "page_cache_mb": (io_probe or {}).get("cached_mb", -1),
         }
     )
     return detail_line, summary_line

@@ -31,3 +31,61 @@ def single_core_probe_sec(loops: int = SHORT_PROBE_LOOPS) -> float:
     t0 = time.time()
     burn(loops)
     return round(time.time() - t0, 2)
+
+
+#: Bytes the IO probe reads from the benchmark's own parquet (128 MB —
+#: big enough to distinguish page-cache (GB/s) from storage (~100s MB/s),
+#: small enough to not perturb a multi-GB cache footprint).
+IO_PROBE_BYTES = 128 * 1024 * 1024
+
+
+def io_cache_probe(sf_dir: str) -> dict:
+    """Cheap IO-side health signal (r4 verdict #5): the closing r4 bench
+    triplet spread 155→206 s on near-identical CPU probes — page-cache
+    state of the sf parquet was the residual variance the CPU probe
+    can't see. Returns:
+
+    - ``io_mbps``: sequential read throughput over the first 128 MB of
+      the largest parquet under ``sf_dir``. Cached reads land in the
+      GB/s range, cold storage 10-100× lower, so warm/cold readings are
+      self-labeling.
+    - ``cached_mb``: /proc/meminfo ``Cached`` (page cache, MB) at probe
+      time — corroborates whether a prior run's working set is resident.
+
+    Best-effort: any failure yields ``-1`` fields, never an exception.
+    """
+    import os
+
+    out = {"io_mbps": -1.0, "cached_mb": -1}
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("Cached:"):
+                    out["cached_mb"] = int(line.split()[1]) // 1024
+                    break
+    except OSError:
+        pass
+    try:
+        candidates = []
+        for root, _dirs, files in os.walk(sf_dir):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    p = os.path.join(root, fn)
+                    candidates.append((os.path.getsize(p), p))
+        if not candidates:
+            return out
+        _, path = max(candidates)
+        t0 = time.time()
+        read = 0
+        with open(path, "rb", buffering=0) as f:
+            while read < IO_PROBE_BYTES:
+                chunk = f.read(8 * 1024 * 1024)
+                if not chunk:
+                    break
+                read += len(chunk)
+        dt = time.time() - t0
+        if read and dt > 0:
+            out["io_mbps"] = round(read / dt / 1024 / 1024, 1)
+    except OSError:
+        pass
+    return out

@@ -167,3 +167,71 @@ def bfs_level(e, frontier, visited, h, bc=F.broadcast):
         .join(bc(visited.select("node")), "node", "left_anti")
         .select("node", F.lit(h).cast("int").alias("hop"))
     )
+
+
+def feature_propagation(
+    edges: DataFrame, cust_feats: DataFrame, supp_feats: DataFrame
+) -> DataFrame:
+    """SGC-style 1- and 2-hop neighbor-mean aggregation over a bipartite
+    (custkey, suppkey) edge set, per supplier — MULTISET path semantics:
+    a supplier reachable via k shared customers contributes k times
+    (self-paths included), the standard GNN message-passing weighting.
+
+    2-hop is computed as TWO chained keyed aggregations — a per-customer
+    sum/count over its supplier neighborhood, then a per-supplier sum of
+    those customer totals:
+
+        n_2hop(s)   = Σ_{c∈N(s)} deg(c)
+        sum_2hop(s) = Σ_{c∈N(s)} Σ_{s2∈N(c)} x_{s2}
+
+    This is exactly the multiset edge ⋈ edge 2-hop, but linear in
+    |edges|: a viral-hub customer of degree D costs ONE wide aggregate
+    row instead of D² joined rows (the skewed-key straggler the naive
+    self-join plan produces at scale). Inputs: ``edges(custkey,
+    suppkey)`` distinct, ``cust_feats(custkey, c_cents)``,
+    ``supp_feats(suppkey, s_cents)``; all sums exact integer cents, the
+    two means single e6-quantized divisions."""
+    h1 = (
+        edges.join(cust_feats, "custkey")
+        .groupBy("suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_1hop"),
+            F.sum("c_cents").alias("sum_1hop_cents"),
+        )
+    )
+    cust_totals = (
+        edges.join(supp_feats, "suppkey")
+        .groupBy("custkey")
+        .agg(
+            F.count(F.lit(1)).alias("deg_c"),
+            F.sum("s_cents").alias("c_sup_sum"),
+        )
+    )
+    h2 = (
+        edges.join(cust_totals, "custkey")
+        .groupBy("suppkey")
+        .agg(
+            F.sum("deg_c").alias("n_2hop"),
+            F.sum("c_sup_sum").alias("sum_2hop_cents"),
+        )
+    )
+    return (
+        supp_feats.join(h1, "suppkey")
+        .join(h2, "suppkey")
+        .select(
+            "suppkey",
+            "s_cents",
+            "n_1hop",
+            F.round(
+                F.col("sum_1hop_cents") * F.lit(1e6) / F.col("n_1hop"), 0
+            )
+            .cast("long")
+            .alias("mean_1hop_e6"),
+            "n_2hop",
+            F.round(
+                F.col("sum_2hop_cents") * F.lit(1e6) / F.col("n_2hop"), 0
+            )
+            .cast("long")
+            .alias("mean_2hop_e6"),
+        )
+    )

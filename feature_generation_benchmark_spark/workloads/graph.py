@@ -331,10 +331,16 @@ def graph_feature_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighting; self-paths included).
 
     Plan: ONE distinct (cust, supp) edge build; 1-hop = edge ⋈ customer
-    features + supplier-keyed agg; 2-hop = edge ⋈ edge on the customer
-    key (fan-out Σ_c deg(c)², the co-purchase density bound) + the same
-    agg — no iteration, no driver loop. All sums are exact integer
-    cents; the two means are single e6-quantized divisions."""
+    features + supplier-keyed agg; 2-hop = TWO chained keyed
+    aggregations (customer-level sum/count of neighbor supplier
+    balances, then supplier-level sum over its customers) — linear in
+    |edges|, never materializing the deg(c)² path fan-out an edge ⋈ edge
+    join would (r4 verdict: one viral-hub customer at 100× scale would
+    make that join a straggler). Multiset path semantics are preserved
+    exactly by the sum/count decomposition: Σ_{c∈N(s)} Σ_{s2∈N(c)} x_s2
+    with counts Σ_{c∈N(s)} deg(c). No iteration, no driver loop. All
+    sums are exact integer cents; the two means are single e6-quantized
+    divisions."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
@@ -357,50 +363,11 @@ def graph_feature_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_suppkey").alias("suppkey"),
         F.round(F.col("s_acctbal") * 100, 0).cast("long").alias("s_cents"),
     )
-    h1 = (
-        edges.join(cust, "custkey")
-        .groupBy("suppkey")
-        .agg(
-            F.count(F.lit(1)).alias("n_1hop"),
-            F.sum("c_cents").alias("sum_1hop_cents"),
-        )
+    from feature_generation_benchmark_spark.operators.graph import (
+        feature_propagation,
     )
-    e2 = edges.select("custkey", F.col("suppkey").alias("suppkey2"))
-    h2 = (
-        edges.join(e2, "custkey")
-        .join(
-            supp.select(
-                F.col("suppkey").alias("suppkey2"),
-                F.col("s_cents").alias("s2_cents"),
-            ),
-            "suppkey2",
-        )
-        .groupBy("suppkey")
-        .agg(
-            F.count(F.lit(1)).alias("n_2hop"),
-            F.sum("s2_cents").alias("sum_2hop_cents"),
-        )
-    )
-    return (
-        supp.join(h1, "suppkey")
-        .join(h2, "suppkey")
-        .select(
-            "suppkey",
-            "s_cents",
-            "n_1hop",
-            F.round(
-                F.col("sum_1hop_cents") * F.lit(1e6) / F.col("n_1hop"), 0
-            )
-            .cast("long")
-            .alias("mean_1hop_e6"),
-            "n_2hop",
-            F.round(
-                F.col("sum_2hop_cents") * F.lit(1e6) / F.col("n_2hop"), 0
-            )
-            .cast("long")
-            .alias("mean_2hop_e6"),
-        )
-    )
+
+    return feature_propagation(edges, cust, supp)
 
 
 _GFP_ORACLE = """

@@ -326,3 +326,51 @@ QUERIES.append(
         "lineitem columns in a single wide aggregate + unpivot",
     )
 )
+
+
+def schema_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB column profiler: identical shape to
+    :func:`schema_profile` but with ``approx_count_distinct`` (HLL++,
+    default rsd 5%) in place of exact ``countDistinct``. Exact
+    per-column distinct plans as an Expand that replicates the fact
+    table once per profiled column — a 5× row blow-up that is real
+    money at 100 TB; the HLL++ sketches fold into the SAME single
+    aggregate as the other stats, so this variant is ONE plain
+    map-combined pass over the scan with no Expand at all (plan-guarded
+    by ``test_schema_profile_approx_no_expand``). Error bound: HLL++ at
+    rsd=0.01 (relative standard error 1%, sketch ~2^14 registers — KBs
+    per column, irrelevant beside the scan) — pinned within 5% of exact
+    by ``test_schema_profile_approx_close_to_exact``. Rows-only driver
+    check by design: DuckDB's ``approx_distinct`` uses a different HLL
+    implementation, so the estimates differ across engines; the exact
+    twin ``schema_profile`` stays the hash-checked gate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.approx_count_distinct(c, 0.01).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    rows = [
+        f"named_struct('col_name', '{c}', 'n_rows', n_rows, "
+        f"'n_nulls', {c}__nulls, 'n_distinct_approx', {c}__distinct, "
+        f"'min_str', {c}__min, 'max_str', {c}__max)"
+        for c in _PROFILE_COLS
+    ]
+    return wide.select(
+        F.explode(F.expr("array(" + ", ".join(rows) + ")")).alias("p")
+    ).select("p.*")
+
+
+QUERIES.append(
+    QueryDef(
+        "schema_profile_approx",
+        schema_profile_approx,
+        None,  # HLL++ estimates are engine-specific — rows-only by design
+        "100 TB profiler: approx_count_distinct folds into ONE plain "
+        "aggregate pass (no Expand); exact twin stays the oracle gate",
+    )
+)

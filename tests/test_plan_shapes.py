@@ -649,6 +649,15 @@ def test_hybrid_rrf_fuses_after_source_topk(spark):
     # map-side by WindowGroupLimit) + one ≤N-row rank window per source
     assert plan.count("Window [") == 3, plan
     assert "WindowGroupLimit" in plan, plan
+    # fused scan budget (r4 verdict #8): the BM25 block keeps its own
+    # 2-scan contract inside the fusion — documents read exactly twice
+    # (tf/df pass + per-doc stats pass), embeddings once, nothing more
+    assert plan.count("FileScan parquet") == 3, plan
+    doc_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "text" in ln
+    ]
+    assert len(doc_scans) == 2, plan
 
 
 def test_grouping_sets_one_expand_one_shuffle(spark):

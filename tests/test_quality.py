@@ -101,3 +101,50 @@ def test_fk_orphan_audit_detects_planted_orphans(spark, tmp_path):
     rows = {r.edge: r for r in fk_orphan_audit(spark, d).collect()}
     assert rows["orders->customer"].n_orphans == n_planted > 0
     assert rows["customer->nation"].n_orphans == 0
+
+
+def test_schema_profile_approx_no_expand(spark):
+    """The approx profiler's reason to exist: the exact per-column
+    distinct plans as an Expand replicating the fact scan once per
+    column (~5x rows); the HLL++ variant must plan as ONE plain
+    aggregate with NO Expand."""
+    from feature_generation_benchmark_spark.workloads.quality import (
+        schema_profile, schema_profile_approx,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact_plan = (
+        schema_profile(spark, sf)._jdf.queryExecution().executedPlan()
+        .toString()
+    )
+    approx_plan = (
+        schema_profile_approx(spark, sf)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "Expand" in exact_plan, exact_plan  # the cost being avoided
+    assert "Expand" not in approx_plan, approx_plan
+    assert approx_plan.count("FileScan parquet") == 1, approx_plan
+
+
+def test_schema_profile_approx_close_to_exact(spark):
+    """HLL++ estimates within 5% of the exact distinct counts, and every
+    non-estimated stat (nulls, min/max, n_rows) identical to the exact
+    profiler's."""
+    from feature_generation_benchmark_spark.workloads.quality import (
+        schema_profile, schema_profile_approx,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r.col_name: r for r in schema_profile(spark, sf).collect()}
+    approx = {
+        r.col_name: r for r in schema_profile_approx(spark, sf).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for c, e in exact.items():
+        a = approx[c]
+        assert (a.n_rows, a.n_nulls, a.min_str, a.max_str) == (
+            e.n_rows, e.n_nulls, e.min_str, e.max_str,
+        ), c
+        assert abs(a.n_distinct_approx - e.n_distinct) <= max(
+            1, 0.05 * e.n_distinct
+        ), (c, a.n_distinct_approx, e.n_distinct)
