@@ -106,7 +106,11 @@ def ngram_jaccard_pairs(
                     Window.partitionBy(id_col).orderBy("__df", "shingle")
                 ),
             )
-            .join(F.broadcast(sizes), id_col)
+            # no broadcast hint: sizes is DOC-dim (grows with the corpus)
+            # — the 100x probe OOM'd the driver building it as an explicit
+            # broadcast; AQE broadcasts it from runtime stats while it
+            # fits and shuffle-joins beyond that
+            .join(sizes, id_col)
         )
         # ε-guard keeps float noise in t·|d| from inflating the ceil and
         # shortening the prefix (false negatives); verification forgives
@@ -195,9 +199,10 @@ def ngram_jaccard_pairs(
         )
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("na"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("nb"))
+    # doc-dim frames: AQE decides broadcast vs shuffle from runtime size
     out = (
-        common.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
+        common.join(na, "id_a")
+        .join(nb, "id_b")
         .select(
             "id_a",
             "id_b",
@@ -378,7 +383,9 @@ def minhash_dedup_pairs(
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     common = (
-        F.broadcast(cand)  # candidate pairs are few by LSH design
+        # candidate pairs are few relative to the corpus by LSH design,
+        # but still corpus-growing — no broadcast hint, AQE decides
+        cand
         .join(a, "id_a")
         .join(b, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
@@ -386,9 +393,11 @@ def minhash_dedup_pairs(
     )
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("na"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("nb"))
+    # na/nb are DOC-dim (corpus-sized): no broadcast hint — AQE
+    # broadcasts from runtime stats while small, shuffle-joins beyond
     return (
-        common.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
+        common.join(na, "id_a")
+        .join(nb, "id_b")
         .select(
             "id_a",
             "id_b",

@@ -47,12 +47,27 @@ def _green_check_counts(has_oracle: dict[str, bool]) -> dict[str, int]:
     rows-only rows as green for entries that since gained full oracles,
     starving them of hash checks indefinitely.)
     """
+    return {n: c for n, (c, _r) in _green_check_stats(has_oracle).items()}
+
+
+def _green_check_stats(
+    has_oracle: dict[str, bool],
+) -> dict[str, tuple[int, int]]:
+    """Per query: (green row count, round index of the LAST green row).
+
+    The last-green round is the staleness tiebreaker (r4 verdict #2):
+    among equally-counted entries, the one whose most recent driver
+    evidence is oldest rotates in first, so long-green r1 entries get
+    re-verified before fresh r4 ones."""
     import json
+    import re
     from pathlib import Path
 
     root = Path(__file__).resolve().parents[2]
-    counts: dict[str, int] = {}
+    stats: dict[str, tuple[int, int]] = {}
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", p.name)
+        rnd = int(m.group(1)) if m else 0
         try:
             data = json.loads(p.read_text())
         except Exception:
@@ -69,8 +84,9 @@ def _green_check_counts(has_oracle: dict[str, bool]) -> dict[str, int]:
                     (rec.get("spark_rows") or 0) > 0
                 )
             if green:
-                counts[name] = counts.get(name, 0) + 1
-    return counts
+                c, _ = stats.get(name, (0, 0))
+                stats[name] = (c + 1, rnd)
+    return stats
 
 
 def registry() -> dict[str, QueryDef]:
@@ -122,10 +138,15 @@ def registry() -> dict[str, QueryDef]:
             if q.name in out:
                 raise ValueError(f"duplicate query name {q.name}")
             out[q.name] = q
-    # Rotate least-driver-verified queries to the front (stable within
-    # equal counts) so the driver's 50-row correctness window always
-    # covers the queries with the fewest green rows on record.
-    counts = _green_check_counts({n: q.oracle is not None for n, q in out.items()})
+    # Rotate least-driver-verified queries to the front; among equal
+    # counts the STALEST last-green round goes first (then insertion
+    # order), so the driver's 50-row window always covers the queries
+    # with the fewest / oldest green rows on record.
+    stats = _green_check_stats(
+        {n: q.oracle is not None for n, q in out.items()}
+    )
     idx = {name: i for i, name in enumerate(out)}
-    ordered = sorted(out, key=lambda n: (counts.get(n, 0), idx[n]))
+    ordered = sorted(
+        out, key=lambda n: (*stats.get(n, (0, 0)), idx[n])
+    )
     return {n: out[n] for n in ordered}

@@ -146,7 +146,10 @@ NOOP_QUERIES = ("gap_fill_daily", "heavy_hitters", "funnel_conversions",
                  # r4e: per-row outputs (orders / embeddings sized)
                  "target_encoding_loo", "random_projection_embeddings",
                  # r4e (8): user-dim output grows with the user axis
-                 "user_trend_slope")
+                 "user_trend_slope",
+                 # r5: near-dup pair output grows with the corpus; the
+                 # prefix-filtered candidate join must stay subquadratic
+                 "dedup_ngram_jaccard_prefix")
 
 
 def build_scaled(spark, factor: int) -> str:
@@ -167,7 +170,28 @@ def build_scaled(spark, factor: int) -> str:
             u = u.unionByName(p)
         return u
 
-    copies(li, "l_orderkey").write.mode("overwrite").parquet(
+    li_scaled = copies(li, "l_orderkey")
+    if os.environ.get("SPARK_GRAFT_HOTKEY"):
+        # viral-hub fixture (r4 verdict #4): attach EVERY supplier to one
+        # existing order, so that order's customer gets degree ≈
+        # |supplier| while typical customers have single-digit degree.
+        # Graph queries whose cost is super-linear in per-key degree
+        # (the old edge⋈edge 2-hop) go quadratic on this key; the
+        # chained-agg plan must stay flat.
+        hub_key = orders.agg(F.min("o_orderkey")).collect()[0][0]
+        supp_keys = spark.read.parquet(
+            f"{SF_DIR}/supplier.parquet"
+        ).select("s_suppkey")
+        template = li.limit(1).drop("l_suppkey", "l_orderkey")
+        hub_rows = (
+            supp_keys.crossJoin(F.broadcast(template))
+            .withColumn("l_orderkey", F.lit(hub_key))
+            .withColumnRenamed("s_suppkey", "l_suppkey")
+            .select(*li.columns)
+        )
+        li_scaled = li_scaled.unionByName(hub_rows)
+        print(f"# hotkey fixture: order {hub_key} spans all suppliers")
+    li_scaled.write.mode("overwrite").parquet(
         f"{out}/lineitem.parquet"
     )
     copies(orders, "o_orderkey").write.mode("overwrite").parquet(
@@ -187,8 +211,23 @@ def build_scaled(spark, factor: int) -> str:
     ev_u.write.mode("overwrite").parquet(f"{out}/events.parquet")
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     d_shift = (docs.agg(F.max("doc_id")).collect()[0][0] or 0) + 1
+    # copies get a per-copy word suffix: shingle sets stay bijective
+    # WITHIN a copy (near-dup structure preserved) but diverge ACROSS
+    # copies — without this every doc is a near-dup of its N-1 shifted
+    # twins and the dedup OUTPUT itself is O(N²) by construction (the
+    # fixture, not the plan, goes quadratic)
     d_parts = [
         docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * d_shift))
+        .withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda w: F.concat(w, F.lit(f"_{i}")),
+                ),
+                " ",
+            ),
+        )
         for i in range(factor)
     ]
     d_u = d_parts[0]
@@ -255,6 +294,13 @@ def main() -> int:
     from feature_generation_benchmark_spark.session import get_spark
     from feature_generation_benchmark_spark.workloads import registry
 
+    # The probe JVM hosts driver + 32 executor threads + the Nx dataset
+    # build + query caches in ONE heap; at 100x the default 8g makes
+    # AQE-chosen broadcasts die on driver memory — an artifact of the
+    # single-JVM harness, not of the plan (each real executor has its
+    # own heap). Give the probe a bigger heap unless the caller pinned
+    # one.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
     spark = get_spark("scale-stability")
     reg = registry()
     # warm the JVM + Python worker pool once (same block as bench.py) so
