@@ -105,6 +105,13 @@ def get_spark(
       one. The reference's best medium number (412 s) is its Comet pivot —
       this profile is the parity knob for plugging the same accelerator.
     """
+    # Protobuf fallback must be on PYTHONPATH before the JVM launches so
+    # executor-side Python workers (which inherit the JVM's environment)
+    # can import the transformWithState state-server protocol modules.
+    from feature_generation_benchmark_spark.vendor import ensure_protobuf
+
+    ensure_protobuf()
+
     cores = default_parallelism()
     if master is None:
         master = os.environ.get("SPARK_MASTER", f"local[{cores}]")

@@ -340,10 +340,12 @@ def running_features(events: DataFrame) -> DataFrame:
     per touched key per micro-batch.
 
     Runtime note: Spark's transformWithState Python worker speaks a
-    protobuf state-server protocol, so executing this (unlike building the
-    plan) requires the ``protobuf`` package; the container this engine is
-    developed in lacks it, so the end-to-end streaming test self-skips
-    there and the fold logic is covered by a direct-drive test."""
+    protobuf state-server protocol. When the ``protobuf`` distribution is
+    absent (as in this container), the vendored pure-Python wire-format
+    shim (``feature_generation_benchmark_spark/vendor/protoshim``,
+    activated by ``session.get_spark`` before the JVM starts) serves the
+    same surface, so the end-to-end test runs everywhere; the state store
+    must be RocksDB (TWS keeps one column family per state variable)."""
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
     # subclass registration kept local so the module imports even if the

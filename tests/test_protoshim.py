@@ -1,0 +1,199 @@
+"""Unit tests for the vendored pure-Python protobuf shim
+(feature_generation_benchmark_spark/vendor/protoshim).
+
+The shim only matters when the real protobuf distribution is absent (as
+in this container); these tests pin the wire format against hand-decoded
+golden bytes from the protobuf encoding spec, plus the proto3 presence
+semantics the transformWithState state-server protocol depends on —
+most critically that an EMPTY oneof member (``RemoveImplicitKey()``)
+still emits its tag, because the JVM dispatches on exactly that.
+
+The end-to-end proof is ``test_streaming.py::
+test_transform_with_state_running_features``: the JVM parses every
+request the shim serializes and the shim parses every JVM response.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from feature_generation_benchmark_spark.vendor import ensure_protobuf
+
+if not ensure_protobuf():  # pragma: no cover
+    pytest.skip("protobuf unavailable and shim failed", allow_module_level=True)
+
+sm = pytest.importorskip("pyspark.sql.streaming.proto.StateMessage_pb2")
+
+
+def _shim_active() -> bool:
+    import google.protobuf
+
+    return "protoshim" in (google.protobuf.__file__ or "")
+
+
+def test_varint_golden_vectors():
+    """Wire-spec varint goldens (protobuf.dev encoding guide)."""
+    from feature_generation_benchmark_spark.vendor.protoshim.google.protobuf import (  # noqa: E501
+        _shim,
+    )
+
+    assert _shim._enc_varint(0) == b"\x00"
+    assert _shim._enc_varint(1) == b"\x01"
+    assert _shim._enc_varint(150) == b"\x96\x01"
+    assert _shim._enc_varint(300) == b"\xac\x02"
+    # negative int64: 10-byte two's complement
+    assert _shim._enc_varint(-1) == b"\xff" * 9 + b"\x01"
+    for v in (0, 1, 127, 128, 150, 300, 2**32, 2**63 - 1):
+        dec, pos = _shim._dec_varint(_shim._enc_varint(v), 0)
+        assert dec == v and pos == len(_shim._enc_varint(v))
+
+
+def test_message_golden_bytes():
+    """`Test1 { a=150 }` from the encoding guide is `08 96 01`; our
+    StateResponse(statusCode=150) has the same field-1 varint shape."""
+    m = sm.StateResponse(statusCode=150)
+    assert m.SerializeToString() == b"\x08\x96\x01"
+    # string field 2: tag 0x12, length, utf8
+    m2 = sm.StateResponse(errorMessage="testing")
+    assert m2.SerializeToString() == b"\x12\x07testing"
+
+
+def test_proto3_scalar_defaults_omitted():
+    assert sm.StateResponse(statusCode=0, errorMessage="", value=b"").SerializeToString() == b""
+    cmd = sm.StateCallCommand()
+    cmd.stateName = ""
+    assert cmd.SerializeToString() == b""
+
+
+def test_empty_oneof_member_hits_the_wire():
+    """The JVM dispatches ImplicitGroupingKeyRequest on which oneof member
+    is present — an empty RemoveImplicitKey() must still serialize."""
+    req = sm.StateRequest(
+        implicitGroupingKeyRequest=sm.ImplicitGroupingKeyRequest(
+            removeImplicitKey=sm.RemoveImplicitKey()
+        )
+    )
+    data = req.SerializeToString()
+    # field 4 (implicitGroupingKeyRequest) LEN=2 -> field 2 LEN=0
+    assert data == b"\x22\x02\x12\x00"
+
+
+def test_oneof_last_writer_wins():
+    req = sm.ImplicitGroupingKeyRequest(
+        setImplicitKey=sm.SetImplicitKey(key=b"k")
+    )
+    parsed = sm.ImplicitGroupingKeyRequest()
+    parsed.ParseFromString(req.SerializeToString())
+    assert parsed.setImplicitKey.key == b"k"
+    req2 = sm.ImplicitGroupingKeyRequest(
+        removeImplicitKey=sm.RemoveImplicitKey()
+    )
+    # only ONE oneof member may survive on the wire
+    assert req2.SerializeToString() == b"\x12\x00"
+
+
+def test_submessage_autovivify_presence():
+    """`cmd.ttl.durationMs = x` (the client's TTL pattern) must mark ttl
+    present; merely READING an unset submessage must not."""
+    cmd = sm.StateCallCommand()
+    _ = cmd.ttl  # read-only touch
+    assert cmd.SerializeToString() == b""
+    cmd.ttl.durationMs = 5
+    data = cmd.SerializeToString()
+    # field 4 (ttl) LEN -> field 1 varint 5
+    assert data == b"\x22\x02\x08\x05"
+
+
+def test_enum_roundtrip_and_module_constants():
+    assert (sm.PRE_INIT, sm.CREATED, sm.INITIALIZED) == (0, 1, 2)
+    assert (sm.DATA_PROCESSED, sm.TIMER_PROCESSED, sm.CLOSED) == (3, 4, 5)
+    msg = sm.StateRequest(
+        statefulProcessorCall=sm.StatefulProcessorCall(
+            setHandleState=sm.SetHandleState(state=sm.CLOSED)
+        )
+    )
+    back = sm.StateRequest()
+    back.ParseFromString(msg.SerializeToString())
+    assert back.statefulProcessorCall.setHandleState.state == sm.CLOSED
+
+
+def test_repeated_bytes_and_messages_roundtrip():
+    resp = sm.StateResponseWithListGet(
+        statusCode=1,
+        errorMessage="e",
+        value=[b"a", b"", b"ccc"],
+        requireNextFetch=True,
+    )
+    back = sm.StateResponseWithListGet()
+    back.ParseFromString(resp.SerializeToString())
+    assert list(back.value) == [b"a", b"", b"ccc"]
+    assert back.requireNextFetch is True and back.statusCode == 1
+
+    timers = sm.StateResponseWithTimer(
+        timer=[
+            sm.TimerInfo(key=b"k1", timestampMs=99),
+            sm.TimerInfo(timestampMs=-7),
+        ],
+        requireNextFetch=False,
+    )
+    back2 = sm.StateResponseWithTimer()
+    back2.ParseFromString(timers.SerializeToString())
+    assert [(t.key, t.timestampMs) for t in back2.timer] == [
+        (b"k1", 99),
+        (b"", -7),
+    ]
+
+    kv = sm.StateResponseWithMapIterator(
+        kvPair=[sm.KeyAndValuePair(key=b"x", value=b"y")]
+    )
+    back3 = sm.StateResponseWithMapIterator()
+    back3.ParseFromString(kv.SerializeToString())
+    assert [(p.key, p.value) for p in back3.kvPair] == [(b"x", b"y")]
+
+
+def test_negative_int64_roundtrip():
+    m = sm.RegisterTimer(expiryTimestampMs=-1)
+    back = sm.RegisterTimer()
+    back.ParseFromString(m.SerializeToString())
+    assert back.expiryTimestampMs == -1
+    m2 = sm.RegisterTimer(expiryTimestampMs=2**62)
+    back2 = sm.RegisterTimer()
+    back2.ParseFromString(m2.SerializeToString())
+    assert back2.expiryTimestampMs == 2**62
+
+
+def test_unknown_fields_skipped():
+    """A response carrying fields this gencode doesn't know must still
+    parse (forward compatibility — the JVM side may be newer)."""
+    known = sm.StateResponse(statusCode=3).SerializeToString()
+    # unknown field 99 varint, unknown field 100 length-delimited
+    unknown = b"\x98\x06\x2a" + b"\xa2\x06\x03abc"
+    m = sm.StateResponse()
+    m.ParseFromString(known + unknown)
+    assert m.statusCode == 3
+
+
+def test_kwargs_submessage_is_copied():
+    cmd = sm.StateCallCommand()
+    cmd.stateName = "a"
+    call = sm.StatefulProcessorCall(getValueState=cmd)
+    cmd.stateName = "MUTATED-AFTER"
+    assert call.getValueState.stateName == "a"
+
+
+def test_parse_resets_previous_state():
+    m = sm.StateResponse(statusCode=9, errorMessage="old")
+    m.ParseFromString(sm.StateResponse(statusCode=2).SerializeToString())
+    assert m.statusCode == 2 and m.errorMessage == ""
+
+
+@pytest.mark.skipif(
+    not _shim_active(),
+    reason="real protobuf installed — precedence test meaningless",
+)
+def test_shim_only_loads_without_real_protobuf():
+    import google.protobuf
+
+    assert "vendor" in google.protobuf.__file__
+    # and the generated module resolved against it
+    assert sm.StateRequest is not None

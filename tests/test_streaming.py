@@ -342,10 +342,16 @@ def test_ohlc_stream_equals_batch(spark, event_dir):
 
 
 def _has_protobuf() -> bool:
+    """True when google.protobuf is importable — the real distribution
+    if installed, else the vendored pure-Python wire-format shim
+    (feature_generation_benchmark_spark/vendor/protoshim), which
+    get_spark() activates before the JVM starts."""
     try:
-        from google.protobuf import descriptor  # noqa: F401
+        from feature_generation_benchmark_spark.vendor import (
+            ensure_protobuf,
+        )
 
-        return True
+        return ensure_protobuf()
     except Exception:
         return False
 
@@ -353,8 +359,8 @@ def _has_protobuf() -> bool:
 @pytest.mark.skipif(
     not _has_protobuf(),
     reason="transformWithState's Python state-server protocol needs "
-    "protobuf, absent in this container (API plumbing + handleInputRows "
-    "logic covered by test_running_feature_processor_logic)",
+    "protobuf (or the vendored shim), and neither resolved (API plumbing "
+    "+ handleInputRows logic covered by test_running_feature_processor_logic)",
 )
 def test_transform_with_state_running_features(spark, event_dir, tmp_path):
     """transformWithStateInPandas (Spark 4 stateful API): per-user running
@@ -377,6 +383,18 @@ def test_transform_with_state_running_features(spark, event_dir, tmp_path):
         .collect()
     }
 
+    # transformWithState keeps one column family per state variable —
+    # only the (JVM-bundled) RocksDB provider supports that; the default
+    # HDFSBackedStateStoreProvider raises STATE_STORE_MULTIPLE_COLUMN_FAMILIES.
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
     stream = (
         spark.readStream.schema(static.schema)
         .option("maxFilesPerTrigger", 1)
@@ -392,15 +410,28 @@ def test_transform_with_state_running_features(spark, event_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
-    # update mode: the emission with the highest n_events per key is the
-    # final state
-    got = {}
-    for r in spark.table("running_feats").collect():
-        cur = got.get(r.user_id)
-        if cur is None or r.n_events > cur[0]:
-            got[r.user_id] = (r.n_events, r.sum_cents, r.min_cents, r.max_cents)
-    assert got == want and len(got) > 0
+    try:
+        q.awaitTermination(180)
+        # update mode: the emission with the highest n_events per key is
+        # the final state
+        got = {}
+        for r in spark.table("running_feats").collect():
+            cur = got.get(r.user_id)
+            if cur is None or r.n_events > cur[0]:
+                got[r.user_id] = (
+                    r.n_events,
+                    r.sum_cents,
+                    r.min_cents,
+                    r.max_cents,
+                )
+        assert got == want and len(got) > 0
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
 
 
 def test_running_feature_processor_logic():
