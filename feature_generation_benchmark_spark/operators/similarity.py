@@ -120,6 +120,7 @@ def brute_force_topk_partial(
     vec_col: str,
     k: int = 5,
     round_decimals: int | None = 6,
+    exclude_label_col: str | None = None,
 ) -> DataFrame:
     """EXACT cosine top-k that survives a 100× corpus — same results as
     :func:`brute_force_topk`, different physical shape.
@@ -166,6 +167,12 @@ def brute_force_topk_partial(
     NOTE: the query side MATERIALIZES at plan-build time (it is the
     model, like the IVF centroid collect) — building this plan runs a
     small Spark job over ``queries``.
+
+    ``exclude_label_col``: when set (hard-negative mining), both sides
+    must carry that integral column and a candidate is ranked for a
+    query only if its label DIFFERS from the query's — same-label pairs
+    are masked to -inf inside the batch scorer, so the bounded state and
+    the shuffle volume are unchanged (still P×Q×k).
     """
     import pyspark.sql.types as T
 
@@ -178,15 +185,26 @@ def brute_force_topk_partial(
                 f"({side} side has {dt.simpleString()}); use "
                 f"brute_force_topk for non-integral ids"
             )
+    q_cols = [
+        F.col(id_col).alias("qid"),
+        as_double_array(vec_col).alias("qv"),
+    ]
+    if exclude_label_col is not None:
+        q_cols.append(F.col(exclude_label_col).cast("long").alias("qlabel"))
     q_rows = (
         queries.filter(_valid_vector(as_double_array(vec_col)))
-        .select(F.col(id_col).alias("qid"), as_double_array(vec_col).alias("qv"))
+        .select(*q_cols)
         .collect()
     )
     if not q_rows:
         return corpus.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, cos_sim double"
         )
+    qlabels = (
+        np.array([r["qlabel"] for r in q_rows], dtype=np.int64)
+        if exclude_label_col is not None
+        else None
+    )
     qids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
     Q = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in q_rows])
     qn = np.linalg.norm(Q, axis=1, keepdims=True)
@@ -210,6 +228,9 @@ def brute_force_topk_partial(
                 # quantize BEFORE ranking (see determinism note)
                 np.round(sims, round_decimals, out=sims)
             sims[qids[:, None] == nids[None, :]] = -np.inf  # self-match
+            if qlabels is not None:  # hard negatives: same label is out
+                nlabels = pdf["nlabel"].to_numpy(dtype=np.int64)
+                sims[qlabels[:, None] == nlabels[None, :]] = -np.inf
             cand_sims = np.concatenate([best_sims, sims], axis=1)
             cand_nids = np.concatenate(
                 [best_nids, np.broadcast_to(nids, (len(qids), len(nids)))],
@@ -235,12 +256,15 @@ def brute_force_topk_partial(
             }
         )
 
-    candidates = corpus.filter(
-        _valid_vector(as_double_array(vec_col))
-    ).select(
+    c_cols = [
         F.col(id_col).alias("neighbor_id"),
         as_double_array(vec_col).alias("cv"),
-    ).mapInPandas(
+    ]
+    if exclude_label_col is not None:
+        c_cols.append(F.col(exclude_label_col).cast("long").alias("nlabel"))
+    candidates = corpus.filter(
+        _valid_vector(as_double_array(vec_col))
+    ).select(*c_cols).mapInPandas(
         partition_topk, "query_id long, neighbor_id long, cos_sim double"
     )
     w = Window.partitionBy("query_id").orderBy(

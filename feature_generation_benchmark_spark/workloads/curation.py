@@ -846,3 +846,123 @@ QUERIES.append(
         "percentile bins, constant md5-threshold keep rates, one scan",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# doc_repetition — within-document repetition signals, zero-shuffle (r5)
+# ---------------------------------------------------------------------------
+
+
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition rollup per source: the fraction of a
+    doc's bigram OCCURRENCES whose bigram repeats inside the same doc
+    (the Gopher dup-n-gram family, every duplicate counted — the sibling
+    of ``top_ngram_coverage``'s single-most-frequent-gram signal), plus
+    type-token ratio.
+
+    Plan: the duplicate-occurrence count is computed entirely ROW-LOCALLY
+    — sort the doc's bigram array once, then count elements that differ
+    from BOTH sorted neighbors (unique occurrences); duplicates = total −
+    unique. O(n log n) per doc, zero joins, zero explode: the only
+    exchange is the final ≤|sources| combining aggregate of integer sums.
+    (``top_ngram_coverage`` explodes grams through a doc_id-keyed shuffle;
+    this shape removes even that.) Ratios leave integer space only at the
+    final per-source division, floor-quantized e6 on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "source",
+        tokens(F.col("text")).alias("toks"),
+    )
+    sb = F.array_sort(word_ngrams(F.col("toks"), 2))
+    n_bi = F.size(sb)
+    # unique occurrences: sorted neighbors differ on both sides
+    once = F.when(n_bi > 0, F.size(F.filter(
+        F.sequence(F.lit(1), n_bi),
+        lambda i: (
+            (i == F.lit(1))
+            | (F.element_at(sb, i) != F.element_at(sb, i - F.lit(1)))
+        ) & (
+            (i == n_bi)
+            | (F.element_at(sb, i) != F.element_at(sb, i + F.lit(1)))
+        ),
+    ))).otherwise(F.lit(0))
+    per_doc = toked.select(
+        "source",
+        F.size("toks").cast("long").alias("n_toks"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_types"),
+        n_bi.cast("long").alias("n_bi"),
+        (n_bi - once).cast("long").alias("dup_occ"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bi").alias("sum_bi"),
+        F.sum("dup_occ").alias("sum_dup"),
+        F.sum("n_toks").alias("sum_toks"),
+        F.sum("n_types").alias("sum_types"),
+        F.max(
+            F.expr(
+                "CASE WHEN n_bi > 0 THEN (1000000 * dup_occ) div n_bi END"
+            )
+        ).alias("_maxdup_raw"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        F.expr("(1000000 * sum_dup) div sum_bi").alias("dup_bigram_frac_e6"),
+        F.expr("(1000000 * sum_types) div sum_toks").alias("ttr_e6"),
+        F.col("_maxdup_raw").alias("max_doc_dup_frac_e6"),
+    ).orderBy("source")
+
+
+_REPETITION_ORACLE = """
+WITH t AS (
+  SELECT source,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT source, rowid AS rid, toks,
+         CASE WHEN len(toks) >= 2 THEN len(toks) - 1 ELSE 0 END AS n_bi
+  FROM (SELECT source, toks, row_number() OVER () AS rowid FROM t)
+),
+pairs AS (
+  SELECT rid, toks[u.i] || ' ' || toks[u.i + 1] AS bigram
+  FROM bg, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+  WHERE len(toks) >= 2
+),
+dupocc AS (
+  SELECT rid, CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+              AS dup_occ
+  FROM (SELECT rid, bigram, count(*) AS c FROM pairs GROUP BY rid, bigram)
+  GROUP BY rid
+),
+per_doc AS (
+  SELECT bg.source,
+         CAST(len(bg.toks) AS BIGINT) AS n_toks,
+         CAST(len(list_distinct(bg.toks)) AS BIGINT) AS n_types,
+         CAST(bg.n_bi AS BIGINT) AS n_bi,
+         CAST(coalesce(d.dup_occ, 0) AS BIGINT) AS dup_occ
+  FROM bg LEFT JOIN dupocc d ON d.rid = bg.rid
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST((1000000 * sum(dup_occ)) // sum(n_bi) AS BIGINT)
+         AS dup_bigram_frac_e6,
+       CAST((1000000 * sum(n_types)) // sum(n_toks) AS BIGINT) AS ttr_e6,
+       CAST(max(CASE WHEN n_bi > 0
+                     THEN (1000000 * dup_occ) // n_bi END) AS BIGINT)
+         AS max_doc_dup_frac_e6
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+QUERIES.append(
+    QueryDef(
+        "doc_repetition",
+        doc_repetition,
+        _REPETITION_ORACLE,
+        "within-doc duplicate-bigram occurrence fraction + type-token "
+        "ratio per source; dup counting is row-local on a sorted bigram "
+        "array (zero joins/explodes — only exchange is the ≤|sources| agg)",
+    )
+)

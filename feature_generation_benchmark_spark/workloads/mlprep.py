@@ -1379,3 +1379,95 @@ QUERIES.append(
         "coded against exact percentile boundaries, segment size report",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# calibration_bins — reliability diagram + per-bin calibration gaps (r5)
+# ---------------------------------------------------------------------------
+
+_CAL_BINS = 10
+_CAL_HEX = 6  # md5 hex digits -> score granularity 16^6
+_CAL_DOM = 16**_CAL_HEX
+
+
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of a model score against observed outcome
+    rate — the model-eval primitive behind Expected Calibration Error:
+    bucket scores into equal-width bins; per bin report count, positives,
+    mean predicted score, observed rate, and the |gap| whose
+    count-weighted sum is ECE.
+
+    The "score" is the deterministic md5-hex fraction of ``event_id``
+    (the engine's reproducible stand-in for a model output — no RNG, so
+    the DuckDB twin replays it exactly) and the outcome is
+    ``event_type = 'purchase'``; a hash score is independent of the
+    outcome by construction, so the diagram certifies UNcalibration
+    (every bin's observed rate ≈ the base rate) — the A/A reading of
+    this operator, like ``diff_in_diff_arms``.
+
+    Scale: ONE conditional aggregate over the scan, keyed by the
+    10-value bin id — partials combine map-side, the exchange carries
+    ≤bins rows. All integer until the three final divisions (floor-e6,
+    both engines)."""
+    score_sql = (
+        f"CAST(conv(substring(md5(CAST(event_id AS STRING)), 1,"
+        f" {_CAL_HEX}), 16, 10) AS BIGINT)"
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(
+            f"CAST(({score_sql} * {_CAL_BINS}) div {_CAL_DOM} AS INT)"
+        ).alias("bin"),
+        F.expr(f"(1000000 * {score_sql}) div {_CAL_DOM}").alias("score_e6"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    agg = ev.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("n_pos"),
+        F.sum("score_e6").alias("sum_score_e6"),
+    )
+    return agg.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.expr("sum_score_e6 div n").alias("avg_score_e6"),
+        F.expr("(1000000 * n_pos) div n").alias("obs_rate_e6"),
+        F.expr(
+            "abs(sum_score_e6 div n - (1000000 * n_pos) div n)"
+        ).alias("gap_e6"),
+    ).orderBy("bin")
+
+
+_CALIBRATION_ORACLE = f"""
+WITH s AS (
+  SELECT CAST((CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1,
+                     {_CAL_HEX})) AS BIGINT) * {_CAL_BINS})
+              // {_CAL_DOM} AS INT) AS bin,
+         (1000000 * CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                          1, {_CAL_HEX})) AS BIGINT)) // {_CAL_DOM}
+           AS score_e6,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+agg AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(sum(score_e6) AS BIGINT) AS sum_score_e6
+  FROM s GROUP BY bin
+)
+SELECT bin, n, n_pos,
+       CAST(sum_score_e6 // n AS BIGINT) AS avg_score_e6,
+       CAST((1000000 * n_pos) // n AS BIGINT) AS obs_rate_e6,
+       CAST(abs(sum_score_e6 // n - (1000000 * n_pos) // n) AS BIGINT)
+         AS gap_e6
+FROM agg ORDER BY bin
+"""
+
+QUERIES.append(
+    QueryDef(
+        "calibration_bins",
+        calibration_bins,
+        _CALIBRATION_ORACLE,
+        "reliability diagram / ECE bins: deterministic md5 score vs "
+        "observed purchase rate, one conditional agg, <=bins-row exchange",
+    )
+)

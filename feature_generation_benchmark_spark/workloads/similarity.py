@@ -684,3 +684,62 @@ QUERIES.append(
         "micro-contributions",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining — contrastive-training pair generation (r5)
+# ---------------------------------------------------------------------------
+
+_HN_K = 3  # hard negatives per anchor
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard negatives for contrastive training: for each anchor vector,
+    the top-k most cosine-similar corpus vectors whose ``label`` DIFFERS
+    from the anchor's (the near-miss impostors that make the best
+    negative examples).
+
+    Served on the same scale-safe partial-top-k plan as
+    ``ann_bruteforce_topk`` — the anchor set is a broadcast Q×d model,
+    each corpus partition GEMM-scores its rows and masks same-label
+    pairs to -inf inside the batch scorer, so shuffle volume stays
+    P×Q×k regardless of corpus size. Tie-break and round-6 quantization
+    follow the engine-wide top-k contract."""
+    q, c = _queries_and_corpus(spark, sf_dir)
+    return brute_force_topk_partial(
+        q, c, "vec_id", "embedding", k=_HN_K, exclude_label_col="label"
+    )
+
+
+_HARD_NEGATIVE_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, label AS qlabel, v AS qv
+  FROM e WHERE vec_id < {_N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, e.v) AS cos,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY round(list_cosine_similarity(q.qv, e.v), 6) DESC, e.vec_id
+         ) AS rn
+  FROM q JOIN e ON e.vec_id <> q.query_id AND e.label <> q.qlabel
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cos_sim
+FROM scored WHERE rn <= {_HN_K}
+"""
+
+
+QUERIES.append(
+    QueryDef(
+        "hard_negative_mining",
+        hard_negative_mining,
+        _HARD_NEGATIVE_ORACLE,
+        "contrastive hard negatives: per anchor, top-k nearest-cosine "
+        "corpus vectors with a DIFFERENT label (same-label pairs masked "
+        "inside the bounded partial-top-k scorer; shuffle stays P*Q*k)",
+    )
+)

@@ -237,3 +237,63 @@ def test_quality_stratified_keep_rates(spark):
                 exp = want_rate[q] * r.n_docs
                 slack = 4 * math.sqrt(max(exp, 1)) + 2
                 assert abs(r.n_kept - exp) <= slack, (src, q, r)
+
+
+# --- doc_repetition (r5) ----------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def repetition_docs_dir(spark, tmp_path_factory):
+    """Docs with hand-computable within-doc repetition:
+    - doc 0 ("a b a b a b"): bigrams [ab, ba, ab, ba, ab] -> all 5
+      occurrences duplicated; tokens 6, types 2.
+    - doc 1 ("x y z w"): bigrams [xy, yz, zw] all unique -> 0 duplicated;
+      tokens 4, types 4.
+    - doc 2 ("solo"): no bigrams; tokens 1, types 1."""
+    rows = [
+        (0, "a b a b a b", "en", "srcA", 0),
+        (1, "x y z w", "en", "srcB", 0),
+        (2, "solo", "en", "srcB", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tmp_path_factory.mktemp("repetition_docs")
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_doc_repetition_hand_computed(spark, repetition_docs_dir):
+    from feature_generation_benchmark_spark.workloads.curation import (
+        doc_repetition,
+    )
+
+    rows = {r["source"]: r for r in doc_repetition(spark, repetition_docs_dir).collect()}
+    a = rows["srcA"]
+    # all 5 bigram occurrences duplicated -> fraction exactly 1
+    assert a["dup_bigram_frac_e6"] == 1_000_000
+    assert a["max_doc_dup_frac_e6"] == 1_000_000
+    # 2 types over 6 tokens
+    assert a["ttr_e6"] == 333_333
+    b = rows["srcB"]
+    # srcB: doc1 has 3 unique bigrams, doc2 none -> 0 duplicated
+    assert b["dup_bigram_frac_e6"] == 0
+    assert b["max_doc_dup_frac_e6"] == 0
+    # 5 types over 5 tokens
+    assert b["ttr_e6"] == 1_000_000
+    assert b["n_docs"] == 2
+
+
+def test_doc_repetition_zero_shuffle_before_source_agg(spark):
+    """The dup counting must stay row-local: the plan's only exchange is
+    the final per-source aggregate (plus AQE bookkeeping) — no joins, no
+    explode-keyed doc shuffles."""
+    from feature_generation_benchmark_spark.workloads.curation import (
+        doc_repetition,
+    )
+
+    plan = doc_repetition(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    # one hash-partitioned exchange for groupBy(source) + the orderBy's
+    # range exchange; anything more means the row-local claim regressed
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -315,3 +315,52 @@ def test_quantile_bins_are_equal_frequency(spark):
         # bins tile the value range in order without overlap
         for q in (0, 1, 2):
             assert bins[q].hi_cents <= bins[q + 1].lo_cents
+
+
+# --- calibration_bins (r5) --------------------------------------------------
+
+
+def test_calibration_bins_partition_of_events(spark):
+    """Bins partition the event set: counts sum to |events|, every bin id
+    is in [0, 10), positives never exceed counts."""
+    from feature_generation_benchmark_spark.sources.testdata import load_table
+    from feature_generation_benchmark_spark.workloads.mlprep import (
+        calibration_bins,
+    )
+
+    out = calibration_bins(spark, SF_SMOKE).collect()
+    total = load_table(spark, SF_SMOKE, "events").count()
+    assert sum(r["n"] for r in out) == total
+    assert all(0 <= r["bin"] < 10 for r in out)
+    assert all(0 <= r["n_pos"] <= r["n"] for r in out)
+
+
+def test_calibration_bins_score_consistent_with_bin(spark):
+    """Mean predicted score must fall inside its bin's value range
+    (equal-width bins over [0, 1e6) at e6 scale), and the gap column is
+    |avg_score - obs_rate| exactly."""
+    from feature_generation_benchmark_spark.workloads.mlprep import (
+        calibration_bins,
+    )
+
+    for r in calibration_bins(spark, SF_SMOKE).collect():
+        lo, hi = r["bin"] * 100_000, (r["bin"] + 1) * 100_000
+        assert lo <= r["avg_score_e6"] < hi
+        assert r["gap_e6"] == abs(r["avg_score_e6"] - r["obs_rate_e6"])
+
+
+def test_calibration_bins_single_agg_plan(spark):
+    """One conditional aggregate over the scan: no joins, exactly one
+    hash exchange (the <=10-key bin agg) + the orderBy range exchange."""
+    from feature_generation_benchmark_spark.workloads.mlprep import (
+        calibration_bins,
+    )
+
+    plan = (
+        calibration_bins(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1

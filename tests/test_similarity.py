@@ -239,3 +239,82 @@ def test_blocked_equals_simple_pairs(spark, emb):
     assert simple.keys() == blocked.keys()
     for k in simple:
         assert abs(simple[k] - blocked[k]) < 1e-6
+
+
+# --- hard-negative mining (r5) --------------------------------------------
+
+
+def test_hard_negatives_match_filtered_python(spark, emb):
+    """Label-masked partial top-k must equal the brute-force Python
+    ranking restricted to different-label candidates."""
+    from feature_generation_benchmark_spark.operators.similarity import (
+        brute_force_topk_partial,
+    )
+
+    k = 4
+    out = brute_force_topk_partial(
+        emb.filter(F.col("vec_id") < 3),
+        emb,
+        "vec_id",
+        "embedding",
+        k=k,
+        exclude_label_col="label",
+    ).collect()
+    rows = [(r["vec_id"], r["embedding"], r["label"]) for r in emb.collect()]
+    by_query = {}
+    for r in out:
+        by_query.setdefault(r["query_id"], []).append(
+            (r["neighbor_id"], r["cos_sim"])
+        )
+    for qid, got in by_query.items():
+        qv = next(v for i, v, _l in rows if i == qid)
+        qlabel = next(l for i, _v, l in rows if i == qid)
+        want = sorted(
+            (
+                (round(_py_cosine(qv, v), 6), -i)
+                for i, v, l in rows
+                if i != qid and l != qlabel
+            ),
+            reverse=True,
+        )[:k]
+        want_ids = [-x[1] for x in want]
+        got_sorted = sorted(got, key=lambda t: (-t[1], t[0]))
+        assert [n for n, _s in got_sorted] == want_ids
+        # every mined negative must actually carry a different label
+        labels = {i: l for i, _v, l in rows}
+        assert all(labels[n] != qlabel for n, _s in got)
+
+
+def test_hard_negatives_exclude_all_same_label(spark, emb):
+    """Anchors keep k slots even when their own (same-label) cluster
+    dominates the near field — the mask must never leak a same-label id."""
+    from feature_generation_benchmark_spark.operators.similarity import (
+        brute_force_topk_partial,
+    )
+
+    out = brute_force_topk_partial(
+        emb.filter(F.col("vec_id") < 6),
+        emb,
+        "vec_id",
+        "embedding",
+        k=3,
+        exclude_label_col="label",
+    )
+    joined = (
+        out.join(
+            emb.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("qlabel"),
+            ),
+            "query_id",
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nlabel"),
+            ),
+            "neighbor_id",
+        )
+    )
+    assert joined.filter(F.col("qlabel") == F.col("nlabel")).count() == 0
+    assert out.groupBy("query_id").count().filter("count != 3").count() == 0
