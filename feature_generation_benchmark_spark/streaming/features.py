@@ -467,3 +467,102 @@ def histogram_sketch_stream(
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+class CategoryMixProcessor:
+    """`transformWithStateInPandas` processor exercising the WIDER typed
+    state surface (the protocol coverage twin of
+    :class:`RunningFeatureProcessor`, which uses ValueState only):
+
+    - **MapState** ``mix``: per-key map of event_type → (n, cents) —
+      containsKey / getValue / updateValue / iterator all hit the JVM
+      state server (paged ``StateResponseWithMapIterator`` replies);
+    - **ListState** ``recent``: every cents value appended via
+      ``appendList`` and re-counted with the paged list iterator;
+    - **timers**: a far-future processing-time timer is registered,
+      listed, and deleted each batch (``TimerStateCallCommand``
+      register/list/delete round-trips; nothing ever fires);
+    - **TTL**: the map state carries a 1-hour TTL, pushing the
+      ``StateCallCommand.ttl.durationMs`` submessage through the wire.
+
+    Emits one row per key per batch with the current totals, so Update
+    mode converges to the batch group-by (the e2e assertion).
+    """
+
+    OUTPUT_SCHEMA = (
+        "user_id long, n_types long, total_events long, "
+        "total_cents long, n_recent long"
+    )
+
+    def init(self, handle) -> None:
+        self._mix = handle.getMapState(
+            "mix", "event_type string", "n long, cents long",
+            ttlDurationMs=3_600_000,
+        )
+        self._recent = handle.getListState("recent", "cents long")
+        self._handle = handle
+
+    def handleInputRows(self, key, rows, timerValues):
+        import numpy as np
+
+        # timer protocol round-trip (register → list → delete); the
+        # expiry is an hour out so it never fires inside the test run
+        far = timerValues.getCurrentProcessingTimeInMs() + 3_600_000
+        self._handle.registerTimer(far)
+        assert any(t == far for t in self._handle.listTimers())
+        self._handle.deleteTimer(far)
+
+        for pdf in rows:
+            if len(pdf) == 0:
+                continue
+            scaled = pdf["value"].to_numpy(dtype="float64") * 100.0
+            t = np.trunc(scaled)
+            is_half = np.abs(scaled - t) == 0.5
+            cents = np.where(
+                is_half, t + np.sign(scaled), np.rint(scaled)
+            ).astype("int64")
+            self._recent.appendList([(int(c),) for c in cents])
+            for et, c in zip(pdf["event_type"], cents):
+                if self._mix.containsKey((et,)):
+                    n0, c0 = self._mix.getValue((et,))
+                else:
+                    n0, c0 = 0, 0
+                self._mix.updateValue((et,), (n0 + 1, c0 + int(c)))
+        n_types = 0
+        total_events = 0
+        total_cents = 0
+        for _k, (n, c) in self._mix.iterator():
+            n_types += 1
+            total_events += n
+            total_cents += c
+        n_recent = sum(1 for _ in self._recent.get())
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_types": [n_types],
+                "total_events": [total_events],
+                "total_cents": [total_cents],
+                "n_recent": [n_recent],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def category_mix_features(events: DataFrame) -> DataFrame:
+    """Wire :class:`CategoryMixProcessor` over a streaming events frame
+    keyed by user_id (ProcessingTime mode — required for timers/TTL)."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    proc = type(
+        "_CategoryMixProcessor",
+        (CategoryMixProcessor, StatefulProcessor),
+        {},
+    )()
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=CategoryMixProcessor.OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )

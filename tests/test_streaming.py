@@ -646,3 +646,77 @@ def test_histogram_sketch_stream_equals_batch_and_merges(spark, event_dir):
         .collect()
     }
     assert merged == direct
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState needs protobuf (or the vendored shim)",
+)
+def test_transform_with_state_map_list_timers(spark, event_dir, tmp_path):
+    """Protocol-coverage e2e for the wider typed-state surface: MapState
+    (containsKey/getValue/updateValue/paged iterator), ListState
+    (appendList/paged get), timer register→list→delete round-trips, and
+    a TTL'd StateCallCommand — every message family the vendored
+    protobuf shim serializes, parsed and answered by the real JVM state
+    server. Converges to the batch group-by per key."""
+    from feature_generation_benchmark_spark.streaming.features import (
+        category_mix_features,
+    )
+
+    static = spark.read.parquet(event_dir)
+    want = {
+        r.user_id: (r.n_types, r.n, r.s, r.n)
+        for r in static.groupBy("user_id")
+        .agg(
+            F.countDistinct("event_type").alias("n_types"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.col("value") * 100, 0).cast("long")
+            ).alias("s"),
+        )
+        .collect()
+    }
+
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(event_dir)
+        .select("user_id", "event_type", "value")
+    )
+    q = (
+        category_mix_features(stream)
+        .writeStream.format("memory")
+        .queryName("category_mix")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_mix"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+        got = {}
+        for r in spark.table("category_mix").collect():
+            cur = got.get(r.user_id)
+            if cur is None or r.total_events > cur[1]:
+                got[r.user_id] = (
+                    r.n_types,
+                    r.total_events,
+                    r.total_cents,
+                    r.n_recent,
+                )
+        assert got == want and len(got) > 0
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
