@@ -297,3 +297,76 @@ def test_doc_repetition_zero_shuffle_before_source_agg(spark):
     # one hash-partitioned exchange for groupBy(source) + the orderBy's
     # range exchange; anything more means the row-local claim regressed
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_doc_repetition_property_net(spark):
+    """Hypothesis net: random small-vocab docs vs a brute-force Python
+    model of the duplicate-bigram occurrence count and TTR (the sorted-
+    neighbor trick must equal naive per-bigram counting on any input,
+    including all-same-token and single-token docs)."""
+    import os
+    from collections import Counter
+
+    from hypothesis import given, settings, strategies as st
+
+    from feature_generation_benchmark_spark.workloads.curation import (
+        doc_repetition,
+    )
+
+    vocab = ["a", "b", "c", "dd"]
+    docs_strategy = st.lists(
+        st.lists(st.sampled_from(vocab), min_size=1, max_size=12),
+        min_size=1,
+        max_size=6,
+    )
+
+    @settings(
+        max_examples=int(os.environ.get("SPARK_GRAFT_NET_EXAMPLES", "25")),
+        deadline=None,
+    )
+    @given(docs=docs_strategy)
+    def net(docs):
+        rows = [
+            (i, " ".join(toks), "en", "srcN", 0)
+            for i, toks in enumerate(docs)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="fgb_repnet_")
+        try:
+            df.coalesce(1).write.mode("overwrite").parquet(
+                f"{d}/documents.parquet"
+            )
+            got = doc_repetition(spark, d).collect()[0]
+        finally:
+            import shutil
+
+            shutil.rmtree(d, ignore_errors=True)
+        sum_bi = sum_dup = sum_toks = sum_types = 0
+        max_dup = None
+        for toks in docs:
+            bigrams = [
+                f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)
+            ]
+            c = Counter(bigrams)
+            dup = sum(v for v in c.values() if v >= 2)
+            sum_bi += len(bigrams)
+            sum_dup += dup
+            sum_toks += len(toks)
+            sum_types += len(set(toks))
+            if bigrams:
+                frac = (1_000_000 * dup) // len(bigrams)
+                max_dup = frac if max_dup is None else max(max_dup, frac)
+        assert got["n_docs"] == len(docs)
+        if sum_bi > 0:
+            assert got["dup_bigram_frac_e6"] == (1_000_000 * sum_dup) // sum_bi
+        else:  # no bigrams anywhere: NULL, not a crash (net regression)
+            assert got["dup_bigram_frac_e6"] is None
+        assert got["ttr_e6"] == (1_000_000 * sum_types) // sum_toks
+        assert got["max_doc_dup_frac_e6"] == max_dup
+
+    net()

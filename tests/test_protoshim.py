@@ -197,3 +197,104 @@ def test_shim_only_loads_without_real_protobuf():
     assert "vendor" in google.protobuf.__file__
     # and the generated module resolved against it
     assert sm.StateRequest is not None
+
+
+# --- property net: serialize→parse roundtrips (hypothesis) ------------------
+
+
+def test_roundtrip_property_net():
+    """Random messages over the full StateMessage field-type inventory
+    (int32, int64 incl. negatives, bool, string, bytes, enum, repeated
+    bytes, repeated message, proto3-optional bytes, nested oneofs) must
+    survive serialize→parse bit-exactly. Field values are drawn by
+    hypothesis; the assertion compares canonical field tuples."""
+    import os
+
+    from hypothesis import given, settings, strategies as st
+
+    i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+    i32 = st.integers(min_value=-(2**31), max_value=2**31 - 1)
+    texts = st.text(max_size=40)
+    blobs = st.binary(max_size=40)
+
+    @settings(
+        max_examples=int(os.environ.get("SPARK_GRAFT_NET_EXAMPLES", "200")),
+        deadline=None,
+    )
+    @given(
+        status=i32,
+        err=texts,
+        vals=st.lists(blobs, max_size=6),
+        fetch=st.booleans(),
+        timers=st.lists(
+            st.tuples(st.one_of(st.none(), blobs), i64), max_size=5
+        ),
+        expiry=i64,
+        state=st.integers(min_value=0, max_value=5),
+        ttl=i64,
+        name=texts,
+    )
+    def roundtrip(status, err, vals, fetch, timers, expiry, state, ttl, name):
+        lg = sm.StateResponseWithListGet(
+            statusCode=status, errorMessage=err, value=vals,
+            requireNextFetch=fetch,
+        )
+        back = sm.StateResponseWithListGet()
+        back.ParseFromString(lg.SerializeToString())
+        assert (
+            back.statusCode, back.errorMessage, list(back.value),
+            back.requireNextFetch,
+        ) == (status, err, vals, fetch)
+
+        tmsg = sm.StateResponseWithTimer(
+            statusCode=status,
+            timer=[
+                sm.TimerInfo(timestampMs=ts)
+                if key is None
+                else sm.TimerInfo(key=key, timestampMs=ts)
+                for key, ts in timers
+            ],
+        )
+        tback = sm.StateResponseWithTimer()
+        tback.ParseFromString(tmsg.SerializeToString())
+        assert [
+            (t.key, t.timestampMs) for t in tback.timer
+        ] == [(key if key is not None else b"", ts) for key, ts in timers]
+        # proto3-optional presence survives independent of value
+        assert [t.HasField("key") for t in tback.timer] == [
+            key is not None for key, _ts in timers
+        ]
+
+        cmd = sm.StateCallCommand()
+        cmd.stateName = name
+        cmd.ttl.durationMs = ttl
+        req = sm.StateRequest(
+            statefulProcessorCall=sm.StatefulProcessorCall(getListState=cmd)
+        )
+        rback = sm.StateRequest()
+        rback.ParseFromString(req.SerializeToString())
+        inner = rback.statefulProcessorCall.getListState
+        assert (inner.stateName, inner.ttl.durationMs) == (name, ttl)
+
+        timer_req = sm.StateRequest(
+            statefulProcessorCall=sm.StatefulProcessorCall(
+                timerStateCall=sm.TimerStateCallCommand(
+                    register=sm.RegisterTimer(expiryTimestampMs=expiry)
+                )
+            )
+        )
+        tr = sm.StateRequest()
+        tr.ParseFromString(timer_req.SerializeToString())
+        got = tr.statefulProcessorCall.timerStateCall.register.expiryTimestampMs
+        assert got == expiry
+
+        hs = sm.StateRequest(
+            statefulProcessorCall=sm.StatefulProcessorCall(
+                setHandleState=sm.SetHandleState(state=state)
+            )
+        )
+        hb = sm.StateRequest()
+        hb.ParseFromString(hs.SerializeToString())
+        assert hb.statefulProcessorCall.setHandleState.state == state
+
+    roundtrip()

@@ -120,7 +120,13 @@ QUERIES = ("q7_nation_volume", "q13_order_histogram", "q18_large_orders",
            "rfm_segments",
            # r4e (18): ship-lag SLA percentiles (priority-dim output;
            # the fact-fact join must hold as both sides grow)
-           "ship_lag_percentiles")
+           "ship_lag_percentiles",
+           # r5: hard negatives (Q×k-bounded output; the label-masked
+           # partial-top-k state must stay bounded as the corpus grows),
+           # repetition rollup (|sources|-bounded; dup counting is
+           # row-local — the one agg must stay partial-agg-bounded),
+           # calibration bins (10-row output; one conditional agg)
+           "hard_negative_mining", "doc_repetition", "calibration_bins")
 
 #: event/document operators probed through a wrapping CHECKSUM aggregate:
 #: their full outputs grow with the scale factor, so collect() would ship
