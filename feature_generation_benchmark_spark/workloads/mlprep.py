@@ -1471,3 +1471,203 @@ QUERIES.append(
         "observed purchase rate, one conditional agg, <=bins-row exchange",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# pca_power_iteration — top principal component, exact integer replay (r5)
+# ---------------------------------------------------------------------------
+
+_PCA_Q = 10_000  # fixed-point component quantization (gram-matrix convention)
+#: the synthetic corpus' eigengap is thin (λ2/λ1 ≈ 0.93 at sf0.001), so
+#: convergence to 1e-3 alignment needs ~log(1e-3)/log(0.93) ≈ 100 steps;
+#: each step is exact integer math on a d×d model — 100 driver
+#: iterations and 100 unrolled 64-row CTE stages are both trivial
+_PCA_ITERS = 100
+_PCA_XSCALE = 1_000_000  # iterate vector lives at e6, max-norm = 1e6
+
+
+def _pca_trunc_div(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division (Python ``//`` floors, which
+    diverges from the SQL twin's sign-split form on negatives)."""
+    return a // b if a >= 0 else -((-a) // b)
+
+
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by power
+    iteration — iterative numerical linear algebra in the kmeans/pagerank
+    exact-replay family.
+
+    ONE distributed pass produces the exact integer sufficient statistics
+    (components quantized to ``_PCA_Q`` fixed-point like
+    ``embedding_gram_matrix``): upper-triangle Gram cells, per-dim sums,
+    and the row count — all emitted from a single explode into ONE
+    map-combined aggregate whose exchange carries ≤ P×(d(d+1)/2 + d + 1)
+    cells regardless of corpus size (pseudo-cells j=-1 carry the sums,
+    (-1,-1) the count). The scaled covariance n·G − s·sᵀ, the
+    power-of-ten rescale (digit-count based — no float log), and the
+    ``_PCA_ITERS`` power iterations with ∞-norm normalization
+    (x ← trunc(1e6·Cx / max|Cx|)) are all EXACT integer arithmetic on the
+    driver's d×d model — no sqrt, no float division anywhere, so the
+    DuckDB twin replays the whole trajectory bit-identically with
+    unrolled CTEs (HUGEINT sums; the rescale divisor is built as
+    '1'||repeat('0',k) because 10^k exceeds double-exact range).
+
+    The ∞-norm variant converges to the dominant eigenvector like the
+    L2 form (normalization only rescales); the fixed all-ones start is
+    deterministic. Output: (dim, loading_e6) with max |loading| = 1e6.
+    Cross-engine exactness: every value both engines compare is an
+    integer produced by integer ops — the only floats are inside
+    Spark's initial round(v·Q) quantization, shared with the gram op."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.transform("embedding", lambda v: v.cast("double")),
+        lambda v: F.round(v * _PCA_Q).cast("long"),
+    )
+    rows = emb.select(q.alias("__q")).filter(F.size("__q") > 0)
+    last = F.size("__q") - F.lit(1)
+    gram_cells = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), last),
+            lambda i: F.transform(
+                F.sequence(i, last),
+                lambda j: F.struct(
+                    i.cast("int").alias("i"),
+                    j.cast("int").alias("j"),
+                    (F.get("__q", i) * F.get("__q", j)).alias("p"),
+                ),
+            ),
+        )
+    )
+    sum_cells = F.transform(
+        F.sequence(F.lit(0), last),
+        lambda i: F.struct(
+            i.cast("int").alias("i"),
+            F.lit(-1).cast("int").alias("j"),
+            F.get("__q", i).alias("p"),
+        ),
+    )
+    count_cell = F.array(
+        F.struct(
+            F.lit(-1).cast("int").alias("i"),
+            F.lit(-1).cast("int").alias("j"),
+            F.lit(1).cast("long").alias("p"),
+        )
+    )
+    stats = (
+        rows.select(
+            F.explode(
+                F.concat(gram_cells, sum_cells, count_cell)
+            ).alias("c")
+        )
+        .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+        .agg(F.sum("c.p").alias("v"))
+        .collect()
+    )
+    g: dict[tuple[int, int], int] = {}
+    s: dict[int, int] = {}
+    n = 0
+    for r in stats:
+        if r["i"] == -1:
+            n = int(r["v"])
+        elif r["j"] == -1:
+            s[r["i"]] = int(r["v"])
+        else:
+            g[(r["i"], r["j"])] = int(r["v"])
+    d = len(s)
+    cov = [[0] * d for _ in range(d)]
+    for i in range(d):
+        for j in range(i, d):
+            c = n * g[(i, j)] - s[i] * s[j]  # exact python ints
+            cov[i][j] = cov[j][i] = c
+    max_abs = max((abs(c) for row in cov for c in row), default=0)
+    # rescale so |C_r| < 1e5: digit-count divisor (exact in SQL too)
+    k = max(len(str(max_abs)) - 5, 0)
+    divisor = 10**k
+    cr = [[_pca_trunc_div(c, divisor) for c in row] for row in cov]
+    x = [_PCA_XSCALE] * d
+    for _ in range(_PCA_ITERS):
+        y = [sum(cr[i][j] * x[j] for j in range(d)) for i in range(d)]
+        m = max(abs(v) for v in y)
+        if m == 0:  # zero covariance: degenerate corpus, stop
+            break
+        x = [_pca_trunc_div(_PCA_XSCALE * v, m) for v in y]
+    return spark.createDataFrame(
+        [(i, x[i]) for i in range(d)], "dim int, loading_e6 long"
+    )
+
+
+def _pca_oracle() -> str:
+    # every iteration CTE is MATERIALIZED: x{K} references y{K}/m{K}
+    # twice each, and DuckDB inlines plain CTEs per reference — 8
+    # unrolled iterations otherwise re-expand the whole upstream chain
+    # exponentially (observed as thousands of parquet opens)
+    it = """
+y{K} AS MATERIALIZED (
+  SELECT cr.i AS dim, CAST(sum(cr.c * x{P}.x) AS HUGEINT) AS y
+  FROM cr JOIN x{P} ON x{P}.dim = cr.j GROUP BY cr.i
+),
+m{K} AS MATERIALIZED (SELECT max(abs(y)) AS m FROM y{K}),
+x{K} AS MATERIALIZED (
+  SELECT dim,
+         CASE WHEN y >= 0
+              THEN (CAST({XS} AS HUGEINT) * y) // (SELECT m FROM m{K})
+              ELSE -((CAST({XS} AS HUGEINT) * (-y)) // (SELECT m FROM m{K}))
+         END AS x
+  FROM y{K}
+)"""
+    iters = ",".join(
+        it.format(K=k, P=k - 1 if k > 1 else 0, XS=_PCA_XSCALE)
+        for k in range(1, _PCA_ITERS + 1)
+    )
+    return f"""
+WITH comp AS (
+  SELECT vec_id,
+         CAST(unnest(generate_series(0, len(embedding) - 1)) AS INT) AS i,
+         CAST(round(unnest(CAST(embedding AS DOUBLE[])) * {_PCA_Q})
+              AS BIGINT) AS q
+  FROM embeddings
+),
+nn AS (SELECT CAST(count(DISTINCT vec_id) AS HUGEINT) AS n FROM comp),
+sums AS (SELECT i, CAST(sum(q) AS HUGEINT) AS s FROM comp GROUP BY i),
+g AS (
+  SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS HUGEINT) AS gv
+  FROM comp a JOIN comp b ON a.vec_id = b.vec_id
+  GROUP BY a.i, b.i
+),
+cov AS (
+  SELECT g.i, g.j, (SELECT n FROM nn) * g.gv - sa.s * sb.s AS cv
+  FROM g JOIN sums sa ON sa.i = g.i JOIN sums sb ON sb.i = g.j
+),
+divi AS MATERIALIZED (
+  SELECT CAST('1' || repeat('0',
+           greatest(length(CAST(max(abs(cv)) AS VARCHAR)) - 5, 0))
+         AS HUGEINT) AS r
+  FROM cov
+),
+cr AS MATERIALIZED (
+  SELECT i, j,
+         CASE WHEN cv >= 0 THEN cv // (SELECT r FROM divi)
+              ELSE -((-cv) // (SELECT r FROM divi)) END AS c
+  FROM cov
+),
+x0 AS MATERIALIZED (
+  SELECT i AS dim, CAST({_PCA_XSCALE} AS HUGEINT) AS x
+  FROM (SELECT DISTINCT i FROM comp)
+),
+{iters}
+SELECT dim, CAST(x AS BIGINT) AS loading_e6
+FROM x{_PCA_ITERS} ORDER BY dim
+"""
+
+
+QUERIES.append(
+    QueryDef(
+        "pca_power_iteration",
+        pca_power_iteration,
+        _pca_oracle(),
+        "top principal component by integer power iteration: one "
+        "exploded map-combined pass for exact Gram/sum/count stats, "
+        "then a bit-replayable all-integer driver iteration (no sqrt, "
+        "no float division) — DuckDB twin unrolls the trajectory",
+    )
+)

@@ -126,7 +126,11 @@ QUERIES = ("q7_nation_volume", "q13_order_histogram", "q18_large_orders",
            # repetition rollup (|sources|-bounded; dup counting is
            # row-local — the one agg must stay partial-agg-bounded),
            # calibration bins (10-row output; one conditional agg)
-           "hard_negative_mining", "doc_repetition", "calibration_bins")
+           "hard_negative_mining", "doc_repetition", "calibration_bins",
+           # r5 (2): PCA power iteration (d-row output; the ONE exploded
+           # map-combined stats pass must stay P×d²-bounded as the
+           # corpus grows; the 100-step iteration is driver model math)
+           "pca_power_iteration")
 
 #: event/document operators probed through a wrapping CHECKSUM aggregate:
 #: their full outputs grow with the scale factor, so collect() would ship
