@@ -130,7 +130,11 @@ QUERIES = ("q7_nation_volume", "q13_order_histogram", "q18_large_orders",
            # r5 (2): PCA power iteration (d-row output; the ONE exploded
            # map-combined stats pass must stay P×d²-bounded as the
            # corpus grows; the 100-step iteration is driver model math)
-           "pca_power_iteration")
+           "pca_power_iteration",
+           # r5 (3): approximate ANN paths (Q×k-bounded outputs; the
+           # bucket/cell candidate joins must stay candidate-bounded —
+           # never all-pairs — as the corpus grows)
+           "ann_lsh_topk", "ann_ivf_topk")
 
 #: event/document operators probed through a wrapping CHECKSUM aggregate:
 #: their full outputs grow with the scale factor, so collect() would ship
@@ -159,7 +163,11 @@ NOOP_QUERIES = ("gap_fill_daily", "heavy_hitters", "funnel_conversions",
                  "user_trend_slope",
                  # r5: near-dup pair output grows with the corpus; the
                  # prefix-filtered candidate join must stay subquadratic
-                 "dedup_ngram_jaccard_prefix")
+                 "dedup_ngram_jaccard_prefix",
+                 # r5 (3): resize output is corpus-sized (one row per
+                 # blob); the mapInPandas batch plumbing must stay
+                 # shuffle-free as the blob side grows
+                 "multimodal_resize")
 
 
 def build_scaled(spark, factor: int) -> str:
