@@ -1,0 +1,168 @@
+"""Pure-numpy image codec for the library-free formats — uncompressed
+24-bit BMP (BITMAPINFOHEADER, BI_RGB) and binary PPM (P6).
+
+Both formats are fully public specifications (BMP: Windows
+device-independent bitmap layout; PPM: netpbm). They need no codec
+libraries, so the multimodal ``decoder="real"`` path can ACTUALLY decode,
+resize, and re-encode them in this container; formats that genuinely
+require external libraries (PNG/JPEG/video) still raise the documented
+``NotImplementedError`` at the same call sites.
+
+Everything is vectorized numpy — these run inside Arrow-batched
+``mapInPandas`` workers, so per-pixel Python loops are never acceptable.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_BMP_HEADER_FMT = "<2sIHHI"  # magic, file size, res1, res2, pixel offset
+_BMP_INFO_FMT = "<IiiHHIIiiII"  # BITMAPINFOHEADER
+
+
+def sniff_format(data: bytes) -> str | None:
+    """'bmp' | 'ppm' for the formats this codec handles, else None."""
+    if data[:2] == b"BM":
+        return "bmp"
+    if data[:2] == b"P6":
+        return "ppm"
+    return None
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BI_RGB BMP → (H, W, 3) uint8 RGB array.
+
+    Handles bottom-up (positive height, the common case) and top-down
+    (negative height) layouts, and the 4-byte row padding the format
+    mandates. Anything else (compression, other bit depths) raises
+    ValueError — those variants need a real library."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    _, _, _, _, pix_off = struct.unpack_from(_BMP_HEADER_FMT, data, 0)
+    (
+        hdr_size,
+        width,
+        height,
+        _planes,
+        bpp,
+        compression,
+        _img_size,
+        _xppm,
+        _yppm,
+        _clr_used,
+        _clr_imp,
+    ) = struct.unpack_from(_BMP_INFO_FMT, data, 14)
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP variant (hdr={hdr_size}, bpp={bpp}, "
+            f"compression={compression}); only uncompressed 24-bit BI_RGB"
+        )
+    top_down = height < 0
+    height = abs(height)
+    row_bytes = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    end = pix_off + row_bytes * height
+    raw = np.frombuffer(data[pix_off:end], dtype=np.uint8)
+    rows = raw.reshape(height, row_bytes)[:, : width * 3]
+    img = rows.reshape(height, width, 3)
+    if not top_down:
+        img = img[::-1]  # bottom-up storage → top-down array
+    return img[..., ::-1].copy()  # BGR on disk → RGB
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB array → uncompressed 24-bit BI_RGB BMP."""
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("encode_bmp needs (H, W, 3) RGB")
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # RGB→BGR, flip
+    pix = rows.tobytes()
+    pix_off = 14 + 40
+    header = struct.pack(_BMP_HEADER_FMT, b"BM", pix_off + len(pix), 0, 0, pix_off)
+    info = struct.pack(_BMP_INFO_FMT, 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+    return header + info + pix
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval ≤ 255) → (H, W, 3) uint8 RGB array."""
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM stream")
+    # header: magic, width, height, maxval as whitespace-separated tokens
+    # (comments start with '#'); pixel data begins after ONE whitespace
+    # byte following maxval
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    raw = np.frombuffer(data[pos : pos + w * h * 3], dtype=np.uint8)
+    return raw.reshape(h, w, 3).copy()
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB array → binary PPM (P6)."""
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("encode_ppm needs (H, W, 3) RGB")
+    return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+def decode_image(data: bytes) -> tuple[np.ndarray, str]:
+    """Decode any supported format; returns (array, format)."""
+    fmt = sniff_format(data)
+    if fmt == "bmp":
+        return decode_bmp(data), "bmp"
+    if fmt == "ppm":
+        return decode_ppm(data), "ppm"
+    raise NotImplementedError(
+        "only uncompressed BMP and binary PPM decode without codec "
+        "libraries; plug PIL/ffmpeg here for other formats"
+    )
+
+
+def encode_image(img: np.ndarray, fmt: str) -> bytes:
+    if fmt == "bmp":
+        return encode_bmp(img)
+    if fmt == "ppm":
+        return encode_ppm(img)
+    raise NotImplementedError(f"cannot encode {fmt!r} without codec libraries")
+
+
+def resize_nearest(img: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
+    """Nearest-neighbor resize via integer index maps (pure numpy — two
+    fancy-index gathers, no Python per-pixel work). Uses the standard
+    pixel-center mapping src = floor((dst + 0.5) * scale)."""
+    h, w = img.shape[:2]
+    rows = np.minimum(
+        ((np.arange(target_h) + 0.5) * (h / target_h)).astype(np.int64), h - 1
+    )
+    cols = np.minimum(
+        ((np.arange(target_w) + 0.5) * (w / target_w)).astype(np.int64), w - 1
+    )
+    return img[rows][:, cols]
+
+
+def image_features(img: np.ndarray) -> list[float]:
+    """8-dim feature vector from a decoded image: per-channel means and
+    stds (e6-rounded for cross-run stability) + normalized dims."""
+    f = img.reshape(-1, 3).astype(np.float64) / 255.0
+    means = f.mean(axis=0)
+    stds = f.std(axis=0)
+    h, w = img.shape[:2]
+    vec = [*means, *stds, w / 4096.0, h / 4096.0]
+    return [round(float(v), 6) for v in vec]

@@ -1,13 +1,17 @@
 """Multimodal column plumbing — images/audio/video as opaque ``binary``
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
 
-The container has no codec libraries, so the DECODE step is stubbed two
-ways (clearly marked): ``decoder="fake"`` produces deterministic
-pseudo-features derived from the bytes (so the whole pipeline is testable
-end-to-end), and ``decoder="real"`` raises ``NotImplementedError`` at the
-exact point a real implementation would call PIL/ffmpeg. Everything
-AROUND the stub — schema, batch iteration, partitioning, UDF signature —
-is the real Spark plumbing a production pipeline would keep.
+The decode step runs in three modes: ``decoder="fake"`` produces
+deterministic pseudo-features derived from the bytes (the whole pipeline
+is testable with any blob); ``decoder="real"`` GENUINELY decodes the
+library-free image formats — uncompressed 24-bit BMP and binary PPM —
+via the pure-numpy codec (``operators/imagecodec.py``: decode, nearest-
+neighbor resize, re-encode, channel-stat features, all vectorized); and
+for formats that require codec libraries absent in this container
+(PNG/JPEG/audio/video), ``decoder="real"`` raises ``NotImplementedError``
+at the exact point a real deployment plugs PIL/torchaudio/pyav.
+Everything around decode — schema, batch iteration, partitioning, UDF
+signature — is the real Spark plumbing a production pipeline would keep.
 
 Scale posture: ``mapInPandas`` streams Arrow batches (no per-row Python
 dispatch); blobs never pass through a shuffle — feature extraction is a
@@ -65,16 +69,25 @@ def attach_media_meta(
 def _decode_stub(
     blob: bytes, media_type: str, decoder: str, digest: bytes | None = None
 ):
-    """THE STUB. A real deployment replaces this with PIL / torchaudio /
-    pyav decoding; the deterministic fake derives plausible shapes and an
-    8-dim feature vector from the content hash so downstream plumbing is
-    fully exercisable in tests. ``digest`` lets callers that already
-    hashed the blob (for content addressing) avoid a second pass."""
+    """The decode stage. ``decoder="real"`` genuinely decodes the
+    library-free image formats (uncompressed 24-bit BMP, binary PPM —
+    pure-numpy codec, ``operators/imagecodec.py``) and raises the
+    documented ``NotImplementedError`` for formats that require codec
+    libraries absent here (PNG/JPEG/audio/video — plug PIL / torchaudio /
+    pyav at this exact point). The deterministic fake derives plausible
+    shapes and an 8-dim feature vector from the content hash so the
+    downstream plumbing is exercisable with ANY bytes. ``digest`` lets
+    callers that already hashed the blob (for content addressing) avoid a
+    second pass."""
     if decoder == "real":
-        raise NotImplementedError(
-            "media decoding requires codec libraries not present in this "
-            "environment; plug PIL/ffmpeg here"
+        from feature_generation_benchmark_spark.operators.imagecodec import (
+            decode_image,
+            image_features,
         )
+
+        img, _fmt = decode_image(blob)  # NotImplementedError for png/jpeg/av
+        h, w = img.shape[:2]
+        return w, h, 1, image_features(img)
     if digest is None:
         digest = hashlib.sha256(blob).digest()
     width = 16 + digest[0] % 240
@@ -149,10 +162,12 @@ def resize_media(
     """Resize plumbing: decode → scale to (target_w, target_h) → re-encode,
     one blob per row, as a narrow ``mapInPandas`` (blobs never shuffle).
 
-    The pixel work is THE STUB (``decoder="real"`` raises where PIL's
-    ``Image.resize`` would run); the fake emits a deterministic
-    ``target_w*target_h``-byte pseudo-bitmap seeded from the content hash,
-    so output sizing/schema behave exactly like a real resize."""
+    ``decoder="real"`` actually resizes BMP/PPM blobs (pure-numpy
+    nearest-neighbor, re-encoded in the input's own format) and raises
+    the documented ``NotImplementedError`` for codec-library formats;
+    the fake emits a deterministic ``target_w*target_h``-byte
+    pseudo-bitmap seeded from the content hash, so output sizing/schema
+    behave exactly like a real resize with any bytes."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for start in range(0, len(pdf), batch_limit):
@@ -161,10 +176,23 @@ def resize_media(
                 for doc_id, blob in zip(chunk[id_col], chunk[blob_col]):
                     data = bytes(blob)
                     if decoder == "real":
-                        raise NotImplementedError(
-                            "image resize requires codec libraries not "
-                            "present in this environment; plug PIL here"
+                        from feature_generation_benchmark_spark.operators.imagecodec import (  # noqa: E501
+                            decode_image,
+                            encode_image,
+                            resize_nearest,
                         )
+
+                        img, fmt = decode_image(data)
+                        out = resize_nearest(img, target_w, target_h)
+                        rows.append(
+                            {
+                                "doc_id": int(doc_id),
+                                "width": target_w,
+                                "height": target_h,
+                                "resized": encode_image(out, fmt),
+                            }
+                        )
+                        continue
                     seed = hashlib.sha256(data).digest()
                     n = target_w * target_h
                     fake = (seed * (n // len(seed) + 1))[:n]

@@ -43,7 +43,10 @@ def test_extract_features_schema_and_determinism(spark, blobs):
     assert rows2[5] == r
 
 
-def test_real_decoder_is_marked_unimplemented(spark, blobs):
+def test_real_decoder_unimplemented_for_codec_formats(spark, blobs):
+    """decoder="real" decodes the library-free formats (BMP/PPM, see
+    test_multimodal_real_codec.py); arbitrary non-image bytes must still
+    raise the documented NotImplementedError at the plug-PIL point."""
     out = extract_media_features(blobs, "doc_id", "blob", decoder="real")
     with pytest.raises(Exception) as e:
         out.collect()
@@ -62,7 +65,7 @@ def test_resize_shapes_and_determinism(spark, blobs):
     assert rows2[7]["resized"] == rows[7]["resized"]
 
 
-def test_resize_real_decoder_is_marked_unimplemented(spark, blobs):
+def test_resize_real_decoder_unimplemented_for_codec_formats(spark, blobs):
     out = resize_media(blobs, "doc_id", "blob", 8, 4, decoder="real")
     with pytest.raises(Exception) as e:
         out.collect()
