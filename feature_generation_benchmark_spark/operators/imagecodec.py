@@ -166,3 +166,84 @@ def image_features(img: np.ndarray) -> list[float]:
     h, w = img.shape[:2]
     vec = [*means, *stds, w / 4096.0, h / 4096.0]
     return [round(float(v), 6) for v in vec]
+
+
+# --- WAV (RIFF PCM) — the library-free audio format ---------------------
+
+def sniff_wav(data: bytes) -> bool:
+    return data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM (8- or 16-bit integer) → ((n_samples, n_channels)
+    float64 array in [-1, 1], sample_rate). Walks the chunk list properly
+    (fmt/data need not be adjacent; chunks pad to even sizes). Compressed
+    or float WAV variants raise ValueError — those need a real library."""
+    if not sniff_wav(data):
+        raise ValueError("not a RIFF/WAVE stream")
+    pos = 12
+    fmt = None
+    pcm = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size & 1)  # chunks pad to even byte counts
+    if fmt is None or pcm is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_ch, rate, _byte_rate, _block, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError(
+            f"unsupported WAV variant (format={audio_format}, bits={bits});"
+            " only integer PCM 8/16-bit"
+        )
+    if bits == 16:
+        raw = np.frombuffer(pcm, dtype="<i2")
+        scaled = raw.astype(np.float64) / 32768.0
+    else:  # 8-bit WAV is UNSIGNED with a 128 midpoint, per the format
+        raw = np.frombuffer(pcm, dtype=np.uint8)
+        scaled = (raw.astype(np.float64) - 128.0) / 128.0
+    n = len(scaled) - len(scaled) % n_ch
+    return scaled[:n].reshape(-1, n_ch), rate
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """(n_samples, n_channels) float array in [-1, 1] → 16-bit PCM WAV."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n_ch = samples.shape[1]
+    pcm = (
+        np.clip(samples, -1.0, 1.0) * 32767.0
+    ).round().astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * n_ch * 2, n_ch * 2, 16)
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def audio_features(samples: np.ndarray, rate: int) -> list[float]:
+    """8-dim audio features: duration, RMS, peak, zero-crossing rate,
+    per-channel count, rate (scaled), DC offset, crest proxy."""
+    mono = samples.mean(axis=1)
+    n = max(len(mono), 1)
+    rms = float(np.sqrt((mono**2).mean())) if len(mono) else 0.0
+    peak = float(np.abs(mono).max()) if len(mono) else 0.0
+    zc = float((np.diff(np.signbit(mono)) != 0).sum() / n) if len(mono) > 1 else 0.0
+    vec = [
+        n / max(rate, 1),            # duration sec
+        rms,
+        peak,
+        zc,
+        samples.shape[1] / 8.0,      # channels, normalized
+        rate / 96000.0,              # sample rate, normalized
+        float(mono.mean()),          # DC offset
+        peak / rms if rms > 0 else 0.0,  # crest factor
+    ]
+    return [round(float(v), 6) for v in vec]

@@ -81,10 +81,23 @@ def _decode_stub(
     second pass."""
     if decoder == "real":
         from feature_generation_benchmark_spark.operators.imagecodec import (
+            audio_features,
             decode_image,
+            decode_wav,
             image_features,
+            sniff_wav,
         )
 
+        if sniff_wav(blob):
+            samples, rate = decode_wav(blob)
+            # audio mapping of the shared schema: width=n_channels,
+            # height=sample_rate, n_frames=sample frames (audio term)
+            return (
+                samples.shape[1],
+                rate,
+                len(samples),
+                audio_features(samples, rate),
+            )
         img, _fmt = decode_image(blob)  # NotImplementedError for png/jpeg/av
         h, w = img.shape[:2]
         return w, h, 1, image_features(img)

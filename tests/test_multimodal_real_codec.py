@@ -150,3 +150,76 @@ def test_bmp_topdown_variant():
     ]
     data[pix_off:] = b"".join(reversed(rows))
     assert np.array_equal(decode_bmp(bytes(data)), img)
+
+
+# --- WAV (library-free audio) ------------------------------------------------
+
+
+def test_wav_roundtrip_16bit():
+    from feature_generation_benchmark_spark.operators.imagecodec import (
+        decode_wav,
+        encode_wav,
+    )
+
+    t = np.arange(800) / 8000.0
+    stereo = np.stack(
+        [np.sin(2 * np.pi * 440 * t), 0.5 * np.sin(2 * np.pi * 220 * t)],
+        axis=1,
+    )
+    back, rate = decode_wav(encode_wav(stereo, 8000))
+    assert rate == 8000 and back.shape == (800, 2)
+    # error bound: ±0.5/32768 rounding + the standard 32767/32768 encode/
+    # decode scale asymmetry (≈1/32768 at full scale)
+    assert np.abs(back - stereo).max() <= 2.0 / 32768
+
+
+def test_wav_chunk_walk_and_8bit():
+    """fmt/data separated by an unknown odd-sized chunk (pad byte), plus
+    the unsigned-with-128-midpoint 8-bit variant."""
+    from feature_generation_benchmark_spark.operators.imagecodec import (
+        decode_wav,
+    )
+    import struct as st
+
+    pcm8 = bytes([128, 255, 0, 128])  # midpoint, +max, -max, midpoint
+    fmt = st.pack("<HHIIHH", 1, 1, 4000, 4000, 1, 8)
+    junk = b"junkxyz"  # 7 bytes -> odd, exercises even-padding
+    chunks = (
+        b"WAVE"
+        + b"fmt " + st.pack("<I", len(fmt)) + fmt
+        + b"junk" + st.pack("<I", len(junk)) + junk + b"\x00"
+        + b"data" + st.pack("<I", len(pcm8)) + pcm8
+    )
+    data = b"RIFF" + st.pack("<I", len(chunks)) + chunks
+    samples, rate = decode_wav(data)
+    assert rate == 4000
+    assert samples[:, 0].tolist() == [0.0, 127 / 128, -1.0, 0.0]
+
+
+def test_extract_features_real_wav_e2e(spark):
+    """Audio through the real decoder in Spark: schema mapping is
+    (width=n_channels, height=sample_rate, n_frames=samples) and the
+    feature vector carries the true duration/RMS."""
+    from feature_generation_benchmark_spark.operators.imagecodec import (
+        audio_features,
+        decode_wav,
+        encode_wav,
+    )
+    from feature_generation_benchmark_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    t = np.arange(1600) / 16000.0
+    wav = encode_wav(np.sin(2 * np.pi * 440 * t)[:, None], 16000)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav))], "doc_id long, blob binary"
+    )
+    r = extract_media_features(
+        df, "doc_id", "blob", media_type="audio", decoder="real"
+    ).collect()[0]
+    assert (r["width"], r["height"], r["n_frames"]) == (1, 16000, 1600)
+    samples, rate = decode_wav(wav)
+    assert r["feature_vec"] == pytest.approx(
+        audio_features(samples, rate), abs=1e-6
+    )
+    assert abs(r["feature_vec"][0] - 0.1) < 1e-6  # 1600/16000 s duration
