@@ -154,3 +154,110 @@ QUERIES = [
         "video frame sampling: decode once, explode per-frame indices",
     ),
 ]
+
+
+# ---------------------------------------------------------------------------
+# multimodal_real_pixel_stats — the REAL codec path, oracle-checked (r5)
+# ---------------------------------------------------------------------------
+
+_PIX_W, _PIX_H = 16, 16
+_PIX_N = _PIX_W * _PIX_H * 3  # 768 bytes per synthesized image
+
+
+def multimodal_real_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the REAL (pure-numpy BMP) codec through the oracle gate.
+
+    Each document's UTF-8 bytes become the pixel buffer of a 16×16 RGB
+    image (first 768 bytes, zero-padded), ENCODED to an actual BMP file
+    (bottom-up rows, BGR, 4-byte padding) and DECODED back inside the
+    ``mapInPandas`` worker via ``operators/imagecodec.py`` — a true
+    encode→decode roundtrip per blob, not the hash fake. The output is
+    the per-source EXACT integer per-channel pixel sums; because the BMP
+    roundtrip is pixel-identity, the DuckDB twin computes the same sums
+    straight from the text bytes (ASCII corpus ⇒ ``ord`` = byte), so any
+    codec defect — row order, BGR swap, padding arithmetic — breaks the
+    value hash.
+
+    Scale: blob synthesis + encode + decode + channel sums are one
+    narrow map (blobs never shuffle); the only exchange is the
+    ≤|sources| combining aggregate."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from feature_generation_benchmark_spark.operators.imagecodec import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    narrow = docs.select(
+        "source", F.encode(F.col("text"), "UTF-8").alias("blob")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for source, blob in zip(pdf["source"], pdf["blob"]):
+                buf = np.zeros(_PIX_N, dtype=np.uint8)
+                data = np.frombuffer(bytes(blob)[:_PIX_N], dtype=np.uint8)
+                buf[: len(data)] = data
+                img = buf.reshape(_PIX_H, _PIX_W, 3)
+                back = decode_bmp(encode_bmp(img))  # REAL codec roundtrip
+                assert back.shape == (_PIX_H, _PIX_W, 3)
+                sums = back.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                out.append(
+                    {
+                        "source": source,
+                        "r_sum": int(sums[0]),
+                        "g_sum": int(sums[1]),
+                        "b_sum": int(sums[2]),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    per_doc = narrow.mapInPandas(
+        run, "source string, r_sum long, g_sum long, b_sum long"
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("r_sum").alias("r_total"),
+            F.sum("g_sum").alias("g_total"),
+            F.sum("b_sum").alias("b_total"),
+        )
+        .orderBy("source")
+    )
+
+
+_REAL_PIXEL_ORACLE = f"""
+WITH bytes AS (
+  SELECT source, u.i AS i,
+         CASE WHEN u.i <= length(text) THEN ord(substr(text, u.i, 1))
+              ELSE 0 END AS b
+  FROM documents,
+       unnest(generate_series(1, {_PIX_N})) AS u(i)
+)
+SELECT source,
+       CAST(count(*) // {_PIX_N} AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN (i - 1) % 3 = 0 THEN b ELSE 0 END) AS BIGINT)
+         AS r_total,
+       CAST(sum(CASE WHEN (i - 1) % 3 = 1 THEN b ELSE 0 END) AS BIGINT)
+         AS g_total,
+       CAST(sum(CASE WHEN (i - 1) % 3 = 2 THEN b ELSE 0 END) AS BIGINT)
+         AS b_total
+FROM bytes GROUP BY source ORDER BY source
+"""
+
+QUERIES.append(
+    QueryDef(
+        "multimodal_real_pixel_stats",
+        multimodal_real_pixel_stats,
+        _REAL_PIXEL_ORACLE,
+        "REAL BMP encode->decode roundtrip per blob inside mapInPandas "
+        "(pure-numpy codec), exact integer channel sums per source — the "
+        "oracle recomputes them from the raw bytes, so any codec defect "
+        "breaks the hash",
+    )
+)
