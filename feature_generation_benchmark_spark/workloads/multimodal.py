@@ -250,6 +250,10 @@ SELECT source,
 FROM bytes GROUP BY source ORDER BY source
 """
 
+# bench=False: this is the CODEC VALIDATION query (a deliberate
+# per-image encode→decode roundtrip, ~0.9 ms/doc of python codec work);
+# the throughput path for blob features is multimodal_features, which
+# stays benched
 QUERIES.append(
     QueryDef(
         "multimodal_real_pixel_stats",
@@ -259,5 +263,6 @@ QUERIES.append(
         "(pure-numpy codec), exact integer channel sums per source — the "
         "oracle recomputes them from the raw bytes, so any codec defect "
         "breaks the hash",
+        bench=False,
     )
 )

@@ -134,7 +134,10 @@ QUERIES = ("q7_nation_volume", "q13_order_histogram", "q18_large_orders",
            # r5 (3): approximate ANN paths (Q×k-bounded outputs; the
            # bucket/cell candidate joins must stay candidate-bounded —
            # never all-pairs — as the corpus grows)
-           "ann_lsh_topk", "ann_ivf_topk")
+           "ann_lsh_topk", "ann_ivf_topk",
+           # r5 (4): real-codec roundtrip (|sources|-bounded output;
+           # encode/decode is a narrow map — blobs never shuffle)
+           "multimodal_real_pixel_stats")
 
 #: event/document operators probed through a wrapping CHECKSUM aggregate:
 #: their full outputs grow with the scale factor, so collect() would ship
