@@ -500,6 +500,13 @@ class CategoryMixProcessor:
             ttlDurationMs=3_600_000,
         )
         self._recent = handle.getListState("recent", "cents long")
+        # scratch ValueState: exists/update/get/clear round-trips — the
+        # remaining ValueStateCall protocol members
+        self._scratch = handle.getValueState("scratch", "v long")
+        # deleteIfExists is only legal in the CREATED handle state (the
+        # JVM rejects it later) — the migration pattern: drop a state
+        # variable a previous query version might have left behind
+        handle.deleteIfExists("obsolete_v1")
         self._handle = handle
 
     def handleInputRows(self, key, rows, timerValues):
@@ -528,6 +535,18 @@ class CategoryMixProcessor:
                 else:
                     n0, c0 = 0, 0
                 self._mix.updateValue((et,), (n0 + 1, c0 + int(c)))
+        # remaining protocol members, exercised with self-checking
+        # no-net-effect round-trips: ValueState update/get/clear,
+        # MapState removeKey + keys()/values(), ListState put()
+        assert not self._scratch.exists()
+        self._scratch.update((7,))
+        assert self._scratch.exists() and self._scratch.get() == (7,)
+        self._scratch.clear()
+        assert not self._scratch.exists()
+        self._mix.updateValue(("__sentinel__",), (0, 0))
+        assert self._mix.containsKey(("__sentinel__",))
+        self._mix.removeKey(("__sentinel__",))
+        assert not self._mix.containsKey(("__sentinel__",))
         n_types = 0
         total_events = 0
         total_cents = 0
@@ -535,7 +554,12 @@ class CategoryMixProcessor:
             n_types += 1
             total_events += n
             total_cents += c
+        assert sum(1 for _ in self._mix.keys()) == n_types
+        assert sum(1 for _ in self._mix.values()) == n_types
+        current = [tuple(v) for v in self._recent.get()]
+        self._recent.put(current)  # rewrite-in-place: ListStatePut path
         n_recent = sum(1 for _ in self._recent.get())
+        assert n_recent == len(current)
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
@@ -548,6 +572,11 @@ class CategoryMixProcessor:
 
     def close(self) -> None:
         pass
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        # required override surface; the test's far-future timers are
+        # deleted before expiry, so this never yields
+        yield from ()
 
 
 def category_mix_features(events: DataFrame) -> DataFrame:
