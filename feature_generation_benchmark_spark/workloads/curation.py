@@ -744,7 +744,11 @@ def quality_stratified_mixture(
     toks = F.expr(
         "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
     )
-    scored = docs.select(
+    # zero-token docs (empty/punctuation-only text) would divide by zero
+    # in the quality score under ANSI mode — they carry no trainable
+    # tokens, so excluding them IS the curation semantics (mirrored in
+    # the oracle's WHERE)
+    scored = docs.filter(F.size(toks) > 0).select(
         "doc_id",
         "source",
         F.size(toks).cast("long").alias("n_tokens"),
@@ -804,6 +808,8 @@ WITH scored AS (
       // len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
          x -> x <> '')) AS q_score
   FROM documents
+  WHERE len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        x -> x <> '')) > 0
 ),
 bounds AS (
   SELECT source,

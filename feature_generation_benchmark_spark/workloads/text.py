@@ -170,13 +170,19 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_distinct = F.size(F.array_distinct("toks"))
     n_digits = char_class_count(F.col("text"), "[0-9]")
     b = QUALITY_BOUNDS
+    # ANSI mode raises DIVIDE_BY_ZERO on long/long `/` — zero-token or
+    # empty-text docs get NULL ratios instead (Kleene AND keeps
+    # passes_quality false via the min_tokens bound; oracle mirrors)
+    has_toks = n_tokens > 0
     stats = t.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
-        (token_len_sum / n_tokens).alias("avg_token_len"),
-        (stop_hits / n_tokens).alias("stopword_ratio"),
-        (F.lit(1.0) - n_distinct / n_tokens).alias("dup_token_ratio"),
-        (n_digits / n_chars).alias("digit_char_ratio"),
+        F.when(has_toks, token_len_sum / n_tokens).alias("avg_token_len"),
+        F.when(has_toks, stop_hits / n_tokens).alias("stopword_ratio"),
+        F.when(has_toks, F.lit(1.0) - n_distinct / n_tokens).alias(
+            "dup_token_ratio"
+        ),
+        F.when(n_chars > 0, n_digits / n_chars).alias("digit_char_ratio"),
     )
     passes = (
         F.col("n_tokens").between(b["min_tokens"], b["max_tokens"])
@@ -200,14 +206,18 @@ WITH t AS (
 s AS (
   SELECT doc_id,
     CAST(len(toks) AS BIGINT) AS n_tokens,
-    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
-      / len(toks) AS avg_token_len,
-    CAST(len(list_filter(toks, x -> list_contains([{vocab}], x)))
-      AS DOUBLE) / len(toks) AS stopword_ratio,
-    1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
-      AS dup_token_ratio,
-    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text)
-      AS digit_char_ratio
+    CASE WHEN len(toks) > 0 THEN
+      CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        / len(toks) END AS avg_token_len,
+    CASE WHEN len(toks) > 0 THEN
+      CAST(len(list_filter(toks, x -> list_contains([{vocab}], x)))
+        AS DOUBLE) / len(toks) END AS stopword_ratio,
+    CASE WHEN len(toks) > 0 THEN
+      1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+      END AS dup_token_ratio,
+    CASE WHEN length(text) > 0 THEN
+      CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text)
+      END AS digit_char_ratio
   FROM t
 )
 SELECT *,

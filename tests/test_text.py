@@ -74,3 +74,56 @@ def test_lang_predict(spark, df):
     assert got[3] == "fr"
     assert got[4] == "und"
     assert got[5] == "und"
+
+
+def test_text_quality_degenerate_docs_dont_crash(spark, tmp_path_factory):
+    """Empty and punctuation-only documents have zero tokens — under
+    ANSI mode the unguarded long/long ratio divisions used to raise
+    DIVIDE_BY_ZERO (same class the doc_repetition net caught). They must
+    instead yield NULL ratios and passes_quality=False."""
+    from feature_generation_benchmark_spark.workloads.text import (
+        text_quality,
+    )
+
+    d = tmp_path_factory.mktemp("degen_docs")
+    spark.createDataFrame(
+        [
+            (0, "", "en", "s0", 0),
+            (1, "!!! ??? ...", "en", "s0", 11),
+            (2, "some real words in here now", "en", "s0", 27),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(d / "documents.parquet")
+    )
+    rows = {r["doc_id"]: r for r in text_quality(spark, str(d)).collect()}
+    for i in (0, 1):
+        assert rows[i]["n_tokens"] == 0
+        assert rows[i]["avg_token_len"] is None
+        assert rows[i]["stopword_ratio"] is None
+        assert rows[i]["passes_quality"] is False
+    assert rows[2]["avg_token_len"] is not None
+
+
+def test_quality_stratified_mixture_skips_zero_token_docs(
+    spark, tmp_path_factory
+):
+    """The curation mixture excludes zero-token docs (no trainable
+    tokens) instead of crashing on the q_score division."""
+    from feature_generation_benchmark_spark.workloads.curation import (
+        quality_stratified_mixture,
+    )
+
+    d = tmp_path_factory.mktemp("degen_mixture")
+    rows = [(0, "...", "en", "s0", 3)] + [
+        (i, f"word{i} alpha beta gamma delta", "en", "s0", 25)
+        for i in range(1, 9)
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(d / "documents.parquet")
+    )
+    out = quality_stratified_mixture(spark, str(d)).collect()
+    assert sum(r["n_docs"] for r in out) == 8  # doc 0 excluded, no crash
