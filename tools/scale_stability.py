@@ -170,7 +170,14 @@ NOOP_QUERIES = ("gap_fill_daily", "heavy_hitters", "funnel_conversions",
                  # r5 (3): resize output is corpus-sized (one row per
                  # blob); the mapInPandas batch plumbing must stay
                  # shuffle-free as the blob side grows
-                 "multimodal_resize")
+                 "multimodal_resize",
+                 # r5 (4): dedup outputs grow with the corpus (per-doc
+                 # keep flags / duplicate pairs) — collecting them at
+                 # 100x breaches driver.maxResultSize; checksum-wrap
+                 "dedup_exact", "dedup_minhash_md5", "dedup_simhash_md5",
+                 "dedup_minhash_lsh", "dedup_simhash",
+                 "dedup_ngram_jaccard", "dedup_embedding_cosine",
+                 "decontamination", "semdedup", "duplicate_clusters")
 
 
 def build_scaled(spark, factor: int) -> str:
