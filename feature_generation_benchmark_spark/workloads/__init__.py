@@ -26,7 +26,10 @@ class QueryDef:
     bench: bool = True
 
 
-def _green_check_counts(has_oracle: dict[str, bool]) -> dict[str, int]:
+def _green_check_counts(
+    has_oracle: dict[str, bool],
+    ledger: list[tuple[int, dict]] | None = None,
+) -> dict[str, int]:
     """How many times each query has a GREEN driver correctness row.
 
     The driver's gate verifies only the FIRST 50 ``queries()`` entries per
@@ -46,12 +49,22 @@ def _green_check_counts(has_oracle: dict[str, bool]) -> dict[str, int]:
     (r4 verdict "What's wrong #1": the previous version counted stale r1
     rows-only rows as green for entries that since gained full oracles,
     starving them of hash checks indefinitely.)
+
+    ``ledger`` (list of ``(round, artifact_dict)``) overrides the on-disk
+    artifacts — used by tests to probe the classification logic without
+    coupling to whatever the driver last wrote (r5 verdict "What's wrong
+    #1": an artifact-coupled probe broke the moment CORRECTNESS_r05.json
+    landed).
     """
-    return {n: c for n, (c, _r) in _green_check_stats(has_oracle).items()}
+    return {
+        n: c
+        for n, (c, _r) in _green_check_stats(has_oracle, ledger).items()
+    }
 
 
 def _green_check_stats(
     has_oracle: dict[str, bool],
+    ledger: list[tuple[int, dict]] | None = None,
 ) -> dict[str, tuple[int, int]]:
     """Per query: (green row count, round index of the LAST green row).
 
@@ -63,17 +76,20 @@ def _green_check_stats(
     import re
     from pathlib import Path
 
-    root = Path(__file__).resolve().parents[2]
+    if ledger is None:
+        root = Path(__file__).resolve().parents[2]
+        ledger = []
+        for p in sorted(root.glob("CORRECTNESS_r*.json")):
+            m = re.search(r"r(\d+)", p.name)
+            rnd = int(m.group(1)) if m else 0
+            try:
+                data = json.loads(p.read_text())
+            except Exception:
+                continue
+            if isinstance(data, dict):
+                ledger.append((rnd, data))
     stats: dict[str, tuple[int, int]] = {}
-    for p in sorted(root.glob("CORRECTNESS_r*.json")):
-        m = re.search(r"r(\d+)", p.name)
-        rnd = int(m.group(1)) if m else 0
-        try:
-            data = json.loads(p.read_text())
-        except Exception:
-            continue
-        if not isinstance(data, dict):
-            continue
+    for rnd, data in ledger:
         for name, rec in data.items():
             if not isinstance(rec, dict):
                 continue

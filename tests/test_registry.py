@@ -57,33 +57,53 @@ def test_registry_rotates_least_verified_first(reg):
 def test_green_counting_is_check_class_aware(reg):
     """r4 verdict 'What's wrong #1': a stale rows-only driver row must
     NOT count as green for an entry that now has a full oracle —
-    otherwise entries that gained oracles after r1 (ann_ivf_topk,
-    ann_lsh_topk, multimodal_resize) never get a hash check. With the
-    class-aware counting, the four driver-unverified entries must sit
-    inside the 50-row window until their hash rows land."""
+    otherwise entries that gained oracles after r1 never get a hash
+    check. Probed against an INJECTED ledger (r5 verdict #1: reading the
+    real artifacts here coupled the test to whatever the driver last
+    wrote and broke at HEAD the moment CORRECTNESS_r05.json landed)."""
     from feature_generation_benchmark_spark.workloads import (
         _green_check_counts,
     )
 
-    # Synthetic check: a no_oracle row is green only for oracle-less
-    # entries. (_green_check_counts reads committed artifacts, so probe
-    # the classification logic through the real artifacts instead.)
-    counts_as_oracle = _green_check_counts({"ann_ivf_topk": True})
-    counts_as_rows_only = _green_check_counts({"ann_ivf_topk": False})
-    # ann_ivf_topk's r1 driver row was a no_oracle/rows-only record:
-    # under the oracle-bearing class it contributes nothing extra.
-    assert counts_as_oracle.get("ann_ivf_topk", 0) <= counts_as_rows_only.get(
-        "ann_ivf_topk", 0
+    rows_only_row = {"err": "no_oracle", "spark_rows": 7, "hash_match": None}
+    hash_row = {"err": None, "spark_rows": 7, "hash_match": True}
+    hash_red_row = {"err": None, "spark_rows": 7, "hash_match": False}
+    ledger = [
+        (1, {"q": rows_only_row}),
+        (2, {"q": rows_only_row}),
+        (3, {"q": hash_row}),
+        (4, {"q": hash_red_row}),
+    ]
+    # Entry that NOW has an oracle: only the hash-green row counts —
+    # stale rows-only rows and hash-red rows contribute nothing.
+    assert _green_check_counts({"q": True}, ledger=ledger) == {"q": 1}
+    # Rows-only-by-design entry: the no_oracle rows count, hash rows
+    # (which can't exist for it, but defensively) don't double-count.
+    assert _green_check_counts({"q": False}, ledger=ledger)["q"] == 2
+    # Zero-row no_oracle record is not green.
+    empty = [(1, {"q": {"err": "no_oracle", "spark_rows": 0}})]
+    assert _green_check_counts({"q": False}, ledger=empty) == {}
+
+
+def test_unverified_entries_sit_inside_driver_window(reg):
+    """Any entry whose REAL class-aware green count is 0 must be ordered
+    before every entry with a green row — i.e. inside the driver's
+    50-row check window (as long as <50 entries are owed a check)."""
+    from feature_generation_benchmark_spark.workloads import (
+        _green_check_counts,
+    )
+
+    counts = _green_check_counts(
+        {n: q.oracle is not None for n, q in reg.items()}
     )
     names = list(reg)
-    for owed in (
-        "schema_profile",
-        "ann_ivf_topk",
-        "ann_lsh_topk",
-        "multimodal_resize",
-    ):
-        if counts_as_oracle.get(owed, 0) == 0 and owed in names:
-            assert names.index(owed) < 50, f"{owed} starved of hash check"
+    owed = [n for n in names if counts.get(n, 0) == 0]
+    if owed and len(owed) <= 50:
+        worst = max(names.index(n) for n in owed)
+        assert worst < max(50, len(owed)), (
+            f"driver-unverified entry past the window: "
+            f"{[n for n in owed if names.index(n) >= 50]}"
+        )
 
 
 def test_no_complex_output_columns(spark, reg):
