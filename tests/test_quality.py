@@ -126,6 +126,28 @@ def test_schema_profile_approx_no_expand(spark):
     assert approx_plan.count("FileScan parquet") == 1, approx_plan
 
 
+def test_schema_profile_approx_check_separates_sketch_from_distinct(spark):
+    """The bound-gated verification profiler must keep HLL++ sketches in
+    their OWN aggregate, crossJoined to the exact side: Spark's
+    multi-distinct rewrite groups partials by (gid, value) and allocates
+    every non-distinct buffer per group — mixed in one agg, 5 rsd-1%
+    sketches x distinct-value groups OOMs a 1 GB driver on 60k rows."""
+    from feature_generation_benchmark_spark.workloads.quality import (
+        schema_profile_approx_check,
+    )
+
+    df = schema_profile_approx_check(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the 1-row x 1-row crossJoin is the separation seam
+    assert "NestedLoopJoin" in plan or "CartesianProduct" in plan, plan
+    # the HLL side must not sit under the Expand of the exact side:
+    # no hyperloglog buffer may appear in an aggregate that also expands
+    expand_idx = plan.find("Expand")
+    assert expand_idx != -1, plan
+    rows = {r.col_name: r for r in df.collect()}
+    assert all(r.distinct_within_5pct for r in rows.values()), rows
+
+
 def test_schema_profile_approx_close_to_exact(spark):
     """HLL++ estimates within 5% of the exact distinct counts, and every
     non-estimated stat (nulls, min/max, n_rows) identical to the exact
