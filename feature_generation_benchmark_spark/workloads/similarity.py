@@ -25,8 +25,16 @@ from feature_generation_benchmark_spark.operators.similarity import (
     random_hyperplanes,
     semdedup_flags,
 )
+from feature_generation_benchmark_spark.operators.gram import (
+    gram_suffstat_cells,
+)
 from feature_generation_benchmark_spark.sources.testdata import load_table
 from feature_generation_benchmark_spark.workloads import QueryDef
+
+#: Plan-time vector width of the testdata embeddings corpus — the
+#: dimension guard's hint (real deployments probe one row or know their
+#: model's output width).
+_EMB_DIM_HINT = 64
 
 _N_QUERIES = 10
 _K = 5
@@ -510,30 +518,21 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the kmeans-update pattern, ``operators/kmeans.py``; the
     per-partition numpy-GEMM ``mapInArrow`` formulation was rejected
     there by A/B — Arrow-serializing N×d values to Python costs more
-    than the in-JVM explode+combine at every scale tried)."""
+    than the in-JVM explode+combine at every scale tried).
+
+    Cell generation is the shared nested two-level explode
+    (``operators/gram.py``, r5 verdict #6): intermediates are O(d),
+    never O(d²), and the A/B in ``tools/gram_crossover.py`` measured it
+    faster than the old single-flatten at EVERY dimension (0.9× at the
+    testdata d=64, 0.4× at d=1024)."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = F.transform(
         as_double_array("embedding"),
         lambda v: F.round(v * _GRAM_Q).cast("long"),
     )
     rows = emb.select(q.alias("__q"))
-    last = F.size("__q") - F.lit(1)
-    cells = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), last),
-            lambda i: F.transform(
-                F.sequence(i, last),
-                lambda j: F.struct(
-                    i.cast("int").alias("i"),
-                    j.cast("int").alias("j"),
-                    (F.get("__q", i) * F.get("__q", j)).alias("p"),
-                ),
-            ),
-        )
-    )
     return (
-        rows.select(F.explode(cells).alias("c"))
-        .select("c.i", "c.j", "c.p")
+        gram_suffstat_cells(rows, "__q", dim_hint=_EMB_DIM_HINT)
         .groupBy("i", "j")
         .agg(F.sum("p").alias("dot_q"))
     )

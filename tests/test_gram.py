@@ -1,0 +1,63 @@
+"""Property tests for the dimension-guarded Gram cell generator
+(operators/gram.py, r5 verdict #6)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from feature_generation_benchmark_spark.operators.gram import (
+    _flat_cells,
+    _nested_cells,
+    gram_suffstat_cells,
+)
+
+
+def _mk_rows(spark, n, d, seed=7):
+    rng = np.random.default_rng(seed)
+    data = rng.integers(-500, 500, size=(n, d)).tolist()
+    return spark.createDataFrame(
+        [([int(v) for v in row],) for row in data], "__q array<long>"
+    ), np.array(data, dtype=np.int64)
+
+
+@pytest.mark.parametrize("d", [5, 64, 130])
+def test_both_forms_match_numpy(spark, d):
+    """Flat and nested cell generation produce the exact same integer
+    sufficient statistics as a numpy reference — at d≥64 and past the
+    FLAT_MAX_D guard."""
+    df, mat = _mk_rows(spark, 40, d)
+    expect_gram = mat.T @ mat
+    expect_sums = mat.sum(axis=0)
+    results = {}
+    for label, form in (("flat", _flat_cells), ("nested", _nested_cells)):
+        agg = (
+            form(df, "__q", True)
+            .groupBy("i", "j")
+            .agg(F.sum("p").alias("v"))
+            .collect()
+        )
+        results[label] = {(r["i"], r["j"]): r["v"] for r in agg}
+    assert results["flat"] == results["nested"]
+    cells = results["nested"]
+    assert cells[(-1, -1)] == 40
+    tri = d * (d + 1) // 2
+    assert len(cells) == tri + d + 1
+    for i in range(d):
+        assert cells[(i, -1)] == expect_sums[i], i
+        for j in range(i, d):
+            assert cells[(i, j)] == expect_gram[i, j], (i, j)
+
+
+def test_production_form_is_nested(spark):
+    """No crossover exists (tools/gram_crossover.py: nested wins at every
+    measured d), so the helper must always emit the O(d)-intermediate
+    two-Generate form, whatever hint the caller passes."""
+    df, _ = _mk_rows(spark, 4, 6)
+    for hint in (None, 8, 4096):
+        plan = (
+            gram_suffstat_cells(df, dim_hint=hint)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Generate") == 2, (hint, plan)
