@@ -487,12 +487,23 @@ class CategoryMixProcessor:
 
     Emits one row per key per batch with the current totals, so Update
     mode converges to the batch group-by (the e2e assertion).
+
+    The protocol-coverage round-trips (timer register/list/delete,
+    scratch ValueState lifecycle, MapState sentinel insert/remove,
+    ListState rewrite-in-place) are GATED behind ``protocol_coverage``
+    (default off): they are e2e-test instrumentation, ~10 extra state-
+    server round-trips per key per batch that a production consumer
+    wiring :func:`category_mix_features` directly must not pay, and
+    their bare asserts vanish under ``python -O`` (advisor finding, r5).
     """
 
     OUTPUT_SCHEMA = (
         "user_id long, n_types long, total_events long, "
         "total_cents long, n_recent long"
     )
+
+    def __init__(self, protocol_coverage: bool = False) -> None:
+        self._protocol_coverage = protocol_coverage
 
     def init(self, handle) -> None:
         self._mix = handle.getMapState(
@@ -512,12 +523,13 @@ class CategoryMixProcessor:
     def handleInputRows(self, key, rows, timerValues):
         import numpy as np
 
-        # timer protocol round-trip (register → list → delete); the
-        # expiry is an hour out so it never fires inside the test run
-        far = timerValues.getCurrentProcessingTimeInMs() + 3_600_000
-        self._handle.registerTimer(far)
-        assert any(t == far for t in self._handle.listTimers())
-        self._handle.deleteTimer(far)
+        if self._protocol_coverage:
+            # timer protocol round-trip (register → list → delete); the
+            # expiry is an hour out so it never fires inside the test run
+            far = timerValues.getCurrentProcessingTimeInMs() + 3_600_000
+            self._handle.registerTimer(far)
+            assert any(t == far for t in self._handle.listTimers())
+            self._handle.deleteTimer(far)
 
         for pdf in rows:
             if len(pdf) == 0:
@@ -535,18 +547,19 @@ class CategoryMixProcessor:
                 else:
                     n0, c0 = 0, 0
                 self._mix.updateValue((et,), (n0 + 1, c0 + int(c)))
-        # remaining protocol members, exercised with self-checking
-        # no-net-effect round-trips: ValueState update/get/clear,
-        # MapState removeKey + keys()/values(), ListState put()
-        assert not self._scratch.exists()
-        self._scratch.update((7,))
-        assert self._scratch.exists() and self._scratch.get() == (7,)
-        self._scratch.clear()
-        assert not self._scratch.exists()
-        self._mix.updateValue(("__sentinel__",), (0, 0))
-        assert self._mix.containsKey(("__sentinel__",))
-        self._mix.removeKey(("__sentinel__",))
-        assert not self._mix.containsKey(("__sentinel__",))
+        if self._protocol_coverage:
+            # remaining protocol members, exercised with self-checking
+            # no-net-effect round-trips: ValueState update/get/clear,
+            # MapState removeKey + keys()/values(), ListState put()
+            assert not self._scratch.exists()
+            self._scratch.update((7,))
+            assert self._scratch.exists() and self._scratch.get() == (7,)
+            self._scratch.clear()
+            assert not self._scratch.exists()
+            self._mix.updateValue(("__sentinel__",), (0, 0))
+            assert self._mix.containsKey(("__sentinel__",))
+            self._mix.removeKey(("__sentinel__",))
+            assert not self._mix.containsKey(("__sentinel__",))
         n_types = 0
         total_events = 0
         total_cents = 0
@@ -554,12 +567,14 @@ class CategoryMixProcessor:
             n_types += 1
             total_events += n
             total_cents += c
-        assert sum(1 for _ in self._mix.keys()) == n_types
-        assert sum(1 for _ in self._mix.values()) == n_types
         current = [tuple(v) for v in self._recent.get()]
-        self._recent.put(current)  # rewrite-in-place: ListStatePut path
-        n_recent = sum(1 for _ in self._recent.get())
-        assert n_recent == len(current)
+        n_recent = len(current)
+        if self._protocol_coverage:
+            assert sum(1 for _ in self._mix.keys()) == n_types
+            assert sum(1 for _ in self._mix.values()) == n_types
+            self._recent.put(current)  # rewrite-in-place: ListStatePut
+            n_recent = sum(1 for _ in self._recent.get())
+            assert n_recent == len(current)
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
@@ -579,16 +594,20 @@ class CategoryMixProcessor:
         yield from ()
 
 
-def category_mix_features(events: DataFrame) -> DataFrame:
+def category_mix_features(
+    events: DataFrame, protocol_coverage: bool = False
+) -> DataFrame:
     """Wire :class:`CategoryMixProcessor` over a streaming events frame
-    keyed by user_id (ProcessingTime mode — required for timers/TTL)."""
+    keyed by user_id (ProcessingTime mode — required for timers/TTL).
+    ``protocol_coverage=True`` (e2e test only) adds the wider-protocol
+    round-trips per key per batch; leave off in production wiring."""
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
     proc = type(
         "_CategoryMixProcessor",
         (CategoryMixProcessor, StatefulProcessor),
         {},
-    )()
+    )(protocol_coverage=protocol_coverage)
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=proc,
         outputStructType=CategoryMixProcessor.OUTPUT_SCHEMA,

@@ -201,6 +201,16 @@ def multimodal_real_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             for source, blob in zip(pdf["source"], pdf["blob"]):
                 buf = np.zeros(_PIX_N, dtype=np.uint8)
                 data = np.frombuffer(bytes(blob)[:_PIX_N], dtype=np.uint8)
+                if (data >= 128).any():
+                    # the DuckDB twin indexes CODEPOINTS (substr/ord)
+                    # while this side sums UTF-8 BYTES — identical only
+                    # on ASCII. Fail loudly instead of hash-mismatching
+                    # confusingly on a future non-ASCII fixture (advisor
+                    # finding, r5).
+                    raise ValueError(
+                        "multimodal_real_pixel_stats requires an ASCII "
+                        f"corpus; non-ASCII byte in doc from {source!r}"
+                    )
                 buf[: len(data)] = data
                 img = buf.reshape(_PIX_H, _PIX_W, 3)
                 back = decode_bmp(encode_bmp(img))  # REAL codec roundtrip

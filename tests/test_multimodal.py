@@ -81,3 +81,24 @@ def test_frame_sampling_explode(spark, blobs):
     for r in pdf:
         expected = (feats[r["doc_id"]] - 1) // 10 + 1
         assert r["count"] == expected
+
+
+def test_real_pixel_stats_rejects_non_ascii_corpus(spark, tmp_path):
+    """The oracle twin indexes codepoints while Spark sums UTF-8 bytes —
+    identical only on ASCII. A non-ASCII doc must raise a NAMED error,
+    not surface as a confusing hash mismatch (advisor finding, r5)."""
+    import pytest as _pytest
+
+    from feature_generation_benchmark_spark.workloads.multimodal import (
+        multimodal_real_pixel_stats,
+    )
+
+    sf = str(tmp_path / "sf")
+    docs = spark.createDataFrame(
+        [(1, "plain ascii text", "web"), (2, "café au lait", "web")],
+        "doc_id long, text string, source string",
+    )
+    docs.write.parquet(f"{sf}/documents.parquet")
+    with _pytest.raises(Exception) as e:
+        multimodal_real_pixel_stats(spark, sf).collect()
+    assert "ASCII" in str(e.value)

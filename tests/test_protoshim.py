@@ -151,6 +151,31 @@ def test_repeated_bytes_and_messages_roundtrip():
     assert [(p.key, p.value) for p in back3.kvPair] == [(b"x", b"y")]
 
 
+def test_vivified_submessage_repeated_mutation_serializes():
+    """Advisor finding (r5): mutating a repeated field reached through an
+    auto-vivified submessage (msg.sub.items.append(x)) must mark the
+    whole parent chain present — real protobuf serializes 'sub'; the
+    shim used to drop it from the wire."""
+    req = sm.ListStateCall()
+    req.appendList.value.append(b"payload")
+    wire = req.SerializeToString()
+    back = sm.ListStateCall()
+    back.ParseFromString(wire)
+    assert list(back.appendList.value) == [b"payload"]
+
+    # reading the empty container alone must NOT mark presence
+    probe = sm.ListStateCall()
+    _ = list(probe.appendList.value)
+    assert probe.SerializeToString() == b""
+
+    # extend and slice-assignment mark presence too
+    ext = sm.ListStateCall()
+    ext.listStatePut.value.extend([b"a", b"b"])
+    back2 = sm.ListStateCall()
+    back2.ParseFromString(ext.SerializeToString())
+    assert list(back2.listStatePut.value) == [b"a", b"b"]
+
+
 def test_negative_int64_roundtrip():
     m = sm.RegisterTimer(expiryTimestampMs=-1)
     back = sm.RegisterTimer()
@@ -200,6 +225,59 @@ def test_shim_only_loads_without_real_protobuf():
 
 
 # --- property net: serialize→parse roundtrips (hypothesis) ------------------
+
+
+def test_shim_defers_to_real_distribution_on_path(tmp_path):
+    """Advisor finding (r5): with the shim dir on PYTHONPATH (as
+    ensure_protobuf sets for executor workers), a mixed environment that
+    ALSO has a real protobuf later on sys.path must get the real one —
+    the shim's __init__ detects it and executes it in place."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    fake_site = tmp_path / "site"
+    pkg = fake_site / "google" / "protobuf"
+    pkg.mkdir(parents=True)
+    (fake_site / "google" / "__init__.py").write_text(
+        "__path__ = __import__('pkgutil').extend_path(__path__, __name__)\n"
+    )
+    (pkg / "__init__.py").write_text("SENTINEL = 'real-distribution'\n")
+
+    from feature_generation_benchmark_spark.vendor import _PROTOSHIM_DIR
+
+    shim_dir = _PROTOSHIM_DIR
+    env = dict(os.environ)
+    # shim FIRST (the shadowing order the finding describes)
+    env["PYTHONPATH"] = shim_dir + os.pathsep + str(fake_site)
+    out = subprocess.run(
+        [
+            _sys.executable,
+            "-c",
+            "import google.protobuf as p; "
+            "print(getattr(p, 'SENTINEL', 'shim'))",
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    assert out.stdout.strip() == "real-distribution", out.stdout
+
+    # and with NO real distribution the shim still serves
+    env["PYTHONPATH"] = shim_dir
+    out2 = subprocess.run(
+        [
+            _sys.executable,
+            "-c",
+            "import google.protobuf as p; print(p.__version__)",
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    assert out2.stdout.strip() == "6.33.0", out2.stdout
 
 
 def test_roundtrip_property_net():

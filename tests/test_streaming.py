@@ -692,7 +692,7 @@ def test_transform_with_state_map_list_timers(spark, event_dir, tmp_path):
         .select("user_id", "event_type", "value")
     )
     q = (
-        category_mix_features(stream)
+        category_mix_features(stream, protocol_coverage=True)
         .writeStream.format("memory")
         .queryName("category_mix")
         .outputMode("update")
