@@ -293,6 +293,79 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: High-similarity cutoff for the minhash recall gate: at 16 bands × 4
+#: rows the probability a pair with jaccard ≥ 0.9 escapes every band is
+#: (1 − 0.9⁴)¹⁶ ≈ 3.5e-8 — for a FIXED corpus and hash seed the catch is
+#: deterministic, so "no high-sim pair missed" is a stable gate while
+#: borderline pairs (j barely over _JACCARD_T) legitimately come and go.
+_MINHASH_HIGH_SIM = 0.9
+
+
+def dedup_minhash_lsh_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bound-gated verification form of :func:`dedup_minhash_lsh` (the
+    r6 schema_profile_approx pattern, adapted to a RECALL gate): xxhash64
+    banding is engine-specific, so instead of pinning the candidate set
+    the entry joins the LSH output against the exact Jaccard pair set
+    (prefix-filtered AllPairs, same corpus/threshold) and emits:
+
+    - ``n_exact_pairs`` — cross-engine exact fact (DuckDB recomputes it);
+    - ``precision_ok`` — every LSH pair exists in the exact set with the
+      SAME jaccard (candidates are exact-verified, so any extra or
+      value-divergent pair is a pipeline bug);
+    - ``high_sim_recall_ok`` — no exact pair with jaccard ≥ 0.9 was
+      missed by banding (deterministic at these banding params; misses
+      of borderline pairs near the 0.05 threshold are expected LSH
+      behavior and deliberately NOT gated).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    lsh = dedup_minhash_lsh(spark, sf_dir).select(
+        "id_a", "id_b", F.col("jaccard").alias("j_lsh")
+    )
+    exact = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=_JACCARD_T, prefix_filter=True
+    ).select("id_a", "id_b", F.col("jaccard").alias("j_exact"))
+    both = exact.join(lsh, ["id_a", "id_b"], "full_outer")
+    return both.agg(
+        F.sum(F.col("j_exact").isNotNull().cast("long")).alias(
+            "n_exact_pairs"
+        ),
+        (
+            F.sum(F.col("j_exact").isNull().cast("long")) == 0
+        ).alias("precision_ok_extra"),
+        (
+            F.sum(
+                (
+                    F.col("j_lsh").isNotNull()
+                    & (F.abs(F.col("j_lsh") - F.col("j_exact")) > 1e-12)
+                ).cast("long")
+            )
+            == 0
+        ).alias("precision_ok_values"),
+        (
+            F.sum(
+                (
+                    (F.col("j_exact") >= _MINHASH_HIGH_SIM)
+                    & F.col("j_lsh").isNull()
+                ).cast("long")
+            )
+            == 0
+        ).alias("high_sim_recall_ok"),
+    )
+
+
+_MINHASH_CHECK_ORACLE = f"""
+WITH {_JACCARD_CTES}
+SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+       TRUE AS precision_ok_extra,
+       TRUE AS precision_ok_values,
+       TRUE AS high_sim_recall_ok
+FROM common
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= {_JACCARD_T}
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dup_pairs(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
@@ -544,8 +617,16 @@ QUERIES = [
              _JACCARD_PREFIX_ORACLE,
              "AllPairs prefix-filtered Jaccard on a skewed (hot-shingle) "
              "corpus — the at-scale candidate-pruning path"),
-    QueryDef("dedup_minhash_lsh", dedup_minhash_lsh, None,
-             "MinHash signatures + banded LSH candidates + exact verify"),
+    QueryDef("dedup_minhash_lsh", dedup_minhash_lsh_check,
+             _MINHASH_CHECK_ORACLE,
+             "MinHash-LSH (xxhash64 production path) hash-gated on "
+             "precision + high-sim recall vs the exact Jaccard pair set",
+             bench=False),
+    # raw production pipeline stays served for users/bench under its own
+    # name (rows-only: banding candidates are hash-family-specific)
+    QueryDef("dedup_minhash_lsh_raw", dedup_minhash_lsh, None,
+             "MinHash signatures + banded LSH candidates + exact verify "
+             "(raw pair output)"),
     # bench=False: correctness twin of dedup_minhash_lsh on the md5 hash
     # family (the only 128-bit hash Spark and DuckDB compute identically);
     # the xxhash64 production path above is the one benchmarked.

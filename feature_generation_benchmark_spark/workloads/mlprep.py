@@ -788,24 +788,166 @@ def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kll_value_sketch_rollup_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bound-gated verification form of :func:`kll_value_sketch_rollup`
+    (the r6 schema_profile_approx pattern): KLL quantile VALUES are
+    engine-specific (and KLL compaction is randomized), so the served
+    entry emits the exact deterministic stats (n_days, n) plus rank-bound
+    flags — is the merged sketch's p50/p90 an ε-approximate quantile of
+    the true distribution? ``count(< est)/n ≤ p+ε`` and
+    ``count(≤ est)/n ≥ p−ε`` is the definition; ε = 0.035 ≈ 2× KLL's
+    published one-sided rank error at the default k=200, so a flag flip
+    means a broken merge, not sketch noise. The DuckDB oracle computes
+    the same exact stats and literal TRUEs — the hash gates the BOUND
+    without pinning sketch internals."""
+    est = kll_value_sketch_rollup(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    eps = 0.035
+    ranks = (
+        ev.join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((F.col("cents") < F.col("p50_cents")).cast("long")).alias(
+                "lt50"
+            ),
+            F.sum((F.col("cents") <= F.col("p50_cents")).cast("long")).alias(
+                "le50"
+            ),
+            F.sum((F.col("cents") < F.col("p90_cents")).cast("long")).alias(
+                "lt90"
+            ),
+            F.sum((F.col("cents") <= F.col("p90_cents")).cast("long")).alias(
+                "le90"
+            ),
+        )
+    )
+
+    def _within(lt, le, p):
+        n = F.col("n_rows").cast("double")
+        return (F.col(lt) / n <= p + eps) & (F.col(le) / n >= p - eps)
+
+    return (
+        est.join(ranks, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n",
+            _within("lt50", "le50", 0.5).alias("p50_within_rank"),
+            _within("lt90", "le90", 0.9).alias("p90_within_rank"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_KLL_CHECK_ORACLE = f"""
+SELECT event_type,
+  CAST(count(DISTINCT epoch_ns(ts) // {_NS_PER_DAY}) AS BIGINT) AS n_days,
+  CAST(count(*) AS BIGINT) AS n,
+  TRUE AS p50_within_rank,
+  TRUE AS p90_within_rank
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def theta_audience_overlap_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bound-gated verification form of :func:`theta_audience_overlap`:
+    emits the EXACT audience set-algebra counts (cross-engine: one
+    per-user presence-flag aggregate, then one global sum) plus a flag
+    that every theta estimate (a/b/union/intersect/difference) is within
+    5% of its exact twin. Below theta's sampling threshold the
+    estimates are exactly the true counts, so the flag also certifies
+    the sub-threshold exactness contract documented on the production
+    entry."""
+    est = theta_audience_overlap(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("in_a"),
+        F.max((F.col("event_type") == "error").cast("int")).alias("in_b"),
+    )
+    exact = per_user.agg(
+        F.sum("in_a").alias("n_a"),
+        F.sum("in_b").alias("n_b"),
+        F.sum(
+            F.greatest(F.col("in_a"), F.col("in_b"))
+        ).alias("n_union"),
+        F.sum(F.least(F.col("in_a"), F.col("in_b"))).alias("n_intersect"),
+        F.sum(
+            (F.col("in_a") == 1).cast("int")
+            * (F.col("in_b") == 0).cast("int")
+        ).alias("n_a_only"),
+    )
+
+    def _ok(est_c, exact_c):
+        return F.abs(F.col(est_c) - F.col(exact_c)) <= F.greatest(
+            F.lit(1), (F.lit(0.05) * F.col(exact_c)).cast("long")
+        )
+
+    return est.crossJoin(F.broadcast(exact)).select(
+        "type_a",
+        "type_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("n_union").cast("long").alias("n_union"),
+        F.col("n_intersect").cast("long").alias("n_intersect"),
+        F.col("n_a_only").cast("long").alias("n_a_only"),
+        (
+            _ok("est_a", "n_a")
+            & _ok("est_b", "n_b")
+            & _ok("est_union", "n_union")
+            & _ok("est_intersect", "n_intersect")
+            & _ok("est_a_only", "n_a_only")
+        ).alias("all_within_5pct"),
+    )
+
+
+_THETA_CHECK_ORACLE = """
+WITH pu AS (
+  SELECT user_id,
+    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_a,
+    max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS in_b
+  FROM events GROUP BY user_id
+)
+SELECT 'purchase' AS type_a, 'error' AS type_b,
+  CAST(sum(in_a) AS BIGINT) AS n_a,
+  CAST(sum(in_b) AS BIGINT) AS n_b,
+  CAST(sum(greatest(in_a, in_b)) AS BIGINT) AS n_union,
+  CAST(sum(least(in_a, in_b)) AS BIGINT) AS n_intersect,
+  CAST(sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_a_only,
+  TRUE AS all_within_5pct
+FROM pu
+"""
+
+
 QUERIES.append(
     QueryDef(
         "kll_value_sketch_rollup",
-        kll_value_sketch_rollup,
-        None,  # DataSketches KLL has no DuckDB twin — rows-only by design
-        "day-grain KLL quantile sketches merged to per-type p50/p90 — "
-        "the distribution-free mergeable quantile pre-agg "
-        "(histogram_quantile_rollup's exact-twin sibling)",
+        kll_value_sketch_rollup_check,
+        _KLL_CHECK_ORACLE,
+        "day-grain KLL quantile sketches merged to per-type p50/p90, "
+        "hash-gated on the rank BOUND (exact n_days/n + ε-approximate-"
+        "quantile flags; sketch internals stay unpinned)",
+        bench=False,
     )
 )
 QUERIES.append(
     QueryDef(
         "theta_audience_overlap",
-        theta_audience_overlap,
-        None,  # DataSketches theta has no DuckDB twin — rows-only by design
-        "theta-sketch audience set algebra: union/intersect/difference "
-        "distinct-user estimates (audience_overlap_jaccard's sketch "
-        "sibling)",
+        theta_audience_overlap_check,
+        _THETA_CHECK_ORACLE,
+        "theta-sketch audience set algebra, hash-gated on exact "
+        "union/intersect/difference counts + a 5% estimate bound",
+        bench=False,
     )
 )
 

@@ -681,6 +681,80 @@ def approx_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_users_per_type_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bound-gated verification form of :func:`approx_users_per_type`
+    (the r6 schema_profile_approx pattern): HLL++ and GK-quantile values
+    are engine-specific, so the served entry emits the exact distinct
+    count plus bound flags — 6% (3×rsd) on the distinct estimate, and
+    the ε-approximate-quantile rank definition for p50/p99 (count(< est)
+    /n ≤ p+ε and count(≤ est)/n ≥ p−ε; ε = 0.001 ≫ the 1e-4 rank error
+    of accuracy=10000). The DuckDB oracle emits the same exact counts
+    and literal TRUEs, so the hash gates the bounds cross-engine.
+    Exact distinct is a separate aggregate (the schema_profile_approx
+    Expand trap); rank counts join the 5-row estimate dim broadcast."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", _cents("value").alias("cents")
+    )
+    est = approx_users_per_type(spark, sf_dir)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    ranks = (
+        ev.join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                (F.col("cents") < F.col("p50_value_cents")).cast("long")
+            ).alias("lt50"),
+            F.sum(
+                (F.col("cents") <= F.col("p50_value_cents")).cast("long")
+            ).alias("le50"),
+            F.sum(
+                (F.col("cents") < F.col("p99_value_cents")).cast("long")
+            ).alias("lt99"),
+            F.sum(
+                (F.col("cents") <= F.col("p99_value_cents")).cast("long")
+            ).alias("le99"),
+        )
+    )
+    eps = 0.001
+
+    def _within(lt, le, p):
+        n = F.col("n_rows").cast("double")
+        return (F.col(lt) / n <= p + eps) & (F.col(le) / n >= p - eps)
+
+    return (
+        exact.join(est, "event_type")
+        .join(ranks, "event_type")
+        .select(
+            "event_type",
+            "n_users",
+            (
+                F.abs(F.col("n_users_approx") - F.col("n_users"))
+                <= F.greatest(
+                    F.lit(1), (F.lit(0.06) * F.col("n_users")).cast("long")
+                )
+            ).alias("users_within_6pct"),
+            _within("lt50", "le50", 0.5).alias("p50_within_rank"),
+            _within("lt99", "le99", 0.99).alias("p99_within_rank"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_APPROX_CHECK_ORACLE = """
+SELECT event_type,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  TRUE AS users_within_6pct,
+  TRUE AS p50_within_rank,
+  TRUE AS p99_within_rank
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # incident windows — point-in-interval join (no equi-key) via time buckets
 # --------------------------------------------------------------------------
@@ -772,8 +846,11 @@ QUERIES = [
              "selective range-predicate aggregation (pushdown showcase)"),
     QueryDef("windowed_events", windowed_events, _WINDOWED_EVENTS_ORACLE,
              "tumbling event-time window aggregation (streaming twin, batch)"),
-    QueryDef("approx_users_per_type", approx_users_per_type, None,
-             "approximate aggregates: HLL++ distinct + quantile sketch"),
+    QueryDef("approx_users_per_type", approx_users_per_type_check,
+             _APPROX_CHECK_ORACLE,
+             "approximate aggregates (HLL++ distinct + GK quantiles), "
+             "hash-gated on exact counts + error-bound flags",
+             bench=False),
     QueryDef("json_props_stats", json_props_stats, _JSON_ORACLE,
              "JSON payload extraction + aggregation"),
     QueryDef("incident_window_stats", incident_window_stats, _INCIDENT_ORACLE,
@@ -1288,12 +1365,57 @@ def hll_users_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hll_users_sketch_rollup_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bound-gated verification form of :func:`hll_users_sketch_rollup`
+    (the r6 schema_profile_approx pattern): DataSketches HLL estimates
+    are engine-specific, so the served entry emits the exact per-type
+    distinct count alongside the rolled-up sketch estimate's 5% bound
+    flag; the DuckDB oracle emits the same exact counts and literal
+    TRUE. Exact side is its OWN aggregate joined back on the 5-row
+    type dimension — never mixed into the sketch aggregate (the
+    multi-distinct Expand trap documented on schema_profile_approx)."""
+    est = hll_users_sketch_rollup(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    return (
+        est.join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n_users",
+            (
+                F.abs(F.col("est_users") - F.col("n_users"))
+                <= F.greatest(
+                    F.lit(1), (F.lit(0.05) * F.col("n_users")).cast("long")
+                )
+            ).alias("est_within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_HLL_CHECK_ORACLE = f"""
+SELECT event_type,
+  CAST(count(DISTINCT epoch_ns(ts) // {_NS_PER_DAY_HLL}) AS BIGINT)
+    AS n_days,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  TRUE AS est_within_5pct
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES.append(
     QueryDef(
         "hll_users_sketch_rollup",
-        hll_users_sketch_rollup,
-        None,  # DataSketches HLL has no DuckDB twin — rows-only by design
+        hll_users_sketch_rollup_check,
+        _HLL_CHECK_ORACLE,
         "day-grain HLL sketch table merged to per-type distinct "
-        "estimates: the storable, re-aggregatable pre-agg pattern",
+        "estimates, hash-gated on the 5% bound vs the exact count "
+        "(storable re-aggregatable pre-agg pattern; sketch bits unpinned)",
+        bench=False,
     )
 )
