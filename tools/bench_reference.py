@@ -175,6 +175,17 @@ def main() -> None:
             shutil.rmtree(os.path.dirname(data_path), ignore_errors=True)
 
     print(json.dumps(result))
+    # persist beside the repo's other bench artifacts — stdout of long
+    # background runs gets filtered/truncated too easily to be the only
+    # copy of a 40-minute measurement
+    results_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "results",
+    )
+    os.makedirs(results_dir, exist_ok=True)
+    out_file = os.path.join(results_dir, f"ref_{size}_latest.json")
+    with open(out_file, "w") as f:
+        json.dump(result, f, indent=1)
 
 
 if __name__ == "__main__":
