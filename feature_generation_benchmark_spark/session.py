@@ -180,4 +180,14 @@ def get_spark(
         raise ValueError(f"unknown session profile {profile!r}")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    # ad-hoc conf A/Bs without code edits (JSON object), e.g.
+    # SPARK_GRAFT_EXTRA_CONF='{"spark.io.compression.codec":"zstd"}' —
+    # used by the big-ladder runs to trade CPU for ~2x smaller shuffle
+    # spill on disk-constrained boxes
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    if env_conf:
+        import json as _json
+
+        for k, v in _json.loads(env_conf).items():
+            builder = builder.config(k, str(v))
     return builder.getOrCreate()
