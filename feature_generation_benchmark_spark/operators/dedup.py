@@ -66,6 +66,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     prefix_filter: bool = True,
+    new_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Exact pairwise Jaccard over distinct word-n-gram shingle sets.
 
@@ -83,8 +84,23 @@ def ngram_jaccard_pairs(
     Returns (id_a, id_b, common, jaccard) with id_a < id_b and
     jaccard ≥ threshold. Jaccard = |A∩B| / (|A|+|B|−|A∩B|) — exact integer
     counts, deterministic division.
+
+    ``new_ids`` (requires ``prefix_filter``) switches to INCREMENTAL
+    mode — the daily-increment dedup pattern at 100 TB: one side of the
+    candidate join is restricted to the given new-document ids, so the
+    plan generates only new×all candidates and never re-verifies
+    old×old pairs (which a previous run already emitted). Returns
+    exactly the pairs with ≥1 new side; the prefix + positional bounds
+    are pair-symmetric, so pruning stays exact, and both-new pairs are
+    normalized + deduplicated.
     """
     from pyspark.sql.window import Window
+
+    if new_ids is not None and not prefix_filter:
+        raise ValueError(
+            "incremental mode (new_ids) requires prefix_filter=True — "
+            "the un-pruned baseline has no incremental formulation"
+        )
 
     # join on 8-byte shingle hashes, not ~20-byte strings: same equality
     # semantics (64-bit collision odds are negligible at any corpus size
@@ -119,7 +135,15 @@ def ngram_jaccard_pairs(
         prefix = ranked.filter(
             F.col("__pos") <= F.col("n_shingles") - alpha + F.lit(1)
         ).select(F.col(id_col), "shingle", "__pos", "n_shingles")
-        a = prefix.select(
+        a_src = prefix
+        if new_ids is not None:
+            # incremental: the a-side of the candidate join carries only
+            # NEW docs, so candidates are new×all — old×old never joins.
+            # new_ids is increment-dim; broadcast-friendly via AQE.
+            a_src = prefix.join(
+                new_ids.select(id_col).distinct(), id_col, "left_semi"
+            )
+        a = a_src.select(
             F.col(id_col).alias("id_a"),
             "shingle",
             F.col("__pos").alias("__pa"),
@@ -147,13 +171,29 @@ def ngram_jaccard_pairs(
         ubound = F.lit(1) + F.least(
             F.col("__na") - F.col("__pa"), F.col("__nb") - F.col("__pb")
         )
-        cand = (
-            a.join(b, on="shingle")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .filter(ubound >= pair_alpha)
-            .select("id_a", "id_b")
-            .distinct()
-        )
+        if new_ids is None:
+            cand = (
+                a.join(b, on="shingle")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .filter(ubound >= pair_alpha)
+                .select("id_a", "id_b")
+                .distinct()
+            )
+        else:
+            # a-side is new-only, so require only distinct ids; the
+            # prefix principle and the positional bound are symmetric in
+            # (a, b), so pruning before normalization loses no pair.
+            # Normalize order afterwards (both-new pairs arrive twice).
+            cand = (
+                a.join(b, on="shingle")
+                .filter(F.col("id_a") != F.col("id_b"))
+                .filter(ubound >= pair_alpha)
+                .select(
+                    F.least("id_a", "id_b").alias("id_a"),
+                    F.greatest("id_a", "id_b").alias("id_b"),
+                )
+                .distinct()
+            )
         # verify against the FULL sets — but as per-doc hash ARRAYS, not
         # exploded rows: candidates × avg set size explodes (sf0.1 skew
         # fixture: 718k pairs → ~140M rows through the exploded join);

@@ -83,6 +83,29 @@ def dedup_ngram_jaccard_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_jaccard_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-increment dedup: docs with even ``doc_id`` play the NEW
+    batch; the plan generates only new×all candidates (prefix-filtered
+    on both sides) and never re-verifies old×old pairs — the shape that
+    makes continuous dedup affordable at 100 TB, where re-running the
+    full pairwise pass per increment is a non-starter. Output = exactly
+    the near-dup pairs with ≥1 new side; the oracle recomputes the FULL
+    exact pair set and filters to new-involving pairs, so the gate
+    proves the incremental plan loses nothing vs the batch recompute
+    (the same contract ``feat_incremental`` pins for features)."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id")
+    return ngram_jaccard_pairs(
+        docs,
+        "doc_id",
+        "text",
+        n=3,
+        threshold=_JACCARD_T,
+        prefix_filter=True,
+        new_ids=new,
+    )
+
+
 def _jaccard_ctes(src: str = "documents") -> str:
     return f"""t AS (
   SELECT doc_id,
@@ -117,6 +140,18 @@ FROM common
 JOIN sizes na ON na.doc_id = id_a
 JOIN sizes nb ON nb.doc_id = id_b
 WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= {_JACCARD_T}
+"""
+
+
+_JACCARD_INCR_ORACLE = f"""
+WITH {_JACCARD_CTES}
+SELECT id_a, id_b, CAST(common AS BIGINT) AS common,
+       CAST(common AS DOUBLE) / (na.n + nb.n - common) AS jaccard
+FROM common
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= {_JACCARD_T}
+  AND (id_a % 2 = 0 OR id_b % 2 = 0)
 """
 
 
@@ -617,6 +652,11 @@ QUERIES = [
              _JACCARD_PREFIX_ORACLE,
              "AllPairs prefix-filtered Jaccard on a skewed (hot-shingle) "
              "corpus — the at-scale candidate-pruning path"),
+    QueryDef("dedup_jaccard_incremental", dedup_jaccard_incremental,
+             _JACCARD_INCR_ORACLE,
+             "incremental dedup: new-batch x all candidates only (old x "
+             "old never re-verified); gate proves equality with the "
+             "batch recompute restricted to new-involving pairs"),
     QueryDef("dedup_minhash_lsh", dedup_minhash_lsh_check,
              _MINHASH_CHECK_ORACLE,
              "MinHash-LSH (xxhash64 production path) hash-gated on "

@@ -161,3 +161,45 @@ def test_decontamination_broadcast_and_shuffle_paths_agree(spark):
     assert by_id[1][2] is True and by_id[1][1] >= 1   # overlapping 4-gram
     assert by_id[2] == (2, 0, False)                  # no overlap
     assert by_id[3] == (3, 0, False)                  # too short to shingle
+
+
+def test_incremental_equals_batch_restricted(spark, docs):
+    """Incremental mode (new_ids) must return EXACTLY the batch pair set
+    restricted to pairs with >=1 new side — nothing lost to the pruning
+    asymmetry, no old x old pair emitted, both-new pairs deduplicated."""
+    full = {
+        (r["id_a"], r["id_b"]): (r["common"], r["jaccard"])
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.3
+        ).collect()
+    }
+    assert full, "fixture must contain near-dup pairs"
+    for new_set in ({1}, {2, 3}, {4}, {1, 2, 3, 5}):
+        new_df = spark.createDataFrame(
+            [(i,) for i in new_set], "doc_id long"
+        )
+        inc = {
+            (r["id_a"], r["id_b"]): (r["common"], r["jaccard"])
+            for r in ngram_jaccard_pairs(
+                docs,
+                "doc_id",
+                "text",
+                n=3,
+                threshold=0.3,
+                new_ids=new_df,
+            ).collect()
+        }
+        want = {
+            p: v
+            for p, v in full.items()
+            if p[0] in new_set or p[1] in new_set
+        }
+        assert inc == want, (new_set, inc, want)
+
+
+def test_incremental_requires_prefix_filter(spark, docs):
+    new_df = docs.select("doc_id").limit(1)
+    with pytest.raises(ValueError, match="prefix_filter"):
+        ngram_jaccard_pairs(
+            docs, "doc_id", "text", prefix_filter=False, new_ids=new_df
+        )

@@ -177,7 +177,11 @@ NOOP_QUERIES = ("gap_fill_daily", "heavy_hitters", "funnel_conversions",
                  "dedup_exact", "dedup_minhash_md5", "dedup_simhash_md5",
                  "dedup_minhash_lsh", "dedup_simhash",
                  "dedup_ngram_jaccard", "dedup_embedding_cosine",
-                 "decontamination", "semdedup", "duplicate_clusters")
+                 "decontamination", "semdedup", "duplicate_clusters",
+                 # r6: raw LSH pair output grows with the corpus; the
+                 # discovered-domain feature store is user-dim (grows on
+                 # the scaled user axis)
+                 "dedup_minhash_lsh_raw", "feat_discovered_domain")
 
 
 def build_scaled(spark, factor: int) -> str:
