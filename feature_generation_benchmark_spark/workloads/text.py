@@ -1268,3 +1268,114 @@ QUERIES.append(
         "prefix sum AFTER the top-K cut (no global vocab sort)",
     )
 )
+
+
+# --------------------------------------------------------------------------
+# tokenizer APPLICATION (r6): rank-ordered BPE merge application.
+# `bpe_pair_stats` exposes the LEARNING statistic (the pair count the first
+# merge maximizes); this operator is the other half of the tokenizer story —
+# applying a learned merge table at corpus scale. In production the merge
+# table is a model artifact shipped with the tokenizer (a plan literal,
+# never a discovery scan), exactly like the engine's known-values pivots.
+# --------------------------------------------------------------------------
+
+#: Merge table learned OFFLINE by textbook BPE (iterated most-frequent
+#: adjacent pair, count-desc/lexicographic tie-break) over the sf0.01 corpus
+#: word-frequency vocabulary. Embedded as constants: the application
+#: operator must never re-learn (that would add a full corpus scan per run).
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"),
+)
+
+#: Passes per merge. A single left-to-right replace pass can under-merge
+#: when an occurrence's trailing boundary space is consumed by the previous
+#: replacement (" t a t a " → " ta t a "); a second pass catches it. On the
+#: corpus vocabulary the chain equals textbook BPE application at 1 pass
+#: already (tests/test_text.py pins the property); 2 is overlap headroom.
+_BPE_PASSES = 2
+
+
+def _bpe_merge_chain_spark(spaced):
+    """Apply ``BPE_MERGES`` in rank order to a symbol string of the form
+    ``" s1 s2 ... "`` (single space between in-word symbols, ≥2 spaces at
+    word boundaries so no merge can span words). Pure nested ``F.replace``
+    — JVM-side, codegen'd, no Python at run time."""
+    col = spaced
+    for a, b in BPE_MERGES:
+        for _ in range(_BPE_PASSES):
+            col = F.replace(col, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    return col
+
+
+def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE tokenization with a fixed merge table: canonical
+    text → char symbols → rank-ordered merges → symbol count + compression.
+
+    Scale shape: a narrow per-row projection (zero shuffles, zero UDFs);
+    Spark and the DuckDB oracle share identical left-to-right
+    replace-all-occurrences semantics, so parity is exact by construction.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    s0 = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+    )
+    # "ab cd" → " a b   c d  ": 1 space between in-word symbols, 3 at word
+    # boundaries (char + appended space; the original separator doubles).
+    spaced = F.concat(F.lit(" "), F.regexp_replace(s0, "(.)", "$1 "))
+    merged = _bpe_merge_chain_spark(spaced)
+    syms = F.filter(F.split(merged, " +"), lambda x: x != F.lit(""))
+    n_alnum = F.length(F.regexp_replace(s0, " ", "")).cast("long")
+    n_sym = F.size(syms).cast("long")
+    return docs.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_words"),
+        n_alnum.alias("n_alnum_chars"),
+        n_sym.alias("n_bpe_symbols"),
+        # ANSI long/long `/` raises on 0 → guard (empty-alnum docs)
+        F.when(n_sym > 0, n_alnum.cast("double") / n_sym).alias(
+            "chars_per_symbol"
+        ),
+    )
+
+
+def _bpe_apply_oracle() -> str:
+    chain = "(' ' || regexp_replace(s0, '(.)', '\\1 ', 'g'))"
+    for a, b in BPE_MERGES:
+        for _ in range(_BPE_PASSES):
+            chain = f"replace({chain}, ' {a} {b} ', ' {a}{b} ')"
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s0
+  FROM documents
+),
+m AS (
+  SELECT doc_id, s0, {chain} AS merged FROM c
+)
+SELECT doc_id,
+  CAST(len(list_filter(string_split_regex(s0, ' +'), x -> x <> ''))
+       AS BIGINT) AS n_words,
+  CAST(length(replace(s0, ' ', '')) AS BIGINT) AS n_alnum_chars,
+  CAST(len(list_filter(string_split_regex(merged, ' +'), x -> x <> ''))
+       AS BIGINT) AS n_bpe_symbols,
+  CASE WHEN len(list_filter(string_split_regex(merged, ' +'), x -> x <> ''))
+         > 0 THEN
+    CAST(length(replace(s0, ' ', '')) AS DOUBLE)
+      / len(list_filter(string_split_regex(merged, ' +'), x -> x <> ''))
+  END AS chars_per_symbol
+FROM m
+"""
+
+
+QUERIES.append(
+    QueryDef(
+        "bpe_apply_merges",
+        bpe_apply_merges,
+        _bpe_apply_oracle(),
+        "apply a learned BPE merge table (plan literal) per document: "
+        "symbol counts + chars-per-symbol compression",
+    )
+)

@@ -127,3 +127,68 @@ def test_quality_stratified_mixture_skips_zero_token_docs(
     )
     out = quality_stratified_mixture(spark, str(d)).collect()
     assert sum(r["n_docs"] for r in out) == 8  # doc 0 excluded, no crash
+
+
+def _bpe_exact(word: str, merges) -> list[str]:
+    """Textbook BPE application: apply each merge in rank order, replacing
+    every (a, b) adjacency left-to-right."""
+    sym = list(word)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(sym):
+            if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def test_bpe_apply_matches_textbook_bpe(spark, tmp_path_factory):
+    """The nested-replace merge chain equals textbook BPE application on
+    the corpus vocabulary (plus overlap/degenerate probes), per document."""
+    import re
+
+    from feature_generation_benchmark_spark.workloads.text import (
+        BPE_MERGES,
+        bpe_apply_merges,
+    )
+
+    vocab = [
+        "join", "hash", "row", "batch", "scan", "column", "customer",
+        "filter", "merge", "sort", "stream", "window", "table", "value",
+        "query", "part", "order", "group", "small", "slow", "fast", "key",
+        "agg", "data", "line", "spark", "vector", "big", "the", "a",
+        # overlap probes: repeated merge-pair runs ("erer", "tata") and a
+        # multi-merge cascade word ("hashhash" → h+ash twice)
+        "ererer", "tatata", "hashhash", "rowrow", "joinjoin",
+    ]
+    docs = [
+        (0, " ".join(vocab), "en", "s0"),
+        (1, "", "en", "s0"),          # empty text → 0 symbols, NULL ratio
+        (2, "!!! ???", "en", "s0"),   # no alnum chars → same
+        (3, "er er er", "en", "s0"),  # single-merge words
+    ]
+    d = tmp_path_factory.mktemp("bpe_apply")
+    spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, t, lang, src in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(d / "documents.parquet")
+    )
+    rows = {r["doc_id"]: r for r in bpe_apply_merges(spark, str(d)).collect()}
+    for i, text, _, _ in docs:
+        words = re.findall(r"[a-z0-9]+", text.lower())
+        exact = [s for w in words for s in _bpe_exact(w, BPE_MERGES)]
+        r = rows[i]
+        assert r["n_words"] == len(words)
+        assert r["n_bpe_symbols"] == len(exact), (text, exact)
+        assert r["n_alnum_chars"] == sum(len(w) for w in words)
+        if exact:
+            assert r["chars_per_symbol"] == pytest.approx(
+                sum(len(w) for w in words) / len(exact)
+            )
+        else:
+            assert r["chars_per_symbol"] is None
