@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from feature_generation_benchmark_spark.functions.textfns import (
@@ -303,6 +303,88 @@ def decontamination_flags(
             (
                 F.coalesce("n_contaminated_shingles", F.lit(0)) > 0
             ).alias("contaminated"),
+        )
+    )
+
+
+def bloom_decontamination_flags(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    k: int = 2,
+    hex_chars: int = 4,
+) -> DataFrame:
+    """Decontamination via a blocked Bloom filter over the eval shingle
+    set — the compact-filter variant of :func:`decontamination_flags` for
+    when even the DISTINCT eval shingle set is too wide to broadcast as
+    full strings (each n-gram shingle is ~tens of bytes; a bucket id is
+    ``hex_chars``/2 bytes).
+
+    The filter is ``k`` independent bucket arrays of ``16^hex_chars``
+    buckets; shingle *s* maps into array *i* at bucket
+    ``md5(i ‖ ':' ‖ s)[:hex_chars]``. A corpus shingle is bloom-positive
+    iff ALL ``k`` of its buckets are occupied by some eval shingle — no
+    false negatives by construction (every eval shingle occupies its own
+    buckets); false positives at rate ≈ fill_ratio**k, the classic Bloom
+    trade documented per deployment by sizing ``hex_chars``/``k`` against
+    |eval shingles|. md5-derived bucketing keeps the whole filter
+    bit-identical across Spark and DuckDB, so the entry is FULLY
+    hash-gated cross-engine (unlike engine-specific bloom builtins).
+
+    Scale shape: the broadcast payload is the distinct (i, bucket) set —
+    ``k × |eval shingles|`` fixed-width ids, ~10× smaller than the shingle
+    strings themselves; the corpus is one scan + broadcast semi-join +
+    two map-combined groupBys, never shuffled on shingles.
+
+    Output: one row per corpus doc — ``n_bloom_hits`` (bloom-positive
+    distinct shingles) and ``contaminated_bloom``. Superset of the exact
+    flags (`tests/test_dedup.py` pins the no-false-negative property).
+    """
+    idx = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("i")
+
+    def bucket(sh: Column) -> Column:
+        return F.substring(
+            F.md5(F.concat_ws(":", F.col("i").cast("string"), sh)),
+            1,
+            hex_chars,
+        )
+
+    e_sh = doc_shingles(eval_docs, id_col, text_col, n).select(
+        "shingle"
+    ).distinct()
+    eval_buckets = (
+        e_sh.select("shingle", idx)
+        .select("i", bucket(F.col("shingle")).alias("pos"))
+        .distinct()
+    )
+    c_sh = doc_shingles(corpus, id_col, text_col, n)
+    c_pos = c_sh.select(id_col, "shingle", idx).select(
+        id_col, "shingle", "i", bucket(F.col("shingle")).alias("pos")
+    )
+    # (i, pos) is distinct on the eval side → a corpus shingle matches at
+    # most once per array; positive iff all k arrays hit
+    positive = (
+        c_pos.join(F.broadcast(eval_buckets), ["i", "pos"])
+        .groupBy(id_col, "shingle")
+        .agg(F.count(F.lit(1)).alias("nm"))
+        .filter(F.col("nm") == k)
+    )
+    hits = positive.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bloom_hits")
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bloom_hits", F.lit(0))
+            .cast("long")
+            .alias("n_bloom_hits"),
+            (F.coalesce("n_bloom_hits", F.lit(0)) > 0).alias(
+                "contaminated_bloom"
+            ),
         )
     )
 

@@ -20,6 +20,7 @@ from feature_generation_benchmark_spark.operators.clustering import (
     connected_components,
 )
 from feature_generation_benchmark_spark.operators.dedup import (
+    bloom_decontamination_flags,
     decontamination_flags,
     exact_dedup,
     minhash_dedup_pairs,
@@ -256,6 +257,79 @@ hits AS (
 SELECT keyed.doc_id,
   CAST(coalesce(hits.n, 0) AS BIGINT) AS n_contaminated_shingles,
   coalesce(hits.n, 0) > 0 AS contaminated
+FROM keyed LEFT JOIN hits ON hits.doc_id = keyed.doc_id
+WHERE keyed.k >= '1000'
+"""
+
+
+def decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same corpus/eval split as ``decontamination``, but membership goes
+    through a deterministic blocked Bloom filter (k=2 md5-derived bucket
+    arrays of 65,536 buckets) instead of broadcasting the full eval
+    shingle strings — the compact-filter posture for eval sets whose
+    distinct shingles are themselves wide. Sized so real false positives
+    occur on this corpus (~fill² ≈ 0.04% per shingle) while false
+    negatives are impossible by construction; both properties are pinned
+    in tests and the bucketing is bit-identical in DuckDB, so the entry is
+    fully hash-gated."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    return bloom_decontamination_flags(
+        docs.where(key >= "1000"),
+        docs.where(key < "1000"),
+        "doc_id",
+        "text",
+        n=4,
+        k=2,
+        hex_chars=4,
+    )
+
+
+_BLOOM_DECONTAM_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id,
+    substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS k,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')
+      AS toks
+  FROM documents
+),
+csh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(toks) >= 4 THEN
+      list_transform(range(1, len(toks) - 2),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+    ELSE [] END)) AS shingle
+  FROM keyed WHERE k >= '1000'
+),
+esh AS (
+  SELECT DISTINCT unnest(list_distinct(
+    CASE WHEN len(toks) >= 4 THEN
+      list_transform(range(1, len(toks) - 2),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+    ELSE [] END)) AS shingle
+  FROM keyed WHERE k < '1000'
+),
+ii AS (SELECT unnest(generate_series(0, 1)) AS i),
+epos AS (
+  SELECT DISTINCT i,
+    substr(md5(CAST(i AS VARCHAR) || ':' || shingle), 1, 4) AS pos
+  FROM esh CROSS JOIN ii
+),
+cpos AS (
+  SELECT doc_id, shingle, i,
+    substr(md5(CAST(i AS VARCHAR) || ':' || shingle), 1, 4) AS pos
+  FROM csh CROSS JOIN ii
+),
+positive AS (
+  SELECT doc_id, shingle
+  FROM cpos JOIN epos USING (i, pos)
+  GROUP BY doc_id, shingle
+  HAVING count(*) = 2
+),
+hits AS (SELECT doc_id, count(*) AS n FROM positive GROUP BY doc_id)
+SELECT keyed.doc_id,
+  CAST(coalesce(hits.n, 0) AS BIGINT) AS n_bloom_hits,
+  coalesce(hits.n, 0) > 0 AS contaminated_bloom
 FROM keyed LEFT JOIN hits ON hits.doc_id = keyed.doc_id
 WHERE keyed.k >= '1000'
 """
@@ -675,6 +749,10 @@ QUERIES = [
              "including banding", bench=False),
     QueryDef("decontamination", decontamination, _DECONTAM_ORACLE,
              "eval-set n-gram overlap flags (test-set leakage removal)"),
+    QueryDef("decontamination_bloom", decontamination_bloom,
+             _BLOOM_DECONTAM_ORACLE,
+             "decontamination via a deterministic blocked Bloom filter "
+             "(compact broadcast; no false negatives, bounded FPs)"),
     QueryDef("dedup_simhash", dedup_simhash, None,
              "SimHash near-dup pairs (hamming <= 3 via 16-bit bands)"),
     # bench=False: correctness twin of dedup_simhash on the md5 hash family

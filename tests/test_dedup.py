@@ -203,3 +203,55 @@ def test_incremental_requires_prefix_filter(spark, docs):
         ngram_jaccard_pairs(
             docs, "doc_id", "text", prefix_filter=False, new_ids=new_df
         )
+
+
+def test_bloom_decontamination_superset_no_false_negatives(spark):
+    """Bloom membership can only over-approximate: every exactly-
+    contaminated doc is bloom-flagged (no false negatives — structural),
+    and the filter is sized so FALSE POSITIVES actually occur on this
+    corpus (otherwise the entry would never exercise the approximation
+    path it exists to model)."""
+    from feature_generation_benchmark_spark.workloads.dedup import (
+        decontamination,
+        decontamination_bloom,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontamination(spark, sf).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["contaminated_bloom"]
+        for r in decontamination_bloom(spark, sf).collect()
+    }
+    assert set(exact) == set(bloom)
+    false_neg = [d for d, c in exact.items() if c and not bloom[d]]
+    assert false_neg == []
+    false_pos = [d for d, c in bloom.items() if c and not exact[d]]
+    assert len(false_pos) > 0  # 16 at sf0.01 with k=2, 16-bit buckets
+
+
+def test_bloom_decontamination_short_docs_unflagged(spark, tmp_path_factory):
+    """Docs with fewer than n tokens have no shingles → never flagged."""
+    from feature_generation_benchmark_spark.operators.dedup import (
+        bloom_decontamination_flags,
+    )
+
+    d = tmp_path_factory.mktemp("bloom_short")
+    corpus = spark.createDataFrame(
+        [(1, "too short"), (2, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in bloom_decontamination_flags(
+            corpus, ev, "doc_id", "text", n=4
+        ).collect()
+    }
+    assert rows[1]["n_bloom_hits"] == 0
+    assert rows[1]["contaminated_bloom"] is False
+    assert rows[2]["contaminated_bloom"] is True
