@@ -37,7 +37,6 @@ def gram_suffstat_cells(
     rows: DataFrame,
     qcol: str = "__q",
     with_moments: bool = False,
-    dim_hint: int | None = None,
 ) -> DataFrame:
     """``rows[qcol]: array<long>`` → un-aggregated cell rows
     ``(i int, j int, p long)`` for the upper triangle (j ≥ i), plus
@@ -46,10 +45,9 @@ def gram_suffstat_cells(
 
     Always the nested O(d)-intermediate form — measured faster than the
     flat single-explode at every dimension tried AND allocation-safe at
-    high d (module docstring). ``dim_hint`` is accepted for call-site
-    documentation and future re-tuning; it does not change the plan.
+    high d (module docstring; tools/gram_crossover.py re-measures if a
+    future dimension regime needs re-tuning).
     """
-    del dim_hint  # no crossover exists — nested wins everywhere measured
     return _nested_cells(rows, qcol, with_moments)
 
 

@@ -930,6 +930,27 @@ FROM pu
 
 
 QUERIES.append(
+    # raw production sketch plans stay served + benched (rows-only:
+    # sketch estimates are engine-specific; the _check twins below
+    # hash-gate the error bounds vs exact)
+    QueryDef(
+        "kll_value_sketch_rollup_raw",
+        kll_value_sketch_rollup,
+        None,
+        "day-grain KLL quantile sketches merged to per-type p50/p90 "
+        "(production re-aggregatable pre-agg plan)",
+    )
+)
+QUERIES.append(
+    QueryDef(
+        "theta_audience_overlap_raw",
+        theta_audience_overlap,
+        None,
+        "theta-sketch audience union/intersect/difference estimates "
+        "(production sketch plan)",
+    )
+)
+QUERIES.append(
     QueryDef(
         "kll_value_sketch_rollup",
         kll_value_sketch_rollup_check,
@@ -1674,7 +1695,7 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verdict #6); moment pseudo-cells (i,-1)=sums, (-1,-1)=count ride
     # the same single aggregate
     stats = (
-        gram_suffstat_cells(rows, "__q", with_moments=True, dim_hint=64)
+        gram_suffstat_cells(rows, "__q", with_moments=True)
         .groupBy("i", "j")
         .agg(F.sum("p").alias("v"))
         .collect()

@@ -433,6 +433,19 @@ FROM lineitem""")
 
 
 QUERIES.append(
+    # raw production profiler stays served + benched (rows-only: HLL++
+    # estimates are engine-specific; the bound-gated check below is the
+    # cross-engine correctness gate; Expand-free plan is plan-guarded by
+    # test_schema_profile_approx_no_expand)
+    QueryDef(
+        "schema_profile_approx_raw",
+        schema_profile_approx,
+        None,
+        "single-pass Expand-free HLL++ column profiler "
+        "(production plan)",
+    )
+)
+QUERIES.append(
     QueryDef(
         "schema_profile_approx",
         schema_profile_approx_check,

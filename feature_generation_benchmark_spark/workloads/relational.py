@@ -851,6 +851,12 @@ QUERIES = [
              "approximate aggregates (HLL++ distinct + GK quantiles), "
              "hash-gated on exact counts + error-bound flags",
              bench=False),
+    # raw production plan stays served + benched under its own name
+    # (rows-only: estimates are engine-specific; the bound-gated check
+    # twin above is the cross-engine correctness gate)
+    QueryDef("approx_users_per_type_raw", approx_users_per_type, None,
+             "HLL++ distinct + GK quantiles per event type "
+             "(production sketch plan)"),
     QueryDef("json_props_stats", json_props_stats, _JSON_ORACLE,
              "JSON payload extraction + aggregation"),
     QueryDef("incident_window_stats", incident_window_stats, _INCIDENT_ORACLE,
@@ -1408,6 +1414,18 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+QUERIES.append(
+    # raw production sketch-rollup plan stays served + benched (rows-only:
+    # HLL estimates are engine-specific; the _check twin below hash-gates
+    # the 5% bound vs exact)
+    QueryDef(
+        "hll_users_sketch_rollup_raw",
+        hll_users_sketch_rollup,
+        None,
+        "day-grain HLL sketch table merged to per-type distinct "
+        "estimates (production re-aggregatable pre-agg plan)",
+    )
+)
 QUERIES.append(
     QueryDef(
         "hll_users_sketch_rollup",

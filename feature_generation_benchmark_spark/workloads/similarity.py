@@ -31,11 +31,6 @@ from feature_generation_benchmark_spark.operators.gram import (
 from feature_generation_benchmark_spark.sources.testdata import load_table
 from feature_generation_benchmark_spark.workloads import QueryDef
 
-#: Plan-time vector width of the testdata embeddings corpus — the
-#: dimension guard's hint (real deployments probe one row or know their
-#: model's output width).
-_EMB_DIM_HINT = 64
-
 _N_QUERIES = 10
 _K = 5
 
@@ -532,7 +527,7 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = emb.select(q.alias("__q"))
     return (
-        gram_suffstat_cells(rows, "__q", dim_hint=_EMB_DIM_HINT)
+        gram_suffstat_cells(rows, "__q")
         .groupBy("i", "j")
         .agg(F.sum("p").alias("dot_q"))
     )

@@ -53,11 +53,10 @@ def test_both_forms_match_numpy(spark, d):
 def test_production_form_is_nested(spark):
     """No crossover exists (tools/gram_crossover.py: nested wins at every
     measured d), so the helper must always emit the O(d)-intermediate
-    two-Generate form, whatever hint the caller passes."""
+    two-Generate form."""
     df, _ = _mk_rows(spark, 4, 6)
-    for hint in (None, 8, 4096):
-        plan = (
-            gram_suffstat_cells(df, dim_hint=hint)
-            ._jdf.queryExecution().executedPlan().toString()
-        )
-        assert plan.count("Generate") == 2, (hint, plan)
+    plan = (
+        gram_suffstat_cells(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Generate") == 2, plan

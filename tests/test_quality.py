@@ -136,14 +136,35 @@ def test_schema_profile_approx_check_separates_sketch_from_distinct(spark):
         schema_profile_approx_check,
     )
 
+    import re
+
     df = schema_profile_approx_check(spark, "/root/testdata/sf0.001")
+    df.collect()  # finalize AQE before reading the executed plan
     plan = df._jdf.queryExecution().executedPlan().toString()
     # the 1-row x 1-row crossJoin is the separation seam
     assert "NestedLoopJoin" in plan or "CartesianProduct" in plan, plan
-    # the HLL side must not sit under the Expand of the exact side:
-    # no hyperloglog buffer may appear in an aggregate that also expands
-    expand_idx = plan.find("Expand")
-    assert expand_idx != -1, plan
+    # the HLL side must not sit under/above the Expand of the exact side:
+    # no hyperloglog buffer may appear in an aggregate that also expands.
+    # Enforced structurally: walk every Expand's ANCESTOR chain in the
+    # tree string (strictly-decreasing indent upwards) — the multi-
+    # distinct rewrite that mixes the buffers would place the
+    # approx_count_distinct function in an aggregate ABOVE the Expand.
+    lines = plan.splitlines()
+
+    def depth(line: str) -> int:
+        return len(re.match(r"^[\s:+*-]*", line).group(0))
+
+    expand_idxs = [i for i, l in enumerate(lines) if "Expand" in l]
+    assert expand_idxs, plan
+    for i in expand_idxs:
+        d = depth(lines[i])
+        for prev in reversed(lines[:i]):
+            dp = depth(prev)
+            if dp < d:
+                assert "approx_count_distinct" not in prev, (
+                    "HLL buffer in an Expand-ancestor aggregate:\n" + prev
+                )
+                d = dp
     rows = {r.col_name: r for r in df.collect()}
     assert all(r.distinct_within_5pct for r in rows.values()), rows
 

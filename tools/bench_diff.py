@@ -35,14 +35,23 @@ def _load(src: str) -> dict:
     p = Path(src)
     if p.exists():
         return json.loads(p.read_text())
+    # Looks like a path, not a rev (has a path separator or .json suffix,
+    # or is absolute): fail as a missing file instead of handing a typo'd
+    # path to `git show` and surfacing an unknown-revision traceback.
+    if p.is_absolute() or "/" in src or src.endswith(".json"):
+        raise SystemExit(f"bench_diff: no such file: {src}")
     spec = src if ":" in src else f"{src}:BENCH_DETAIL.json"
-    blob = subprocess.run(
+    proc = subprocess.run(
         ["git", "-C", str(REPO), "show", spec],
         capture_output=True,
         text=True,
-        check=True,
-    ).stdout
-    return json.loads(blob)
+    )
+    if proc.returncode != 0:
+        raise SystemExit(
+            f"bench_diff: {src!r} is neither a file nor a resolvable git "
+            f"rev[:path] ({proc.stderr.strip().splitlines()[-1] if proc.stderr else 'git show failed'})"
+        )
+    return json.loads(proc.stdout)
 
 
 def diff_benches(

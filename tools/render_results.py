@@ -46,7 +46,13 @@ def render(anchor_paths: list[str]) -> str:
     anchors = []
     for p in anchor_paths:
         try:
-            anchors.append(json.loads(Path(p).read_text()))
+            a = json.loads(Path(p).read_text())
+            # validate the anchor shape HERE so one malformed/wrong-kind
+            # JSON (e.g. a bench_diff report from the same results/ dir)
+            # skips like an unreadable file instead of KeyError-ing the
+            # whole render below
+            a["size"], a["rows"], a["strategies"]
+            anchors.append(a)
         except Exception as exc:  # noqa: BLE001 - render what we can
             out.append(f"_(skipped unreadable anchor {p}: {exc})_")
     if anchors:

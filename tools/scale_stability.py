@@ -57,7 +57,11 @@ QUERIES = ("q7_nation_volume", "q13_order_histogram", "q18_large_orders",
            # fusing), GROUPING SETS (|domains|-bounded), HLL rollup
            # (type-dim output; the sketch table is the only exchange)
            "hybrid_search_rrf", "grouping_sets_lineitem",
-           "hll_users_sketch_rollup",
+           # _raw = the PRODUCTION sketch plans (r6 repointed the plain
+           # names to bound-gated _check twins that also run the exact
+           # aggregates — probing those would time the verification cost,
+           # not the sketch plan this list exists to watch)
+           "hll_users_sketch_rollup_raw",
            # r4e: PSI drift + histogram rollup (type-dim outputs; the one
            # combining groupBy(type,bin) / (type,day,bin) exchange must
            # stay partial-agg-bounded as the event side grows)
@@ -74,7 +78,8 @@ QUERIES = ("q7_nation_volume", "q13_order_histogram", "q18_large_orders",
            # r4e (4): DataSketches siblings (type-dim outputs; sketch
            # state is k-bounded per (type,day) / per type regardless of
            # the event side)
-           "kll_value_sketch_rollup", "theta_audience_overlap",
+           "kll_value_sketch_rollup_raw", "theta_audience_overlap_raw",
+           "approx_users_per_type_raw", "schema_profile_approx_raw",
            # r4e (5): purged temporal CV folds (folds×roles-bounded
            # output; the broadcast fold spec + one combining agg must
            # hold as the event side grows)
@@ -181,7 +186,11 @@ NOOP_QUERIES = ("gap_fill_daily", "heavy_hitters", "funnel_conversions",
                  # r6: raw LSH pair output grows with the corpus; the
                  # discovered-domain feature store is user-dim (grows on
                  # the scaled user axis)
-                 "dedup_minhash_lsh_raw", "feat_discovered_domain")
+                 "dedup_minhash_lsh_raw", "feat_discovered_domain",
+                 # r6 (2): corpus-sized outputs — incremental/naive pair
+                 # sets, per-doc bloom flags, per-doc BPE symbol counts
+                 "dedup_jaccard_incremental", "dedup_ngram_jaccard_naive",
+                 "decontamination_bloom", "bpe_apply_merges")
 
 
 def build_scaled(spark, factor: int) -> str:
