@@ -614,3 +614,372 @@ def semdedup_flags(
         "dup_of",
         max_cos.alias("max_cos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the compression half of IVF-PQ. Each vector
+# is coded as M subvector centroid ids (here 8 × 4-bit ≈ 8 bytes for
+# d=64 float32 ≈ 32× compression): the regime where a 100 TB raw corpus
+# becomes a few TB of codes that fit cluster RAM. Query scoring is ADC
+# (asymmetric distance computation): per query, a LUT of
+# squared-L2(query subvector, centroid) per (subvector, centroid); a
+# coded vector's approximate distance is the sum of M table lookups —
+# no float math against the corpus at all.
+# ---------------------------------------------------------------------------
+
+def sq_l2_cols(a: Column, b: Column) -> Column:
+    """Σ (aᵢ−bᵢ)² — left-to-right fold (deterministic order, replayed
+    identically by DuckDB ``list_reduce`` in the oracle)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def sq_l2(sub: Column, centroid: list[float]) -> Column:
+    return sq_l2_cols(sub, F.array(*[F.lit(float(c)) for c in centroid]))
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 8,
+    ksub: int = 16,
+    sample_mod: int = 29,
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebook: centroid *k* of subquantizer *mm* is the
+    *mm*-th subvector of the *k*-th sampled corpus row (``id % sample_mod
+    == 0``, ordered, first ``ksub``) — the k-means random-sample init. A
+    real deployment trains the codebooks offline; either way the model is
+    a ksub×d broadcast literal the SQL twin can replay from the table
+    (same contract as ``_ivf_centroids``). Returns
+    ``codebooks[mm][k] = list[d/m floats]``."""
+    rows = (
+        corpus.filter(F.col(id_col) % sample_mod == 0)
+        .orderBy(id_col)
+        .limit(ksub)
+        .select(as_double_array(vec_col).alias("v"))
+        .collect()
+    )
+    if len(rows) < ksub:
+        raise ValueError(
+            f"PQ sample too small: {len(rows)} rows < ksub={ksub}"
+        )
+    d = len(rows[0]["v"])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    return [
+        [[float(x) for x in r["v"][mm * dsub : (mm + 1) * dsub]] for r in rows]
+        for mm in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """(id, codes: array<int> of length M) — the stored representation.
+    Two narrow projections over the scan (distances, then argmin — the
+    split keeps each distance array evaluated ONCE; ``array_min`` +
+    ``array_position`` over an inline array would compute it twice); the
+    raw vectors never shuffle. Ties → lowest centroid id via
+    ``array_position`` first-match; the oracle's ``ORDER BY d, cid``
+    breaks identically."""
+    dsub = len(codebooks[0][0])
+    vd = as_double_array(vec_col)
+    dist_stage = df.filter(vd.isNotNull()).select(
+        F.col(id_col),
+        *[
+            F.array(
+                *[sq_l2(F.slice(vd, mm * dsub + 1, dsub), c) for c in cents]
+            ).alias(f"__d{mm}")
+            for mm, cents in enumerate(codebooks)
+        ],
+    )
+    codes = [
+        (
+            F.array_position(
+                F.col(f"__d{mm}"), F.array_min(F.col(f"__d{mm}"))
+            )
+            - 1
+        ).cast("int")
+        for mm in range(len(codebooks))
+    ]
+    return dist_stage.select(F.col(id_col), F.array(*codes).alias("codes"))
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    shortlist: int | None = None,
+) -> DataFrame:
+    """ADC top-k over PQ codes, optionally with exact rerank. The query
+    side carries per-subquantizer LUTs quantized to integer micro-units
+    (``round(d·1e6)``) so the ADC score is an exact integer sum —
+    order-independent and bit-identical cross-engine. The corpus side is
+    its coded form only: scoring a vector is M array lookups + integer
+    adds, no float ops against raw vectors.
+
+    ``shortlist=L`` enables the production FAISS-style refine stage: ADC
+    ranks an L-candidate shortlist per query, then EXACT squared-L2 over
+    raw vectors reranks only those Q×L rows to the final top-k (the raw
+    corpus is touched via an id semi-join, never scanned against every
+    query). On isotropic/no-structure embeddings the pure ADC ordering
+    is noisy (quantization error ~ signal); the rerank recovers
+    high recall at Q×L exact-scoring cost — see tests for the pinned
+    recall floor.
+
+    Scale posture: queries (serving batch) broadcast with their LUTs;
+    the code table streams through one projection + per-query top-k. At
+    corpus scales where the Q×N scored set matters, compose with IVF
+    routing (``ivf_topk``'s cell assignment) so ADC scans only probed
+    cells — the standard IVF-PQ layout — or apply the
+    ``brute_force_topk_partial`` bounded-state pattern to the code scan.
+    Output: (query_id, neighbor_id, adc_e6) ascending, or with
+    ``shortlist`` (query_id, neighbor_id, l2_e6) — exact integer
+    micro-unit squared L2."""
+    coded = pq_encode(corpus, id_col, vec_col, codebooks).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    )
+    qd = as_double_array(vec_col)
+    dsub = len(codebooks[0][0])
+    luts = [
+        F.array(
+            *[
+                F.round(sq_l2(F.slice(qd, mm * dsub + 1, dsub), c) * 1e6)
+                .cast("long")
+                for c in cents
+            ]
+        ).alias(f"lut_{mm}")
+        for mm, cents in enumerate(codebooks)
+    ]
+    q = queries.filter(qd.isNotNull()).select(
+        F.col(id_col).alias("query_id"), *luts
+    )
+    adc = None
+    for mm in range(len(codebooks)):
+        term = F.element_at(
+            F.col(f"lut_{mm}"), F.element_at(F.col("codes"), mm + 1) + 1
+        )
+        adc = term if adc is None else adc + term
+    scored = (
+        coded.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc_e6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_e6").asc(), F.col("neighbor_id")
+    )
+    if shortlist is None:
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("query_id", "neighbor_id", "adc_e6")
+        )
+    short = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    return _pq_exact_rerank(short, queries, corpus, id_col, vec_col, k)
+
+
+def _pq_exact_rerank(
+    short: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """FAISS-style refine: exact squared-L2 (Catalyst fold — bit-identical
+    to the oracle's ``list_reduce``) over ONLY the (query_id, neighbor_id)
+    shortlist rows, micro-unit-quantized to an exact integer, final
+    per-query top-k."""
+    cvecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(vec_col).alias("cv"),
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    )
+    rer = (
+        short.join(cvecs, "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(sq_l2_cols(F.col("qv"), F.col("cv")) * 1e6)
+            .cast("long")
+            .alias("l2_e6"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("l2_e6").asc(), F.col("neighbor_id")
+    )
+    return (
+        rer.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "l2_e6")
+    )
+
+
+def pq_adc_topk_partial(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    shortlist: int = 100,
+) -> DataFrame:
+    """The at-scale PQ serving plan — same results as
+    ``pq_adc_topk(..., shortlist=L)``, different physical shape (the
+    ``brute_force_topk_partial`` pattern applied to the ADC scan).
+
+    The Catalyst formulation evaluates M×K fold expressions per corpus
+    row interpreted (higher-order functions are codegen fallback, and the
+    unrolled form overflows janino's 64 KB method limit) and shuffles the
+    Q×N ADC-scored rows into the shortlist window. Here the query batch
+    collects into an integer LUT model (Q×M×K micro-unit distances,
+    HALF_UP-quantized with ``decimal`` to match Spark/DuckDB ``round``
+    exactly), each corpus partition encodes + ADC-scores its rows with
+    vectorized numpy and keeps a bounded per-query top-L (O(Q×L) state),
+    and only P×Q×L candidate rows reach the global shortlist window. The
+    exact rerank then touches only Q×L raw-vector rows.
+
+    Every membership decision is integer-based (ADC sums, micro-unit
+    rerank), and the underlying doubles are bit-identical to the
+    oracle's: subvector distances sum ≤ 8 elements with explicit left
+    association (no numpy pairwise reassociation), and IEEE
+    ``0.0 + t == t`` makes the oracle's fold-from-zero equal to the
+    left-associated sum. argmin ties break to the lowest centroid id on
+    both sides (numpy first-min / ``ORDER BY d, cid``).
+    """
+    import decimal
+
+    import pyspark.sql.types as T
+
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    for side, df in (("queries", queries), ("corpus", corpus)):
+        dt = df.schema[id_col].dataType
+        if not isinstance(dt, integral):
+            raise TypeError(
+                f"pq_adc_topk_partial requires an integral {id_col!r} "
+                f"({side} side has {dt.simpleString()})"
+            )
+    mM = len(codebooks)
+    dsub = len(codebooks[0][0])
+    ksub = len(codebooks[0])
+    if dsub > 8:
+        raise ValueError(
+            f"dsub={dsub} > 8: numpy switches to pairwise summation above "
+            "8 elements, breaking bit parity with the oracle's left fold"
+        )
+    CB = np.array(codebooks, dtype=np.float64)  # (M, K, dsub)
+
+    def _left_sum(t: np.ndarray) -> np.ndarray:
+        acc = t[..., 0]
+        for j in range(1, t.shape[-1]):
+            acc = acc + t[..., j]
+        return acc
+
+    q_rows = (
+        queries.filter(as_double_array(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("qid"), as_double_array(vec_col).alias("qv")
+        )
+        .collect()
+    )
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, l2_e6 long"
+        )
+    qids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
+    Qv = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in q_rows])
+    lut = np.empty((len(qids), mM, ksub), dtype=np.int64)
+    one = decimal.Decimal(1)
+    for m in range(mM):
+        d = _left_sum(
+            (Qv[:, None, m * dsub : (m + 1) * dsub] - CB[m][None]) ** 2
+        )
+        for qi in range(d.shape[0]):
+            for ki in range(d.shape[1]):
+                # d*1e6 in double FIRST (what Spark's round(col*1e6) sees),
+                # then decimal HALF_UP on that exact binary value
+                lut[qi, m, ki] = int(
+                    decimal.Decimal(float(d[qi, ki]) * 1e6).quantize(
+                        one, rounding=decimal.ROUND_HALF_UP
+                    )
+                )
+    sentinel = np.iinfo(np.int64).max  # adc ≤ M × max(lut) ≪ 2^63
+
+    def partition_scan(batches):
+        best_adc = np.full((len(qids), shortlist), sentinel, dtype=np.int64)
+        best_nids = np.full((len(qids), shortlist), sentinel, dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            seen = True
+            nids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            V = np.stack(pdf["cv"].to_numpy())
+            adc = np.zeros((len(qids), len(nids)), dtype=np.int64)
+            for m in range(mM):
+                d = _left_sum(
+                    (V[:, None, m * dsub : (m + 1) * dsub] - CB[m][None]) ** 2
+                )
+                codes_m = d.argmin(axis=1)  # first min → lowest cid
+                adc += lut[:, m, :][:, codes_m]
+            adc[qids[:, None] == nids[None, :]] = sentinel  # self-match
+            cand_adc = np.concatenate([best_adc, adc], axis=1)
+            cand_nids = np.concatenate(
+                [best_nids, np.broadcast_to(nids, (len(qids), len(nids)))],
+                axis=1,
+            )
+            order = np.lexsort((cand_nids, cand_adc), axis=1)[:, :shortlist]
+            rows = np.arange(len(qids))[:, None]
+            best_adc = cand_adc[rows, order]
+            best_nids = cand_nids[rows, order]
+        if not seen:
+            return
+        qcol = np.repeat(qids, shortlist)
+        acol = best_adc.ravel()
+        ncol = best_nids.ravel()
+        keep = acol != sentinel
+        yield pd.DataFrame(
+            {
+                "query_id": qcol[keep],
+                "neighbor_id": ncol[keep],
+                "adc_e6": acol[keep],
+            }
+        )
+
+    candidates = (
+        corpus.filter(as_double_array(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double_array(vec_col).alias("cv"),
+        )
+        .mapInPandas(
+            partition_scan, "query_id long, neighbor_id long, adc_e6 long"
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_e6").asc(), F.col("neighbor_id")
+    )
+    short = (
+        candidates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    return _pq_exact_rerank(short, queries, corpus, id_col, vec_col, k)

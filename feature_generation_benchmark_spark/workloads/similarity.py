@@ -22,6 +22,9 @@ from feature_generation_benchmark_spark.operators.similarity import (
     brute_force_topk_partial,
     ivf_topk,
     lsh_topk,
+    pq_adc_topk,
+    pq_adc_topk_partial,
+    pq_codebooks,
     random_hyperplanes,
     semdedup_flags,
 )
@@ -308,6 +311,113 @@ GROUP BY f.cell
     return sql
 
 
+_PQ_M = 16
+_PQ_DSUB = 64 // _PQ_M
+_PQ_KSUB = 16
+_PQ_MOD = 29
+_PQ_L = 100
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization top-k with ADC shortlist + exact rerank —
+    the compression half of IVF-PQ: the corpus is its 16×4-bit PQ codes
+    (16 bytes vs 256 bytes of raw float32 at d=64 — the representation
+    that still fits cluster RAM at 100 TB); queries broadcast
+    integer-quantized LUTs, ADC scoring is 16 lookups + integer adds per
+    coded vector, and exact squared-L2 touches ONLY the Q×L shortlist
+    (the FAISS refine stage — required here because the synthetic
+    embeddings are isotropic noise, the worst case for quantization;
+    recall@5 ≥ 0.8 pinned in tests). Codebook model = deterministic
+    table sample (k-means random-sample init, same contract as the IVF
+    centroids) so the SQL twin replays encode, LUT, ADC, shortlist and
+    rerank exactly — every score is an exact integer, so this
+    approximate index is nonetheless FULLY hash-gated."""
+    q, c = _queries_and_corpus(spark, sf_dir)
+    cb = pq_codebooks(c, "vec_id", "embedding",
+                      m=_PQ_M, ksub=_PQ_KSUB, sample_mod=_PQ_MOD)
+    # served on the partial plan (vectorized ADC scan, bounded per-query
+    # top-L state); pq_adc_topk is the didactic Catalyst twin, equality-
+    # tested in tests/test_similarity.py
+    return pq_adc_topk_partial(q, c, "vec_id", "embedding", cb, k=_K,
+                               shortlist=_PQ_L)
+
+
+# Replays the deterministic codebook (16 sampled rows' subvectors), the
+# argmin encode (ties -> lowest centroid id), the e6-quantized LUT and
+# the integer ADC sum — identical left-fold float math via list_reduce,
+# so every intermediate double is bit-equal to Spark's.
+_PQ_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cr AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+  FROM (SELECT vec_id, v FROM e WHERE vec_id % {_PQ_MOD} = 0
+        ORDER BY vec_id LIMIT {_PQ_KSUB})
+),
+ms AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m),
+cb AS (
+  SELECT m, cid,
+         array_slice(v, {_PQ_DSUB} * m + 1, {_PQ_DSUB} * m + {_PQ_DSUB}) AS cv
+  FROM cr CROSS JOIN ms
+),
+dists AS (
+  SELECT e.vec_id, cb.m, cb.cid,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(list_zip(
+          array_slice(e.v, {_PQ_DSUB} * cb.m + 1,
+                      {_PQ_DSUB} * cb.m + {_PQ_DSUB}), cb.cv),
+        s -> (s[1] - s[2]) * (s[1] - s[2]))),
+      (a, b) -> a + b) AS d
+  FROM e CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id, m, cid AS code FROM (
+    SELECT vec_id, m, cid,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rk
+    FROM dists)
+  WHERE rk = 1
+),
+lut AS (
+  SELECT vec_id AS query_id, m, cid,
+         CAST(round(d * 1e6) AS BIGINT) AS d_e6
+  FROM dists WHERE vec_id < {_N_QUERIES}
+),
+adc AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id,
+         CAST(sum(l.d_e6) AS BIGINT) AS adc_e6
+  FROM codes c JOIN lut l ON l.m = c.m AND l.cid = c.code
+  WHERE c.vec_id <> l.query_id
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY adc_e6, neighbor_id) AS rn
+    FROM adc)
+  WHERE rn <= {_PQ_L}
+),
+rer AS (
+  SELECT s.query_id, s.neighbor_id,
+    CAST(round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(list_zip(q.v, c.v),
+        z -> (z[1] - z[2]) * (z[1] - z[2]))),
+      (a, b) -> a + b) * 1e6) AS BIGINT) AS l2_e6
+  FROM short s
+  JOIN e q ON q.vec_id = s.query_id
+  JOIN e c ON c.vec_id = s.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, l2_e6,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY l2_e6, neighbor_id) AS rn
+  FROM rer
+)
+SELECT query_id, neighbor_id, l2_e6 FROM ranked WHERE rn <= {_K}
+"""
+
+
 QUERIES = [
     QueryDef("ann_bruteforce_topk", ann_bruteforce_topk, _BRUTE_ORACLE,
              "exact cosine top-k on the partial-top-k plan (per-partition "
@@ -324,6 +434,9 @@ QUERIES = [
     QueryDef("ann_ivf_topk", ann_ivf_topk, _IVF_ORACLE,
              "IVF coarse-quantizer approximate top-k (deterministic "
              "centroid model -> full cross-engine oracle)"),
+    QueryDef("ann_pq_topk", ann_pq_topk, _PQ_ORACLE,
+             "product-quantization top-k: 16x4-bit codes, integer ADC "
+             "shortlist + exact rerank -> full cross-engine oracle"),
 ]
 
 
