@@ -859,8 +859,9 @@ def pq_adc_topk_partial(
 
     Every membership decision is integer-based (ADC sums, micro-unit
     rerank), and the underlying doubles are bit-identical to the
-    oracle's: subvector distances sum ≤ 8 elements with explicit left
-    association (no numpy pairwise reassociation), and IEEE
+    oracle's: subvector distances sum with an explicit left-associated
+    loop (never ``np.sum``, whose pairwise reassociation above 8
+    elements would drift the last ulp), and IEEE
     ``0.0 + t == t`` makes the oracle's fold-from-zero equal to the
     left-associated sum. argmin ties break to the lowest centroid id on
     both sides (numpy first-min / ``ORDER BY d, cid``).
@@ -880,11 +881,6 @@ def pq_adc_topk_partial(
     mM = len(codebooks)
     dsub = len(codebooks[0][0])
     ksub = len(codebooks[0])
-    if dsub > 8:
-        raise ValueError(
-            f"dsub={dsub} > 8: numpy switches to pairwise summation above "
-            "8 elements, breaking bit parity with the oracle's left fold"
-        )
     CB = np.array(codebooks, dtype=np.float64)  # (M, K, dsub)
 
     def _left_sum(t: np.ndarray) -> np.ndarray:

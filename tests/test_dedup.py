@@ -232,13 +232,12 @@ def test_bloom_decontamination_superset_no_false_negatives(spark):
     assert len(false_pos) > 0  # 16 at sf0.01 with k=2, 16-bit buckets
 
 
-def test_bloom_decontamination_short_docs_unflagged(spark, tmp_path_factory):
+def test_bloom_decontamination_short_docs_unflagged(spark):
     """Docs with fewer than n tokens have no shingles → never flagged."""
     from feature_generation_benchmark_spark.operators.dedup import (
         bloom_decontamination_flags,
     )
 
-    d = tmp_path_factory.mktemp("bloom_short")
     corpus = spark.createDataFrame(
         [(1, "too short"), (2, "alpha beta gamma delta epsilon")],
         "doc_id long, text string",

@@ -139,7 +139,7 @@ def test_schema_profile_approx_check_separates_sketch_from_distinct(spark):
     import re
 
     df = schema_profile_approx_check(spark, "/root/testdata/sf0.001")
-    df.collect()  # finalize AQE before reading the executed plan
+    collected = df.collect()  # finalize AQE before reading the plan
     plan = df._jdf.queryExecution().executedPlan().toString()
     # the 1-row x 1-row crossJoin is the separation seam
     assert "NestedLoopJoin" in plan or "CartesianProduct" in plan, plan
@@ -165,7 +165,7 @@ def test_schema_profile_approx_check_separates_sketch_from_distinct(spark):
                     "HLL buffer in an Expand-ancestor aggregate:\n" + prev
                 )
                 d = dp
-    rows = {r.col_name: r for r in df.collect()}
+    rows = {r.col_name: r for r in collected}
     assert all(r.distinct_within_5pct for r in rows.values()), rows
 
 

@@ -35,10 +35,11 @@ def _load(src: str) -> dict:
     p = Path(src)
     if p.exists():
         return json.loads(p.read_text())
-    # Looks like a path, not a rev (has a path separator or .json suffix,
-    # or is absolute): fail as a missing file instead of handing a typo'd
-    # path to `git show` and surfacing an unknown-revision traceback.
-    if p.is_absolute() or "/" in src or src.endswith(".json"):
+    # Absolute paths can only mean files (git revs are never absolute
+    # paths); anything else gets a git try — `rev:path`, `origin/main`,
+    # `HEAD~1` are all legal revs — and a combined error on failure
+    # instead of a subprocess traceback.
+    if p.is_absolute():
         raise SystemExit(f"bench_diff: no such file: {src}")
     spec = src if ":" in src else f"{src}:BENCH_DETAIL.json"
     proc = subprocess.run(
@@ -47,9 +48,11 @@ def _load(src: str) -> dict:
         text=True,
     )
     if proc.returncode != 0:
+        detail = proc.stderr.strip().splitlines()
         raise SystemExit(
-            f"bench_diff: {src!r} is neither a file nor a resolvable git "
-            f"rev[:path] ({proc.stderr.strip().splitlines()[-1] if proc.stderr else 'git show failed'})"
+            f"bench_diff: {src!r} is neither an existing file nor a "
+            f"resolvable git rev[:path]"
+            + (f" ({detail[-1]})" if detail else "")
         )
     return json.loads(proc.stdout)
 
