@@ -316,7 +316,8 @@ def bloom_decontamination_flags(
     k: int = 2,
     hex_chars: int = 4,
 ) -> DataFrame:
-    """Decontamination via a blocked Bloom filter over the eval shingle
+    """Decontamination via a blocked Bloom filter (Bloom 1970; blocked
+    variant à la Putze/Sanders/Singler 2007) over the eval shingle
     set — the compact-filter variant of :func:`decontamination_flags` for
     when even the DISTINCT eval shingle set is too wide to broadcast as
     full strings (each n-gram shingle is ~tens of bytes; a bucket id is

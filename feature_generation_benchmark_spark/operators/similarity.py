@@ -617,7 +617,9 @@ def semdedup_flags(
 
 
 # ---------------------------------------------------------------------------
-# Product quantization (PQ) — the compression half of IVF-PQ. Each vector
+# Product quantization (PQ, Jégou/Douze/Schmid 2011, "Product
+# Quantization for Nearest Neighbor Search") — the compression half of
+# IVF-PQ. Each vector
 # is coded as M subvector centroid ids (here 8 × 4-bit ≈ 8 bytes for
 # d=64 float32 ≈ 32× compression): the regime where a 100 TB raw corpus
 # becomes a few TB of codes that fit cluster RAM. Query scoring is ADC

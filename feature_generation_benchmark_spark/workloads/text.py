@@ -1271,7 +1271,8 @@ QUERIES.append(
 
 
 # --------------------------------------------------------------------------
-# tokenizer APPLICATION (r6): rank-ordered BPE merge application.
+# tokenizer APPLICATION (r6): rank-ordered BPE merge application
+# (byte-pair encoding for subword units: Sennrich/Haddow/Birch 2016).
 # `bpe_pair_stats` exposes the LEARNING statistic (the pair count the first
 # merge maximizes); this operator is the other half of the tokenizer story —
 # applying a learned merge table at corpus scale. In production the merge
