@@ -843,6 +843,8 @@ def pq_adc_topk_partial(
     codebooks: list[list[list[float]]],
     k: int = 5,
     shortlist: int = 100,
+    coarse_centroids: list[list[float]] | None = None,
+    n_probe: int = 2,
 ) -> DataFrame:
     """The at-scale PQ serving plan — same results as
     ``pq_adc_topk(..., shortlist=L)``, different physical shape (the
@@ -867,6 +869,17 @@ def pq_adc_topk_partial(
     ``0.0 + t == t`` makes the oracle's fold-from-zero equal to the
     left-associated sum. argmin ties break to the lowest centroid id on
     both sides (numpy first-min / ``ORDER BY d, cid``).
+
+    ``coarse_centroids`` turns the scan into full IVF-PQ (the standard
+    FAISS inverted-list layout): every corpus row is assigned to its
+    nearest coarse cell (squared L2 — metric-consistent with the PQ
+    refine, unlike the cosine router of ``ivf_topk``), each query probes
+    its ``n_probe`` nearest cells, and ADC scores only rows whose cell
+    is probed — the bounded state and shuffle volume are unchanged, the
+    scan just skips (1 − n_probe/|cells|) of the corpus per query. On
+    structureless data the routing loses recall in proportion to the
+    unprobed mass (the brief's isotropic corpus is the worst case); on
+    clustered corpora the router captures the structure.
     """
     import decimal
 
@@ -920,6 +933,14 @@ def pq_adc_topk_partial(
                     )
                 )
     sentinel = np.iinfo(np.int64).max  # adc ≤ M × max(lut) ≪ 2^63
+    if coarse_centroids is not None:
+        CC = np.array(coarse_centroids, dtype=np.float64)  # (cells, d)
+        # per-query probe cells: n_probe nearest by squared L2; stable
+        # argsort → ties to the lowest cell id (oracle: ORDER BY d, cell)
+        qcd = _left_sum((Qv[:, None, :] - CC[None]) ** 2)
+        probes = np.argsort(qcd, axis=1, kind="stable")[:, :n_probe]
+    else:
+        CC = probes = None
 
     def partition_scan(batches):
         best_adc = np.full((len(qids), shortlist), sentinel, dtype=np.int64)
@@ -938,6 +959,16 @@ def pq_adc_topk_partial(
                 )
                 codes_m = d.argmin(axis=1)  # first min → lowest cid
                 adc += lut[:, m, :][:, codes_m]
+            if CC is not None:
+                # IVF routing: mask rows whose cell no query probed is
+                # handled per query — (Q, batch) probe-membership mask
+                cells = _left_sum((V[:, None, :] - CC[None]) ** 2).argmin(
+                    axis=1
+                )
+                probed = (
+                    cells[None, :, None] == probes[:, None, :]
+                ).any(axis=2)
+                adc[~probed] = sentinel
             adc[qids[:, None] == nids[None, :]] = sentinel  # self-match
             cand_adc = np.concatenate([best_adc, adc], axis=1)
             cand_nids = np.concatenate(

@@ -418,6 +418,133 @@ SELECT query_id, neighbor_id, l2_e6 FROM ranked WHERE rn <= {_K}
 """
 
 
+_IVFPQ_NPROBE = 3
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IVF-PQ — the standard FAISS inverted-list layout
+    composing the engine's two ANN halves: the coarse router assigns
+    every corpus vector to its nearest sampled centroid (squared L2,
+    metric-consistent with the PQ refine), each query probes its 3
+    nearest cells, ADC scores only the probed rows (16×4-bit codes +
+    integer LUTs, bounded per-query state), and exact squared-L2
+    reranks the Q×L shortlist. At 100 TB this is the layout where the
+    coded corpus lives partitioned by cell and a query touches
+    n_probe/|cells| of it. On this isotropic corpus the router loses
+    recall in proportion to the unprobed mass (recall@5 = 0.72, floor
+    0.6 pinned — vs 0.90 for the full-scan ``ann_pq_topk``); both
+    deterministic models replay in SQL, so the composed index is FULLY
+    hash-gated end to end."""
+    q, c = _queries_and_corpus(spark, sf_dir)
+    cb = pq_codebooks(c, "vec_id", "embedding",
+                      m=_PQ_M, ksub=_PQ_KSUB, sample_mod=_PQ_MOD)
+    return pq_adc_topk_partial(
+        q, c, "vec_id", "embedding", cb, k=_K, shortlist=_PQ_L,
+        coarse_centroids=_ivf_centroids(c), n_probe=_IVFPQ_NPROBE,
+    )
+
+
+_FOLD64 = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(list_zip({a}, {b}), "
+    "z -> (z[1] - z[2]) * (z[1] - z[2]))), (x, y) -> x + y)"
+)
+
+_IVFPQ_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+ccr AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+  FROM (SELECT vec_id, v FROM e WHERE vec_id % 97 = 0
+        ORDER BY vec_id LIMIT 8)
+),
+cdist AS (
+  SELECT e.vec_id, cc.cell,
+         {_FOLD64.format(a="e.v", b="cc.v")} AS cd
+  FROM e CROSS JOIN ccr cc
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cd, cell) AS rk
+    FROM cdist)
+  WHERE rk = 1
+),
+qprobe AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cd, cell) AS rk
+    FROM cdist WHERE vec_id < {_N_QUERIES})
+  WHERE rk <= {_IVFPQ_NPROBE}
+),
+cr AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+  FROM (SELECT vec_id, v FROM e WHERE vec_id % {_PQ_MOD} = 0
+        ORDER BY vec_id LIMIT {_PQ_KSUB})
+),
+ms AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m),
+cb AS (
+  SELECT m, cid,
+         array_slice(v, {_PQ_DSUB} * m + 1, {_PQ_DSUB} * m + {_PQ_DSUB}) AS cv
+  FROM cr CROSS JOIN ms
+),
+dists AS (
+  SELECT e.vec_id, cb.m, cb.cid,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(list_zip(array_slice(e.v, {_PQ_DSUB} * cb.m + 1,
+                      {_PQ_DSUB} * cb.m + {_PQ_DSUB}), cb.cv),
+        s -> (s[1] - s[2]) * (s[1] - s[2]))),
+      (a, b) -> a + b) AS d
+  FROM e CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id, m, cid AS code FROM (
+    SELECT vec_id, m, cid,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rk
+    FROM dists)
+  WHERE rk = 1
+),
+lut AS (
+  SELECT vec_id AS query_id, m, cid,
+         CAST(round(d * 1e6) AS BIGINT) AS d_e6
+  FROM dists WHERE vec_id < {_N_QUERIES}
+),
+adc AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id,
+         CAST(sum(l.d_e6) AS BIGINT) AS adc_e6
+  FROM codes c
+  JOIN assign a ON a.vec_id = c.vec_id
+  JOIN qprobe p ON p.cell = a.cell
+  JOIN lut l ON l.query_id = p.query_id AND l.m = c.m AND l.cid = c.code
+  WHERE c.vec_id <> l.query_id
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY adc_e6, neighbor_id) AS rn
+    FROM adc)
+  WHERE rn <= {_PQ_L}
+),
+rer AS (
+  SELECT s.query_id, s.neighbor_id,
+    CAST(round({_FOLD64.format(a="q.v", b="c.v")} * 1e6) AS BIGINT) AS l2_e6
+  FROM short s
+  JOIN e q ON q.vec_id = s.query_id
+  JOIN e c ON c.vec_id = s.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, l2_e6,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY l2_e6, neighbor_id) AS rn
+  FROM rer
+)
+SELECT query_id, neighbor_id, l2_e6 FROM ranked WHERE rn <= {_K}
+"""
+
+
 QUERIES = [
     QueryDef("ann_bruteforce_topk", ann_bruteforce_topk, _BRUTE_ORACLE,
              "exact cosine top-k on the partial-top-k plan (per-partition "
@@ -437,6 +564,9 @@ QUERIES = [
     QueryDef("ann_pq_topk", ann_pq_topk, _PQ_ORACLE,
              "product-quantization top-k: 16x4-bit codes, integer ADC "
              "shortlist + exact rerank -> full cross-engine oracle"),
+    QueryDef("ann_ivfpq_topk", ann_ivfpq_topk, _IVFPQ_ORACLE,
+             "end-to-end IVF-PQ: L2 cell routing + coded ADC over probed "
+             "cells + exact rerank -> full cross-engine oracle"),
 ]
 
 

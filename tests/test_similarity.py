@@ -402,3 +402,31 @@ def test_pq_rerank_recall_floor(spark):
         )
         recalls.append(len(exact & got[qid]) / 5)
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_ivfpq_rerank_recall_floor(spark):
+    """IVF routing on structureless data loses recall in proportion to
+    the unprobed mass (3 of 6 cells probed at sf0.01): measured 0.72 vs
+    0.90 for the full-scan PQ — floor 0.6. The composed layout is the
+    point; the recall gap IS the documented router behavior on noise."""
+    import numpy as np
+
+    from feature_generation_benchmark_spark.workloads.similarity import (
+        ann_ivfpq_topk,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    ids = np.array([r["vec_id"] for r in emb])
+    V = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    got: dict[int, set[int]] = {}
+    for r in ann_ivfpq_topk(spark, sf).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = []
+    for qid in range(10):
+        qv = V[ids == qid][0]
+        d = ((V - qv) ** 2).sum(axis=1)
+        d[ids == qid] = np.inf
+        exact = set(int(ids[i]) for i in np.argsort(d, kind="stable")[:5])
+        recalls.append(len(exact & got.get(qid, set())) / 5)
+    assert sum(recalls) / len(recalls) >= 0.6, recalls

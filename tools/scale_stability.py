@@ -143,7 +143,7 @@ QUERIES = ("q7_nation_volume", "q13_order_histogram", "q18_large_orders",
            # r6 (3): PQ ADC (QxK-bounded output; the coded scan keeps
            # O(QxL) state per partition and the rerank touches only QxL
            # raw rows — both must stay flat as the corpus grows)
-           "ann_pq_topk",
+           "ann_pq_topk", "ann_ivfpq_topk",
            # r5 (4): real-codec roundtrip (|sources|-bounded output;
            # encode/decode is a narrow map — blobs never shuffle)
            "multimodal_real_pixel_stats")
