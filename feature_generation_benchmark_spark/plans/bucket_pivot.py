@@ -121,6 +121,8 @@ def _cell_sql(
         idx = _idx_case(col, dom, overflow)
         r = _radix(dom, overflow)
         expr = idx if not expr else f"({expr} * {r} + {idx})"
+    if not expr:
+        expr = "0"  # every grouping is cols=(): the bucket IS the cell
     return f"CAST(({expr} * {len(spec.windows)} + {_bucket_idx_case(spec)}) AS INT)"
 
 
@@ -178,12 +180,21 @@ def _feature_sql(spec: FeatureSpec, feat, cells: list[int]) -> str:
     return f"{expr} AS {quote_ident(feat.name)}"
 
 
+def n_union_cells(spec: FeatureSpec) -> int:
+    """Total integer-cell count of the union-domain layout — the ONE
+    formula shared by this compiler and the planner's strategy choice
+    (two copies once drifted apart is exactly how the planner would pick
+    a plan the compiler then rejects)."""
+    n = len(spec.windows)
+    for _, dom, overflow in _union_domains(spec):
+        n *= _radix(dom, overflow)
+    return n
+
+
 def compile_bucket_pivot(spec: FeatureSpec, df: DataFrame) -> DataFrame:
     """Compile ``spec`` into the integer-cell pivot plan."""
     doms = _union_domains(spec)
-    n_cells = len(spec.windows)
-    for _, dom, overflow in doms:
-        n_cells *= _radix(dom, overflow)
+    n_cells = n_union_cells(spec)
     if n_cells > MAX_CELLS:
         raise ValueError(
             f"{n_cells} cells exceed MAX_CELLS={MAX_CELLS}; "

@@ -17,7 +17,10 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from feature_generation_benchmark_spark.plans.grouped_map import output_schema
+from feature_generation_benchmark_spark.plans.grouped_map import (
+    output_schema,
+    round_projection,
+)
 from feature_generation_benchmark_spark.spec import Agg, FeatureSpec
 
 
@@ -54,10 +57,10 @@ def _make_arrow_fn(spec: FeatureSpec):
         for feat in features:
             ckey = (feat.grouping.cols, feat.combo)
             if ckey not in combo_masks:
-                mask = None
+                # all-True base — see grouped_map (empty-cols groupings)
+                mask = np.ones(len(t), dtype=bool)
                 for c, v in zip(feat.grouping.cols, feat.combo):
-                    eq = cats[c] == v
-                    mask = eq if mask is None else (mask & eq)
+                    mask = mask & (cats[c] == v)
                 combo_masks[ckey] = mask
             cell = (ckey, feat.window, feat.measure)
             if cell not in cell_vals:
@@ -94,14 +97,4 @@ def compile_grouped_arrow(spec: FeatureSpec, df: DataFrame) -> DataFrame:
     wide = in_scope.groupBy(*spec.keys).applyInArrow(
         _make_arrow_fn(spec), schema
     )
-    if spec.round_decimals is not None:
-        wide = wide.select(
-            *spec.keys,
-            *[
-                F.round(F.col(f.name), spec.round_decimals).alias(f.name)
-                if f.agg is not Agg.COUNT
-                else F.col(f.name)
-                for f in spec.features()
-            ],
-        )
-    return wide
+    return round_projection(spec, wide)

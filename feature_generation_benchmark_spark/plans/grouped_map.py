@@ -45,6 +45,8 @@ def _make_group_fn(spec: FeatureSpec):
     measures = spec.measures
 
     def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         out: dict[str, object] = {k: pdf[k].iloc[0] for k in keys}
         t = pdf[time_col].to_numpy()
         ms = {m: pdf[m].to_numpy() for m in measures}
@@ -57,10 +59,12 @@ def _make_group_fn(spec: FeatureSpec):
         for feat in features:
             ckey = (feat.grouping.cols, feat.combo)
             if ckey not in combo_masks:
-                mask = None
+                # all-True base: an empty-cols grouping ("total per key",
+                # valid per spec.py) has no equality terms — None & mask
+                # would TypeError at executor runtime
+                mask = np.ones(len(pdf), dtype=bool)
                 for c, v in zip(feat.grouping.cols, feat.combo):
-                    eq = pdf[c].to_numpy() == v
-                    mask = eq if mask is None else (mask & eq)
+                    mask = mask & (pdf[c].to_numpy() == v)
                 combo_masks[ckey] = mask
             cell = (ckey, feat.window, feat.measure)
             if cell not in cell_vals:
@@ -94,6 +98,24 @@ def _make_group_fn(spec: FeatureSpec):
     return compute
 
 
+def round_projection(spec: FeatureSpec, wide: DataFrame) -> DataFrame:
+    """Shared post-projection for the UDF strategies: round JVM-side with
+    ``F.round`` so all strategies share one rounding rule (Python's
+    ``round()`` is banker's rounding — would diverge); COUNT features are
+    exact longs and stay untouched."""
+    if spec.round_decimals is None:
+        return wide
+    return wide.select(
+        *spec.keys,
+        *[
+            F.round(F.col(f.name), spec.round_decimals).alias(f.name)
+            if f.agg is not Agg.COUNT
+            else F.col(f.name)
+            for f in spec.features()
+        ],
+    )
+
+
 def compile_grouped_map(spec: FeatureSpec, df: DataFrame) -> DataFrame:
     """Compile ``spec`` into the grouped-map (applyInPandas) plan."""
     pruned = df.select(*spec.input_columns())
@@ -102,16 +124,4 @@ def compile_grouped_map(spec: FeatureSpec, df: DataFrame) -> DataFrame:
     wide = in_scope.groupBy(*spec.keys).applyInPandas(
         _make_group_fn(spec), schema
     )
-    if spec.round_decimals is not None:
-        # Round JVM-side with F.round so all strategies share one rounding
-        # rule (Python's round() is banker's rounding — would diverge).
-        wide = wide.select(
-            *spec.keys,
-            *[
-                F.round(F.col(f.name), spec.round_decimals).alias(f.name)
-                if f.agg is not Agg.COUNT
-                else F.col(f.name)
-                for f in spec.features()
-            ],
-        )
-    return wide
+    return round_projection(spec, wide)

@@ -108,13 +108,21 @@ def features_asof(
     Relative time is derived per partial row (``ref_day − day``), bucketed
     with the same first-match chain as the batch plans, and re-aggregated
     with the identical rollup expressions — so the result is bit-equal to
-    running any batch strategy over the raw rows with
+    running any batch strategy over the data AVAILABLE at ``ref_day`` with
     ``time_col = ref_day − day``.
+
+    Days after ``ref_day`` are excluded (``t_rel >= 0``): a store whose
+    frontier has advanced past ``ref_day`` (continuous loads, then a
+    historical as-of ask) holds future-day partials, and without the lower
+    bound those rows would land in the smallest bucket and inflate every
+    trailing window — the exact look-ahead leak the as-of contract exists
+    to prevent (same guard the point-in-time join in ``workloads/pit.py``
+    enforces on its side).
     """
     t_rel = "__t_rel"
     bucketed = (
         partials.withColumn(t_rel, F.lit(ref_day) - F.col(day_col))
-        .filter(F.col(t_rel) <= F.lit(max(spec.windows)))
+        .filter(F.col(t_rel).between(0, max(spec.windows)))
         .withColumn(_BUCKET, smallest_window_bucket(t_rel, spec.windows))
     )
     exprs = [_rollup_expr(spec, feat) for feat in spec.features()]

@@ -52,8 +52,12 @@ def _pivot_half(
         *[F.col(c) for c in grouping.cols],
         F.col("__bucket").cast("string"),
     )
+    # join semantics must MIRROR concat_ws: for the empty combo (cols=()
+    # grouping) the key is just the bucket ("7"), so the value must be
+    # "7" too — "_".join(combo) + "_7" would emit "_7" and every pivot
+    # cell would silently land NULL
     pivot_values = [
-        "_".join(combo) + f"_{w}"
+        "_".join([*combo, str(w)])
         for combo in grouping.combos()
         for w in spec.windows
     ]
@@ -76,7 +80,8 @@ def _pivot_half(
 
 
 def _cell(combo: tuple[str, ...], bucket: int, suffix: str) -> Column:
-    return F.col("_".join(combo) + f"_{bucket}_{suffix}")
+    # same concat_ws-mirroring join as the pivot values (empty combo)
+    return F.col("_".join([*combo, str(bucket), suffix]))
 
 
 def _rollup_half(
@@ -165,6 +170,11 @@ def compile_pivot_rollup(
     the reference pivot impls' output INCLUDING their documented defects
     (SURVEY §2.7.2-3) for users who need drop-in identical numbers before
     switching to the exact default."""
+    # trigger the spec-level name-collision guard: the concat_ws("_")
+    # pivot key is ambiguous exactly when feature NAMES collide (same
+    # underscore-joined scheme), and two distinct cells sharing a pivot
+    # key would silently aggregate together
+    spec.features()
     pruned = df.select(*spec.input_columns())
     in_scope = pruned.filter(
         F.col(spec.time_col) <= F.lit(max(spec.windows))

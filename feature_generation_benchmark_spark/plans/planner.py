@@ -35,24 +35,21 @@ Strategy = Literal[
 CASE_WHEN_MAX_FEATURES = 64
 
 
-def _n_union_cells(spec: FeatureSpec) -> int:
-    from feature_generation_benchmark_spark.plans.bucket_pivot import (
-        _radix,
-        _union_domains,
-    )
-
-    n = len(spec.windows)
-    for _, dom, overflow in _union_domains(spec):
-        n *= _radix(dom, overflow)
-    return n
-
-
 def choose_strategy(spec: FeatureSpec) -> Strategy:
-    if len(spec.windows) > 1 and spec.n_features > CASE_WHEN_MAX_FEATURES:
+    # The feature count alone captures the per-row CASE WHEN cost — a
+    # single-window spec with hundreds of features pays it just the same,
+    # and the bucketed strategies still collapse rows to one partial per
+    # (key, cats) first (a previous windows>1 precondition here forced
+    # wide single-window specs into the pathological plan for no reason).
+    if spec.n_features > CASE_WHEN_MAX_FEATURES:
+        from feature_generation_benchmark_spark.plans.bucket_pivot import (
+            n_union_cells,
+        )
+
         # integer-cell pivot removes the per-partial-row CASE WHEN cost
         # (measured ~2x at 1.7B rows) while its pivot buffer stays small;
         # huge cell domains fall back to the conditional re-aggregation
-        if _n_union_cells(spec) <= MAX_CELLS:
+        if n_union_cells(spec) <= MAX_CELLS:
             return "bucket_pivot"
         return "bucket_rollup"
     return "case_when"

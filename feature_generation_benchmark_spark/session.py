@@ -19,16 +19,33 @@ from pyspark.sql import SparkSession
 
 def comet_jar() -> str | None:
     """Locate an Apache DataFusion Comet jar if one is present
-    (``SPARK_GRAFT_COMET_JAR`` or a ``comet-spark-*.jar`` on disk)."""
+    (``SPARK_GRAFT_COMET_JAR`` or a ``comet-spark-*.jar`` on disk).
+
+    An EXPLICITLY configured path that doesn't exist raises — silently
+    falling back would run the 'comet'-labeled profile on vanilla Spark
+    and quietly invalidate an A/B measurement. The no-env discovery path
+    stays best-effort (absence is a valid state), and picks the highest
+    VERSION, not the lexicographically largest name (0.10 > 0.9)."""
     env = os.environ.get("SPARK_GRAFT_COMET_JAR")
     if env:
-        return env if os.path.exists(env) else None
+        if not os.path.exists(env):
+            raise FileNotFoundError(
+                f"SPARK_GRAFT_COMET_JAR={env} does not exist — refusing "
+                "to silently run the comet profile without Comet"
+            )
+        return env
+    import re
+
     for root in ("/opt", os.path.expanduser("~")):
         hits = glob.glob(
             os.path.join(root, "**", "comet-spark-*.jar"), recursive=True
         )
         if hits:
-            return sorted(hits)[-1]
+            def version_key(path: str) -> tuple:
+                nums = re.findall(r"\d+", os.path.basename(path))
+                return tuple(int(n) for n in nums), path
+
+            return max(hits, key=version_key)
     return None
 
 

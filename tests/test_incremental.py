@@ -116,3 +116,19 @@ def test_partials_cardinality_is_bounded(spark, dated):
     ).distinct().count()
     assert n == distinct
     assert n <= dated.count()
+
+
+def test_asof_excludes_future_days(spark, dated, tiny_transactions):
+    """Historical as-of from a store whose frontier has advanced: days
+    AFTER ref_day must not leak into any window (they would land in the
+    smallest bucket and inflate every trailing feature). Served at
+    ref−5, the result must equal a batch recompute restricted to the
+    data available at ref−5 — rows with original t_minus < 5 did not
+    exist yet and are excluded, the rest age by 5 days."""
+    partials = compile_day_partials(SPEC, dated, "day")
+    served = features_asof(SPEC, partials, REF_DAY - 5, "day")
+    available = tiny_transactions.filter(F.col("t_minus") >= 5)
+    batch = compile_case_when(
+        SPEC, available.withColumn("t_minus", F.col("t_minus") - 5)
+    )
+    _assert_equal(served, batch)

@@ -25,5 +25,11 @@ def test_unknown_profile_rejected():
 
 
 def test_comet_jar_env_missing_path(monkeypatch):
+    """An explicitly configured jar path that doesn't exist must raise —
+    silently running the 'comet' profile on vanilla Spark would
+    invalidate an A/B measurement without a trace (r6 session-2 review)."""
+    import pytest
+
     monkeypatch.setenv("SPARK_GRAFT_COMET_JAR", "/nonexistent/comet.jar")
-    assert comet_jar() is None
+    with pytest.raises(FileNotFoundError, match="SPARK_GRAFT_COMET_JAR"):
+        comet_jar()

@@ -84,3 +84,39 @@ def test_multi_measure_naming_and_counts():
     assert "m1_x_7d_count" in names and "m2_x_7d_count" in names
     assert multi.input_columns() == ["a", "k", "m1", "m2", "t"]
     assert multi.keys == ("k",) and multi.measures == ("m1", "m2")
+
+
+def test_sql_text_backslash_domain_values(spark):
+    """Spark's SQL parser processes backslash escapes in string literals;
+    the SQL-text surface must double them (DuckDB-dialect output must
+    NOT — DuckDB single quotes are escape-free). A domain value with a
+    literal backslash must match its data through both the DataFrame
+    plan and the generated Spark SQL."""
+    from feature_generation_benchmark_spark.plans import compile_case_when
+    from feature_generation_benchmark_spark.plans.oracle import (
+        oracle_sql_for_spec,
+    )
+    from feature_generation_benchmark_spark.plans.sql_text import (
+        compile_sql_text,
+    )
+    from feature_generation_benchmark_spark.spec import FeatureSpec, Grouping
+
+    spec = FeatureSpec(
+        key="k",
+        time_col="t",
+        measure="x",
+        windows=(7,),
+        groupings=(Grouping(cols=("cat",), domains=((r"C:\temp", "plain"),)),),
+    )
+    df = spark.createDataFrame(
+        [(1, 1, 10.0, r"C:\temp"), (1, 2, 5.0, "plain")],
+        "k long, t long, x double, cat string",
+    )
+    via_sql = {tuple(r) for r in compile_sql_text(spec, df).collect()}
+    via_df = {tuple(r) for r in compile_case_when(spec, df).collect()}
+    assert via_sql == via_df
+    row = next(iter(via_df))
+    assert row[1] == 1  # the backslash value matched exactly one row
+    # DuckDB dialect keeps the single backslash (escape-free literals)
+    duck_sql = oracle_sql_for_spec(spec, "t")
+    assert r"'C:\temp'" in duck_sql and r"'C:\\temp'" not in duck_sql

@@ -405,3 +405,106 @@ def test_pivot_rollup_approximate_reproduces_reference_defects(spark):
     assert exact[2][min14] == approx[2][min14] == 8.0
     # populated buckets agree between modes
     assert approx[1][sum14] == exact[1][sum14] == 60.0
+
+
+# ---------------------------------------------------------------------------
+# r6 session-2 regression tests (plans review findings)
+# ---------------------------------------------------------------------------
+
+SINGLE_WINDOW_WIDE = FeatureSpec(
+    key="customer_id",
+    time_col="t_minus",
+    measure="trx_amnt",
+    windows=(720,),
+    groupings=(
+        Grouping(
+            cols=("card_type", "trx_type"),
+            domains=(
+                CARD_TYPES,
+                tuple(f"t{i}" for i in range(10)) + ("food-and-household",),
+            ),
+        ),
+    ),
+)
+
+
+def test_single_window_wide_spec_takes_bucketed_plan(spark, tiny_transactions):
+    """A single-window spec with many features pays the per-row CASE WHEN
+    cost just the same — the planner must not force it into case_when
+    (the old windows>1 precondition did), and the bucketed plan must
+    agree with the canonical one."""
+    assert SINGLE_WINDOW_WIDE.n_features > 64
+    assert choose_strategy(SINGLE_WINDOW_WIDE) == "bucket_pivot"
+    assert_frames_equal(
+        compile_case_when(SINGLE_WINDOW_WIDE, tiny_transactions),
+        compile_features(SINGLE_WINDOW_WIDE, tiny_transactions, "auto"),
+        "customer_id",
+    )
+
+
+TOTAL_SPEC = FeatureSpec(
+    key="customer_id",
+    time_col="t_minus",
+    measure="trx_amnt",
+    windows=(7, 720),
+    groupings=(
+        Grouping(cols=(), domains=()),  # total-per-key ("grand total")
+        Grouping(cols=("channel",), domains=(CHANNELS,)),
+    ),
+)
+
+
+def test_empty_cols_grouping_all_strategies(spark, tiny_transactions):
+    """cols=() is a valid Grouping (total per key). Every strategy must
+    handle the no-equality-terms combo mask (grouped_map/arrow used to
+    TypeError on `None & mask` at executor runtime) and agree."""
+    base = compile_case_when(TOTAL_SPEC, tiny_transactions)
+    for compiled in (
+        compile_bucket_rollup(TOTAL_SPEC, tiny_transactions),
+        compile_bucket_pivot(TOTAL_SPEC, tiny_transactions),
+        compile_grouped_map(TOTAL_SPEC, tiny_transactions),
+        compile_grouped_arrow(TOTAL_SPEC, tiny_transactions),
+        compile_pivot_rollup(TOTAL_SPEC, tiny_transactions),
+        compile_sql_text(TOTAL_SPEC, tiny_transactions),
+    ):
+        assert_frames_equal(base, compiled, "customer_id")
+
+
+def test_all_empty_groupings_bucket_pivot(spark, tiny_transactions):
+    """Degenerate but legal: EVERY grouping is cols=() — the bucket alone
+    is the cell (the cell-id SQL used to be malformed: '( * 8 + ...)')."""
+    spec = FeatureSpec(
+        key="customer_id",
+        time_col="t_minus",
+        measure="trx_amnt",
+        windows=(7, 720),
+        groupings=(Grouping(cols=(), domains=()),),
+    )
+    assert_frames_equal(
+        compile_case_when(spec, tiny_transactions),
+        compile_bucket_pivot(spec, tiny_transactions),
+        "customer_id",
+    )
+
+
+def test_pivot_rollup_rejects_ambiguous_underscore_domains(spark,
+                                                           tiny_transactions):
+    """Two distinct (combo, bucket) cells may produce one concat_ws('_')
+    pivot key when domain values contain underscores — compile must
+    refuse (via the spec-level name-collision guard) rather than silently
+    merge the cells."""
+    spec = FeatureSpec(
+        key="customer_id",
+        time_col="t_minus",
+        measure="trx_amnt",
+        windows=(7,),
+        groupings=(
+            Grouping(
+                cols=("card_type", "trx_type"),
+                domains=(("a", "a_b"), ("b_7", "7")),
+            ),
+        ),
+    )
+    with pytest.raises(ValueError, match="collide"):
+        compile_pivot_rollup(spec, tiny_transactions)
+
