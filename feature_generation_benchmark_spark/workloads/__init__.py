@@ -118,6 +118,7 @@ def registry() -> dict[str, QueryDef]:
         funnel,
         intervals,
         linkage,
+        lmdata,
         mlprep,
         pit,
         quality,
@@ -149,6 +150,7 @@ def registry() -> dict[str, QueryDef]:
         intervals,
         pit,
         quality,
+        lmdata,
     ):
         for q in mod.QUERIES:
             if q.name in out:

@@ -8,6 +8,8 @@ the plan shapes that make each op viable at 100 TB.
 
 from __future__ import annotations
 
+import math
+
 import duckdb
 import numpy as np
 import pytest
@@ -94,10 +96,13 @@ def test_target_encoding_excludes_own_label(spark):
     stats = {c: (s, n) for c, s, n in con}
     for _, row in pdf.iterrows():
         s, n = stats[row["cat"]]
-        want = round(
+        # floor(x+0.5): Spark/DuckDB half-UP; Python round() is banker's
+        # and disagrees on exact .5 (see test_property_mlprep).
+        want = math.floor(
             (s - row["label"] + _TE_SMOOTH_M * gmean)
             / (n - 1 + _TE_SMOOTH_M)
             * 1e6
+            + 0.5
         )
         assert row["enc_e6"] == want, (row, want)
 

@@ -178,7 +178,10 @@ def test_audience_overlap_matches_python_model(
         union = len(sets[a] | sets[b])
         assert r["inter"] == inter
         assert r["na"] == len(sets[a]) and r["nb"] == len(sets[b])
-        assert r["jaccard_e6"] == round(inter * 1e6 / union)
+        # floor(x+0.5) = Spark/DuckDB half-UP round; Python round() is
+        # banker's (a half-integer needs 2^7 | union — unreachable at
+        # this generation size, but mirror the engine exactly anyway).
+        assert r["jaccard_e6"] == math.floor(inter * 1e6 / union + 0.5)
 
 
 @st.composite
@@ -227,10 +230,14 @@ def test_target_encoding_matches_python_model(
     assert len(got) == len(rows)
     for k, p, s, t in rows:
         label = 1 if s == "F" else 0
-        want = round(
+        # Half-UP on the double, mirroring Spark/DuckDB round() — Python's
+        # round() is banker's and disagrees on exact .5 boundaries (found
+        # by hypothesis: enc = 320312.5 → Spark 320313, round() 320312).
+        want = math.floor(
             (cat_stats[p] - label + _TE_SMOOTH_M * gmean)
             / (cat_n[p] - 1 + _TE_SMOOTH_M)
             * 1e6
+            + 0.5
         )
         assert got[k]["enc_e6"] == want, (k, p, s)
         assert got[k]["label"] == label
