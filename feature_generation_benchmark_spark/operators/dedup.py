@@ -14,6 +14,15 @@ Scale posture: every flavor is shuffle-bounded joins/aggregations on
 final verification on *candidate pairs* (whose count LSH controls). Exact
 pairwise Jaccard is provided as the small-scale oracle-checkable baseline;
 MinHash/LSH is the 100 TB path.
+
+Storage contract (same as ``graph.pagerank``): the shingle/signature
+frames these operators ``.cache()`` are REFERENCED MULTIPLE TIMES inside
+one returned plan and stay pinned for the session once materialized —
+a long-lived session interleaving many dedup queries should call
+``spark.catalog.clearCache()`` (or unpersist via ``spark.sparkContext``)
+between workloads; the cache is an executor-storage trade the CALLER
+owns, not a leak the operator can release itself (the plan is lazy —
+unpersisting before consumption would defeat the reuse).
 """
 
 from __future__ import annotations
@@ -237,10 +246,20 @@ def ngram_jaccard_pairs(
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("common"))
         )
+    return _jaccard_finalize(common, sizes, id_col, threshold)
+
+
+def _jaccard_finalize(
+    common: DataFrame, sizes: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """(id_a, id_b, common) × per-doc shingle counts → thresholded
+    ``(id_a, id_b, common, jaccard)`` — the output contract shared by the
+    exact and MinHash-LSH paths (r6 session-3 review: two verbatim copies
+    meant a contract fix could silently miss one). na/nb are DOC-dim
+    (corpus-sized): no broadcast hint — AQE decides from runtime stats."""
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("na"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("nb"))
-    # doc-dim frames: AQE decides broadcast vs shuffle from runtime size
-    out = (
+    return (
         common.join(na, "id_a")
         .join(nb, "id_b")
         .select(
@@ -254,7 +273,34 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= F.lit(threshold))
     )
-    return out
+
+
+def _banded_candidate_pairs(
+    frame: DataFrame, id_col: str, bucket_cols: list
+) -> DataFrame:
+    """Explode per-band bucket columns and self-join on (band, bucket)
+    equality into distinct ``(id_a < id_b)`` candidate pairs — the LSH
+    banding core shared by the MinHash and SimHash paths (r6 session-3
+    review: two near-verbatim copies)."""
+    banded = frame.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), c.alias("bucket"))
+                    for b, c in enumerate(bucket_cols)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -456,25 +502,7 @@ def lsh_candidate_pairs(
             ).alias(f"band_{b}")
             for b in range(bands)
         ]
-    banded = signatures.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), band_cols[b].alias("bucket"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
-    return (
-        a.join(b, on=["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    return _banded_candidate_pairs(signatures, id_col, band_cols)
 
 
 def minhash_dedup_pairs(
@@ -514,24 +542,7 @@ def minhash_dedup_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("na"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("nb"))
-    # na/nb are DOC-dim (corpus-sized): no broadcast hint — AQE
-    # broadcasts from runtime stats while small, shuffle-joins beyond
-    return (
-        common.join(na, "id_a")
-        .join(nb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.col("common").cast("long").alias("common"),
-            (
-                F.col("common")
-                / (F.col("na") + F.col("nb") - F.col("common"))
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= F.lit(threshold))
-    )
+    return _jaccard_finalize(common, sizes, id_col, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -628,26 +639,8 @@ def simhash_dup_pairs(
     (≤ 3 with 4×16-bit bands ⇒ candidate recall is exact by pigeonhole)."""
     sh = simhash_bits(df, id_col, text_col, hash_fn=hash_fn).cache()
     n_bands = 4
-    banded = sh.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"), F.col(f"sh_band_{b}").alias("bucket")
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
-    cand = (
-        a.join(b, on=["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    cand = _banded_candidate_pairs(
+        sh, id_col, [F.col(f"sh_band_{b}") for b in range(n_bands)]
     )
     sa = sh.select(
         F.col(id_col).alias("id_a"),

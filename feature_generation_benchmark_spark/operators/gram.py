@@ -58,6 +58,11 @@ def _cell(i, j, p):
 
 
 def _flat_cells(rows: DataFrame, qcol: str, with_moments: bool) -> DataFrame:
+    # Empty vectors contribute nothing — matching _nested_cells, whose
+    # posexplode drops them. Without the guard, sequence(0, -1) produces
+    # the DESCENDING [0, -1] and emits bogus cells colliding with the
+    # i=-1 moment pseudo-cell space (r6 session-3 review).
+    rows = rows.filter(F.size(qcol) > 0)
     last = F.size(qcol) - F.lit(1)
     gram = F.flatten(
         F.transform(

@@ -36,42 +36,74 @@ def asof_join(
     survives 100 TB, unlike the naive ``left.join(right, cond).rowNumber``
     range-join formulation.
 
+    The carried values travel as ONE struct per right row, so (a) they are
+    row-atomic — all attached columns come from the SAME right row, and
+    (b) a NULL in a right value column is carried faithfully (the struct
+    itself is non-null whenever a right row exists, so ``ignorenulls``
+    skips only genuinely-absent rows, never a present row's NULL value —
+    the per-column formulation leaked the previous row's value there).
+
     Ties: a right row at exactly ``left_time`` IS visible (side ordering);
-    multiple right rows at the same (key, time) resolve to the one latest in
-    ``right_time, monotonic id`` order — pre-aggregate the right side if you
-    need a different rule.
+    multiple right rows at the same (key, time) resolve deterministically
+    to the GREATEST value tuple (struct comparison over ``value_cols`` in
+    order) — pre-aggregate the right side if you need a different rule.
+
+    Raises if an output name (``value_col + suffix``) collides with a left
+    column (the old behavior silently nulled and dropped the left column).
     """
     keys = [on] if isinstance(on, str) else list(on)
+    if not value_cols:
+        raise ValueError("asof_join: value_cols must be non-empty")
+    reserved = {_SIDE, "__t", "__vals"}
+    if reserved & set(left.columns):
+        raise ValueError(
+            f"asof_join: left columns collide with reserved names "
+            f"{sorted(reserved & set(left.columns))}"
+        )
+    clash = [c + suffix for c in value_cols if (c + suffix) in left.columns]
+    if clash:
+        raise ValueError(
+            f"asof_join: output column(s) {clash} collide with left "
+            f"columns — pick a different suffix or rename"
+        )
 
-    lhs = left.withColumn(_SIDE, F.lit(0)).withColumn("__t", F.col(left_time))
-    rhs_cols = keys + [F.col(right_time).alias("__t")] + [
-        F.col(c) for c in value_cols
-    ]
-    rhs = right.select(*rhs_cols).withColumn(_SIDE, F.lit(1))
+    # lhs __vals is an untyped NULL; putting rhs FIRST in the union makes
+    # its struct type win and the NullType coerce to it.
+    lhs = (
+        left.withColumn(_SIDE, F.lit(0))
+        .withColumn("__t", F.col(left_time))
+        .withColumn("__vals", F.lit(None))
+    )
+    rhs = right.select(
+        *keys,
+        F.col(right_time).alias("__t"),
+        F.struct(*[F.col(c) for c in value_cols]).alias("__vals"),
+    ).withColumn(_SIDE, F.lit(1))
 
     for c in left.columns:
-        if c not in keys and c != "__t":
+        if c not in keys:
             rhs = rhs.withColumn(c, F.lit(None))
-    for c in value_cols:
-        lhs = lhs.withColumn(c, F.lit(None))
 
-    unioned = lhs.unionByName(rhs.select(*lhs.columns))
-    # right rows sort BEFORE left rows at equal time → inclusive semantics
+    unioned = rhs.select(*lhs.columns).unionByName(lhs)
+    # right rows sort BEFORE left rows at equal time → inclusive semantics;
+    # __vals as the final key makes the same-(key, time) winner the
+    # greatest value tuple (left rows order NULL-first, irrelevant — they
+    # contribute no values and each still sees every right row ≤ its time)
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__t").asc(), F.col(_SIDE).desc())
+        .orderBy(F.col("__t").asc(), F.col(_SIDE).desc(), F.col("__vals").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.select(
-        *[c for c in unioned.columns if c not in value_cols],
+    carried = unioned.withColumn(
+        "__carried", F.last("__vals", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col(_SIDE) == 0).select(
+        *[c for c in left.columns],
         *[
-            F.last(F.when(F.col(_SIDE) == 1, F.col(c)), ignorenulls=True)
-            .over(w)
-            .alias(c + suffix)
+            F.col("__carried").getField(c).alias(c + suffix)
             for c in value_cols
         ],
     )
-    return carried.filter(F.col(_SIDE) == 0).drop(_SIDE, "__t")
 
 
 def salted_join(

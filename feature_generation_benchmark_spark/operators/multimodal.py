@@ -123,6 +123,10 @@ def extract_media_features(
     ``batch_limit`` caps rows per emitted pandas frame so very large blobs
     don't balloon a single Arrow batch (the knob a real pipeline tunes
     against executor memory).
+
+    NULL blobs (ingest-failure rows, common in real media tables) are
+    excluded up front — ``bytes(None)`` inside the worker would abort the
+    whole stage (r6 session-3 review).
     """
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -149,7 +153,9 @@ def extract_media_features(
                     )
                 yield pd.DataFrame(rows)
 
-    narrow = df.select(F.col(id_col), F.col(blob_col))
+    narrow = df.filter(F.col(blob_col).isNotNull()).select(
+        F.col(id_col), F.col(blob_col)
+    )
     return narrow.mapInPandas(run, MEDIA_FEATURES_SCHEMA)
 
 
@@ -219,7 +225,10 @@ def resize_media(
                     )
                 yield pd.DataFrame(rows)
 
-    narrow = df.select(F.col(id_col), F.col(blob_col))
+    # NULL blobs excluded for the same reason as extract_media_features
+    narrow = df.filter(F.col(blob_col).isNotNull()).select(
+        F.col(id_col), F.col(blob_col)
+    )
     return narrow.mapInPandas(run, RESIZED_SCHEMA)
 
 

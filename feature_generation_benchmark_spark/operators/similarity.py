@@ -64,6 +64,29 @@ def _valid_vector(a: Column) -> Column:
     return a.isNotNull() & (l2_norm(a) > 0)
 
 
+def _rank_topk(
+    scored: DataFrame, k: int, round_decimals: int | None
+) -> DataFrame:
+    """Shared top-k ranking tail for every ANN form: rank on the QUANTIZED
+    sim with an id tie-break — top-k membership is decided on a value
+    every formulation/engine agrees on (see brute_force_topk_partial's
+    determinism note) — and emit the rounded sim. Extracted (r6 session-3
+    review): the block was copy-pasted four times and a determinism fix
+    in one could silently miss the others."""
+    rank_sim = (
+        F.round(F.col("cos_sim"), round_decimals)
+        if round_decimals is not None
+        else F.col("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        rank_sim.desc(), F.col("neighbor_id")
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    return ranked.select("query_id", "neighbor_id", rank_sim.alias("cos_sim"))
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -91,26 +114,7 @@ def brute_force_topk(
         "neighbor_id",
         dot(F.col("qv"), F.col("cv")).alias("cos_sim"),
     )
-    # rank on the QUANTIZED sim (id tie-break) so top-k membership is
-    # decided on a value every formulation/engine agrees on — see
-    # brute_force_topk_partial's determinism note
-    rank_sim = (
-        F.round(F.col("cos_sim"), round_decimals)
-        if round_decimals is not None
-        else F.col("cos_sim")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        rank_sim.desc(), F.col("neighbor_id")
-    )
-    ranked = scored.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= k
-    )
-    sim = (
-        F.round(F.col("cos_sim"), round_decimals)
-        if round_decimals is not None
-        else F.col("cos_sim")
-    )
-    return ranked.select("query_id", "neighbor_id", sim.alias("cos_sim"))
+    return _rank_topk(scored, k, round_decimals)
 
 
 def brute_force_topk_partial(
@@ -267,18 +271,9 @@ def brute_force_topk_partial(
     ).select(*c_cols).mapInPandas(
         partition_topk, "query_id long, neighbor_id long, cos_sim double"
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    ranked = candidates.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= k
-    )
-    sim = (
-        F.round(F.col("cos_sim"), round_decimals)
-        if round_decimals is not None
-        else F.col("cos_sim")
-    )
-    return ranked.select("query_id", "neighbor_id", sim.alias("cos_sim"))
+    # candidates arrive pre-quantized from the scorer, so the shared
+    # tail's round-before-rank is a no-op repeat — same ordering.
+    return _rank_topk(candidates, k, round_decimals)
 
 
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -314,13 +309,16 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH sign-bucket with the
     query (key-equality join on bucket id — THE scale path), exact cosine
-    rerank within candidates."""
+    rerank within candidates. NULL/zero-norm vectors are excluded on both
+    sides (``_valid_vector`` — r6 session-3 review: an admitted zero-norm
+    vector normalizes to NaN, lands in bucket 0 via all-zero sign bits,
+    and its NaN sim ranks ABOVE every real similarity)."""
     planes = random_hyperplanes(dim, n_planes, seed)
-    q = queries.select(
+    q = queries.filter(_valid_vector(as_double_array(vec_col))).select(
         F.col(id_col).alias("query_id"),
         unit_normalize(as_double_array(vec_col)).alias("qv"),
     ).withColumn("bucket", lsh_bucket(F.col("qv"), planes))
-    c = corpus.select(
+    c = corpus.filter(_valid_vector(as_double_array(vec_col))).select(
         F.col(id_col).alias("neighbor_id"),
         unit_normalize(as_double_array(vec_col)).alias("cv"),
     ).withColumn("bucket", lsh_bucket(F.col("cv"), planes))
@@ -333,23 +331,7 @@ def lsh_topk(
             dot(F.col("qv"), F.col("cv")).alias("cos_sim"),
         )
     )
-    rank_sim = (
-        F.round(F.col("cos_sim"), round_decimals)
-        if round_decimals is not None
-        else F.col("cos_sim")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        rank_sim.desc(), F.col("neighbor_id")
-    )
-    ranked = scored.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= k
-    )
-    sim = (
-        F.round(F.col("cos_sim"), round_decimals)
-        if round_decimals is not None
-        else F.col("cos_sim")
-    )
-    return ranked.select("query_id", "neighbor_id", sim.alias("cos_sim"))
+    return _rank_topk(scored, k, round_decimals)
 
 
 def ivf_topk(
@@ -367,7 +349,10 @@ def ivf_topk(
     query, exact rerank within probed cells.
 
     ``centroids`` are plan literals (train offline / sample — at scale this
-    is a tiny broadcast model, not a job)."""
+    is a tiny broadcast model, not a job). NULL/zero-norm vectors are
+    excluded on both sides (``_valid_vector`` — r6 session-3 review: a
+    NULL embedding crashed ``np.stack`` inside the assignment UDF and a
+    zero-norm vector's NaN sim out-ranked every real neighbor)."""
     from pyspark.sql.functions import pandas_udf
 
     # unit-normalize centroids driver-side; vector norms never change the
@@ -388,11 +373,11 @@ def ivf_topk(
         order = np.argsort(-sims, axis=1, kind="stable")[:, :n]
         return pd.Series(list(order.astype(np.int32)))
 
-    c = corpus.select(
+    c = corpus.filter(_valid_vector(as_double_array(vec_col))).select(
         F.col(id_col).alias("neighbor_id"),
         unit_normalize(as_double_array(vec_col)).alias("cv"),
     ).withColumn("cell", nearest_cells(F.col("cv"))[0])
-    q = queries.select(
+    q = queries.filter(_valid_vector(as_double_array(vec_col))).select(
         F.col(id_col).alias("query_id"),
         unit_normalize(as_double_array(vec_col)).alias("qv"),
     ).withColumn("cell", F.explode(nearest_cells(F.col("qv"))))
@@ -405,26 +390,10 @@ def ivf_topk(
             dot(F.col("qv"), F.col("cv")).alias("cos_sim"),
         )
     )
-    rank_sim = (
-        F.round(F.col("cos_sim"), round_decimals)
-        if round_decimals is not None
-        else F.col("cos_sim")
+    deduped = scored.groupBy("query_id", "neighbor_id").agg(
+        F.first("cos_sim").alias("cos_sim")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        rank_sim.desc(), F.col("neighbor_id")
-    )
-    ranked = (
-        scored.groupBy("query_id", "neighbor_id")
-        .agg(F.first("cos_sim").alias("cos_sim"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-    )
-    sim = (
-        F.round(F.col("cos_sim"), round_decimals)
-        if round_decimals is not None
-        else F.col("cos_sim")
-    )
-    return ranked.select("query_id", "neighbor_id", sim.alias("cos_sim"))
+    return _rank_topk(deduped, k, round_decimals)
 
 
 def cosine_dup_pairs_blocked(
@@ -443,17 +412,21 @@ def cosine_dup_pairs_blocked(
     similarity matrix with one vectorized matmul. Work is O(n²·d) either
     way, but each pair costs a fused numpy flop instead of a codegen'd
     array fold, and parallelism = block pairs. Output ≡
-    :func:`cosine_dup_pairs`.
+    :func:`cosine_dup_pairs` (both forms exclude NULL/zero-norm vectors
+    via ``_valid_vector`` — without the shared filter the two diverge:
+    Spark's ``NaN >= t`` predicate is TRUE while numpy's is False).
     """
     from pyspark.sql import types as T
 
     spark = df.sparkSession
     # raw vectors cross the Arrow boundary; normalization is one vectorized
-    # numpy op inside the worker (cheaper than any Catalyst-side form)
-    normed = df.select(
+    # numpy op inside the worker (cheaper than any Catalyst-side form).
+    # pmod, not %: Spark % keeps the dividend's sign, so a negative id
+    # would get a block with no membership row and silently drop.
+    normed = df.filter(_valid_vector(as_double_array(vec_col))).select(
         F.col(id_col).alias("__id"),
         as_double_array(vec_col).alias("__v"),
-        (F.col(id_col) % n_blocks).cast("int").alias("__b"),
+        F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("__b"),
     )
     members = []
     for pid, (i, j) in enumerate(
@@ -513,8 +486,11 @@ def cosine_dup_pairs(
 ) -> DataFrame:
     """Embedding near-duplicate pairs: all (a<b) with cosine ≥ threshold.
     Exact pairwise form (small-scale / oracle-checkable); swap candidate
-    generation for :func:`lsh_bucket` equality at scale."""
-    normed = df.select(
+    generation for :func:`lsh_bucket` equality at scale. NULL/zero-norm
+    vectors are excluded (``_valid_vector``) — their NaN sims would pass
+    Spark's ``>= t`` predicate (NaN sorts above +inf) while every other
+    formulation rejects them."""
+    normed = df.filter(_valid_vector(as_double_array(vec_col))).select(
         F.col(id_col).alias("__id"),
         unit_normalize(as_double_array(vec_col)).alias("__v"),
     )

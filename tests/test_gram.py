@@ -60,3 +60,25 @@ def test_production_form_is_nested(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Generate") == 2, plan
+
+
+def test_flat_form_drops_empty_vectors_like_nested(spark):
+    """Pre-fix: sequence(0, -1) on an empty vector produced the
+    DESCENDING [0, -1] and emitted bogus cells colliding with the i=-1
+    moment pseudo-cell space; nested's posexplode simply drops the row."""
+    df = spark.createDataFrame(
+        [([1, 2],), ([],), ([3],)], "__q array<long>"
+    )
+    results = {}
+    for label, form in (("flat", _flat_cells), ("nested", _nested_cells)):
+        agg = (
+            form(df, "__q", True)
+            .groupBy("i", "j")
+            .agg(F.sum("p").alias("v"))
+            .collect()
+        )
+        results[label] = {(r["i"], r["j"]): r["v"] for r in agg}
+    assert results["flat"] == results["nested"]
+    # count pseudo-cell sees only the two NON-empty rows
+    assert results["flat"][(-1, -1)] == 2
+    assert all(i >= -1 and j >= -1 for i, j in results["flat"])

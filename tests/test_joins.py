@@ -93,3 +93,76 @@ def test_interval_join_rejects_bad_width(spark, points_and_intervals):
     pts, ivl = points_and_intervals
     with pytest.raises(ValueError):
         interval_join(pts, ivl, "t", "s", "e", bucket_width=0)
+
+
+# ---------------------------------------------------------------------------
+# asof_join semantics (r6 session-3 review fixes): NULL right values are
+# carried faithfully, attached columns are row-atomic, ties deterministic,
+# and output-name collisions refuse instead of silently dropping data.
+# ---------------------------------------------------------------------------
+
+
+def _asof(spark, left_rows, right_rows):
+    from feature_generation_benchmark_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(left_rows, "k long, lt long")
+    right = spark.createDataFrame(
+        right_rows, "k long, rt long, v long, w string"
+    )
+    return {
+        r["lt"]: (r["v_asof"], r["w_asof"])
+        for r in asof_join(
+            left, right, on="k", left_time="lt", right_time="rt",
+            value_cols=["v", "w"],
+        ).collect()
+    }
+
+
+def test_asof_null_right_value_is_carried_not_skipped(spark):
+    """A present right row whose value is NULL must yield NULL — not leak
+    the previous row's value (the per-column ignorenulls bug)."""
+    got = _asof(
+        spark,
+        [(1, 3), (1, 1)],
+        [(1, 1, 10, "a"), (1, 2, None, "b")],
+    )
+    assert got[1] == (10, "a")     # only row 1 visible at t=1
+    assert got[3] == (None, "b")   # latest row (t=2) has v=NULL → NULL
+
+
+def test_asof_values_are_row_atomic(spark):
+    """All attached columns come from the SAME right row even when each
+    column's last-non-null row differs."""
+    got = _asof(
+        spark,
+        [(1, 5)],
+        [(1, 1, 10, None), (1, 2, None, "b")],
+    )
+    assert got[5] == (None, "b")
+
+
+def test_asof_equal_time_tie_is_greatest_value_tuple(spark):
+    got = _asof(
+        spark,
+        [(1, 5)],
+        [(1, 2, 7, "x"), (1, 2, 9, "q"), (1, 2, 9, "a")],
+    )
+    # struct comparison: (9,'q') > (9,'a') > (7,'x') → greatest wins
+    assert got[5] == (9, "q")
+
+
+def test_asof_no_right_row_yet_is_null(spark):
+    got = _asof(spark, [(1, 0)], [(1, 1, 10, "a")])
+    assert got[0] == (None, None)
+
+
+def test_asof_output_collision_raises(spark):
+    from feature_generation_benchmark_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 1, 5)], "k long, lt long, v_asof long")
+    right = spark.createDataFrame([(1, 1, 2)], "k long, rt long, v long")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(
+            left, right, on="k", left_time="lt", right_time="rt",
+            value_cols=["v"],
+        )

@@ -102,3 +102,14 @@ def test_real_pixel_stats_rejects_non_ascii_corpus(spark, tmp_path):
     with _pytest.raises(Exception) as e:
         multimodal_real_pixel_stats(spark, sf).collect()
     assert "ASCII" in str(e.value)
+
+
+def test_null_blobs_are_excluded_not_fatal(spark):
+    """A NULL binary column (ingest-failure row) must be skipped — the
+    pre-fix worker died on bytes(None), aborting the whole stage."""
+    rows = [(0, b"\x01" * 64), (1, None), (2, b"\x02" * 64)]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    feats = extract_media_features(df, "doc_id", "blob").collect()
+    assert {r["doc_id"] for r in feats} == {0, 2}
+    resized = resize_media(df, "doc_id", "blob", 4, 4).collect()
+    assert {r["doc_id"] for r in resized} == {0, 2}

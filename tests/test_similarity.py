@@ -430,3 +430,114 @@ def test_ivfpq_rerank_recall_floor(spark):
         exact = set(int(ids[i]) for i in np.argsort(d, kind="stable")[:5])
         recalls.append(len(exact & got.get(qid, set())) / 5)
     assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+# ---------------------------------------------------------------------------
+# r6 session-3 review regressions: the approximate forms must survive the
+# same degenerate vectors the brute-force forms already exclude, and the
+# blocked pair path must not drop negative ids.
+# ---------------------------------------------------------------------------
+
+
+def _degen_emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.1, 0.0, 0.0]),
+        (2, [0.9, 0.2, 0.0, 0.0]),
+        (3, None),                    # NULL embedding
+        (4, [0.0, 0.0, 0.0, 0.0]),    # zero norm → NaN cosine
+        (5, [0.5, 0.5, 0.0, 0.0]),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_lsh_topk_excludes_null_and_zero_vectors(spark):
+    """Pre-fix: the zero-norm vector normalized to NaN, fell into bucket 0
+    (all-zero sign bits), and its NaN sim ranked FIRST; NULL crashed."""
+    emb = _degen_emb(spark)
+    q = emb.filter(F.col("vec_id") == 0)
+    out = lsh_topk(q, emb, "vec_id", "embedding", k=10, dim=4, n_planes=2)
+    ids = {r["neighbor_id"] for r in out.collect()}
+    assert 3 not in ids and 4 not in ids
+    assert all(
+        r["cos_sim"] == r["cos_sim"] for r in out.collect()
+    )  # no NaN survives
+
+
+def test_ivf_topk_excludes_null_and_zero_vectors(spark):
+    emb = _degen_emb(spark)
+    q = emb.filter(F.col("vec_id") == 0)
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    out = ivf_topk(
+        q, emb, "vec_id", "embedding", centroids=cents, k=10, n_probe=2
+    ).collect()
+    ids = {r["neighbor_id"] for r in out}
+    assert ids == {1, 2, 5}
+
+
+def test_cosine_pairs_exclude_degenerate_vectors_both_forms(spark):
+    """Zero-norm vectors: Spark's NaN >= t predicate is TRUE while the
+    blocked worker's numpy comparison is False — both forms must filter
+    them so the documented equivalence holds."""
+    from feature_generation_benchmark_spark.operators.similarity import (
+        cosine_dup_pairs,
+        cosine_dup_pairs_blocked,
+    )
+
+    emb = _degen_emb(spark)
+    plain = sorted(
+        map(tuple, cosine_dup_pairs(emb, "vec_id", "embedding", 0.8).collect())
+    )
+    blocked = sorted(
+        map(
+            tuple,
+            cosine_dup_pairs_blocked(
+                emb, "vec_id", "embedding", 0.8, n_blocks=3
+            ).collect(),
+        )
+    )
+    assert plain == blocked
+    flat = {i for r in plain for i in (r[0], r[1])}
+    assert 3 not in flat and 4 not in flat
+
+
+def test_blocked_pairs_keep_negative_ids(spark):
+    """Pre-fix: % kept the dividend's sign, so negative ids hashed to a
+    block with no membership row and every pair involving them vanished."""
+    from feature_generation_benchmark_spark.operators.similarity import (
+        cosine_dup_pairs,
+        cosine_dup_pairs_blocked,
+    )
+
+    rows = [
+        (-7, [1.0, 0.0]),
+        (-3, [1.0, 0.05]),
+        (2, [0.9, 0.1]),
+        (5, [0.0, 1.0]),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    emb = spark.createDataFrame(rows, schema)
+    plain = sorted(
+        map(tuple, cosine_dup_pairs(emb, "vec_id", "embedding", 0.9).collect())
+    )
+    blocked = sorted(
+        map(
+            tuple,
+            cosine_dup_pairs_blocked(
+                emb, "vec_id", "embedding", 0.9, n_blocks=4
+            ).collect(),
+        )
+    )
+    assert plain == blocked
+    assert any(r[0] == -7 or r[1] == -7 for r in plain)

@@ -146,7 +146,15 @@ QUERIES = ("q7_nation_volume", "q13_order_histogram", "q18_large_orders",
            "ann_pq_topk", "ann_ivfpq_topk",
            # r5 (4): real-codec roundtrip (|sources|-bounded output;
            # encode/decode is a narrow map — blobs never shuffle)
-           "multimodal_real_pixel_stats")
+           "multimodal_real_pixel_stats",
+           # r6 session 3: LM-data ops with model-bounded outputs —
+           # CCNet tertiles (3 rows; histogram + 1-row boundary frame),
+           # DSIR top-K (50 rows; 256-bucket broadcast model),
+           # BPE trainer (K rules; corpus aperture is ONE word count,
+           # every iteration is top-M-vocab-bounded),
+           # snapshot diff (4 rows; one full-outer key join)
+           "ccnet_perplexity_buckets", "dsir_importance_weights",
+           "bpe_train_merges", "snapshot_diff")
 
 #: event/document operators probed through a wrapping CHECKSUM aggregate:
 #: their full outputs grow with the scale factor, so collect() would ship
