@@ -15,11 +15,30 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def _cents_half_up(values: pd.Series) -> "np.ndarray":
+    """value×100 → int64 cents, rounded HALF_UP (away from zero) to match
+    the engine-wide Spark ``F.round`` cents rule — pandas ``.round()`` is
+    banker's half-even and diverges on x.xx5 values. Done as rint
+    (half-even) with exact-.5 fixed up afterwards: the naive
+    ``floor(|x|+0.5)`` carries in binary for doubles just below n+0.5
+    (0.49999999999999994+0.5 == 1.0) where Spark's BigDecimal HALF_UP
+    yields n; exact halves ARE representable so the equality test is
+    safe. (One definition — r6 session-3 review found two diverging-prone
+    copies of this subtle block.)"""
+    scaled = values.to_numpy(dtype="float64") * 100.0
+    t = np.trunc(scaled)
+    is_half = np.abs(scaled - t) == 0.5
+    return np.where(is_half, t + np.sign(scaled), np.rint(scaled)).astype(
+        "int64"
+    )
 
 
 def windowed_event_features(
@@ -107,6 +126,12 @@ def stream_stream_interval_join(
 
     Batch inputs skip the watermark (unified semantics) so tests can use
     the equivalent batch join as the oracle.
+
+    Output columns: all left columns unchanged, plus every right column
+    except the join key — suffixed ``_r`` where the name collides with a
+    left column. (r6 session-3 review: returning the raw aliased join
+    left duplicate ``on``/ts names in the schema, so any name-based
+    ``select``/``groupBy`` downstream raised AMBIGUOUS_REFERENCE.)
     """
     lt, rt = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
     lhs = (
@@ -122,7 +147,13 @@ def stream_stream_interval_join(
         & (rt >= lt)
         & (rt <= lt + F.expr(f"INTERVAL {max_delay}"))
     )
-    return lhs.join(rhs, cond, "inner")
+    lcols = set(left.columns)
+    right_sel = [
+        F.col(f"r.{c}").alias(c if c not in lcols else f"{c}_r")
+        for c in right.columns
+        if c != on
+    ]
+    return lhs.join(rhs, cond, "inner").select(F.col("l.*"), *right_sel)
 
 
 SESSION_OUTPUT_SCHEMA = T.StructType(
@@ -173,9 +204,18 @@ def _session_fn(gap_us: int):
                     closed.append((start, last, n, s))
                     start, last, n, s = ts, ts, 1, float(v)
                 else:
-                    last, n, s = ts, n + 1, s + float(v)
+                    # clamp, don't assign: a CROSS-BATCH late event has
+                    # ts < last (within a batch rows are sorted), and
+                    # letting `last` move backwards regresses the session
+                    # end below already-folded events and wrongly splits
+                    # the next on-time event into a new session (r6
+                    # session-3 review). Late rows fold into the still-
+                    # open session with boundary clamping.
+                    start, last = min(start, ts), max(last, ts)
+                    n, s = n + 1, s + float(v)
             state.update((start, last, n, s))
-            state.setTimeoutDuration(gap_us // 1000)  # ms
+            # ms; clamp — PySpark rejects a 0 timeout (sub-ms gaps)
+            state.setTimeoutDuration(max(1, gap_us // 1000))
         if closed:
             yield pd.DataFrame(
                 {
@@ -197,6 +237,14 @@ def stateful_sessionizer(
     """Custom stateful operator: gap-based session assembly with
     ``applyInPandasWithState`` (processing-time timeout closes idle
     sessions). Input needs columns (user_id long, ts_us long, value double).
+
+    Ordering contract: rows are sorted per key WITHIN a micro-batch;
+    a cross-batch late event folds into the still-open session with
+    boundary clamping (start=min, end=max — it can never split or
+    regress a boundary). An event later than the gap before the open
+    session's start still joins that session (its true session is
+    unknowable once state has advanced) — use event-time watermarking
+    upstream if late data must instead be dropped.
     """
     return (
         events.groupBy("user_id")
@@ -298,22 +346,7 @@ class RunningFeatureProcessor:
         for pdf in rows:
             if len(pdf) == 0:  # empty Arrow chunk: min()/max() would NaN
                 continue
-            # round HALF_UP (away from zero) to match the engine-wide
-            # Spark F.round cents rule — pandas Series.round() is
-            # banker's half-even and diverges on x.xx5 values. Done as
-            # rint (half-even) with exact-.5 fixed up afterwards: the
-            # naive floor(|x|+0.5) carries in binary for doubles just
-            # below n+0.5 (0.49999999999999994+0.5 == 1.0) where Spark's
-            # BigDecimal HALF_UP yields n; exact halves ARE representable
-            # so the equality test below is safe.
-            import numpy as np
-
-            scaled = pdf["value"].to_numpy(dtype="float64") * 100.0
-            t = np.trunc(scaled)
-            is_half = np.abs(scaled - t) == 0.5
-            cents = np.where(
-                is_half, t + np.sign(scaled), np.rint(scaled)
-            ).astype("int64")
+            cents = _cents_half_up(pdf["value"])
             n += int(len(pdf))
             s += int(cents.sum())
             lo, hi = int(cents.min()), int(cents.max())
@@ -386,7 +419,15 @@ def _ema_fn(
     n, e = state.get if state.exists else (0, 0)
     for c in rows["cents"]:
         c = int(c)
-        e = c if n == 0 else (c + 3 * e) // 4
+        if n == 0:
+            e = c
+        else:
+            # truncate toward zero, matching the batch twin's Spark
+            # `div` (-1 div 4 = 0); Python // floors (-1 // 4 = -1), so
+            # negative cents (refunds) would diverge permanently (r6
+            # session-3 review)
+            t = c + 3 * e
+            e = t // 4 if t >= 0 else -((-t) // 4)
         n += 1
     state.update((n, e))
     yield pd.DataFrame(
@@ -477,13 +518,21 @@ class CategoryMixProcessor:
     - **MapState** ``mix``: per-key map of event_type → (n, cents) —
       containsKey / getValue / updateValue / iterator all hit the JVM
       state server (paged ``StateResponseWithMapIterator`` replies);
-    - **ListState** ``recent``: every cents value appended via
-      ``appendList`` and re-counted with the paged list iterator;
+    - **ListState** ``recent``: the last ``RECENT_CAP`` cents values —
+      appended via ``appendList``, read back with the paged list
+      iterator, and TRIMMED with ``put`` when over cap, so per-key list
+      state is bounded (r6 session-3 review: the untrimmed version grew
+      O(stream) and re-read it all every batch — quadratic over the
+      stream's life);
     - **timers**: a far-future processing-time timer is registered,
       listed, and deleted each batch (``TimerStateCallCommand``
-      register/list/delete round-trips; nothing ever fires);
-    - **TTL**: the map state carries a 1-hour TTL, pushing the
-      ``StateCallCommand.ttl.durationMs`` submessage through the wire.
+      register/list/delete round-trips; nothing ever fires) — coverage
+      mode only;
+    - **TTL**: in coverage mode the map state carries a 1-hour TTL,
+      pushing the ``StateCallCommand.ttl.durationMs`` submessage through
+      the wire. Production wiring gets NO TTL — an unconditional TTL
+      silently shrank idle keys' running totals, breaking the
+      "converges to the batch group-by" contract.
 
     Emits one row per key per batch with the current totals, so Update
     mode converges to the batch group-by (the e2e assertion).
@@ -502,14 +551,24 @@ class CategoryMixProcessor:
         "total_cents long, n_recent long"
     )
 
+    #: Bound on the per-key ``recent`` list state (last-N cents window).
+    RECENT_CAP = 100
+
     def __init__(self, protocol_coverage: bool = False) -> None:
         self._protocol_coverage = protocol_coverage
 
     def init(self, handle) -> None:
-        self._mix = handle.getMapState(
-            "mix", "event_type string", "n long, cents long",
-            ttlDurationMs=3_600_000,
-        )
+        if self._protocol_coverage:
+            # TTL is wire-protocol instrumentation — production totals
+            # must never expire (see class docstring)
+            self._mix = handle.getMapState(
+                "mix", "event_type string", "n long, cents long",
+                ttlDurationMs=3_600_000,
+            )
+        else:
+            self._mix = handle.getMapState(
+                "mix", "event_type string", "n long, cents long"
+            )
         self._recent = handle.getListState("recent", "cents long")
         # scratch ValueState: exists/update/get/clear round-trips — the
         # remaining ValueStateCall protocol members
@@ -521,8 +580,6 @@ class CategoryMixProcessor:
         self._handle = handle
 
     def handleInputRows(self, key, rows, timerValues):
-        import numpy as np
-
         if self._protocol_coverage:
             # timer protocol round-trip (register → list → delete); the
             # expiry is an hour out so it never fires inside the test run
@@ -534,12 +591,7 @@ class CategoryMixProcessor:
         for pdf in rows:
             if len(pdf) == 0:
                 continue
-            scaled = pdf["value"].to_numpy(dtype="float64") * 100.0
-            t = np.trunc(scaled)
-            is_half = np.abs(scaled - t) == 0.5
-            cents = np.where(
-                is_half, t + np.sign(scaled), np.rint(scaled)
-            ).astype("int64")
+            cents = _cents_half_up(pdf["value"])
             self._recent.appendList([(int(c),) for c in cents])
             for et, c in zip(pdf["event_type"], cents):
                 if self._mix.containsKey((et,)):
@@ -567,7 +619,12 @@ class CategoryMixProcessor:
             n_types += 1
             total_events += n
             total_cents += c
+        # the read is bounded: ≤ RECENT_CAP carried rows + this batch's
+        # appends; over-cap lists are trimmed back with put()
         current = [tuple(v) for v in self._recent.get()]
+        if len(current) > self.RECENT_CAP:
+            current = current[-self.RECENT_CAP:]
+            self._recent.put(current)
         n_recent = len(current)
         if self._protocol_coverage:
             assert sum(1 for _ in self._mix.keys()) == n_types

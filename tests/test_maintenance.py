@@ -99,3 +99,43 @@ def test_stream_maintenance_equals_batch(spark, dated, tiny_transactions,
         store.features_asof(REF_DAY),
         compile_case_when(SPEC, tiny_transactions),
     )
+
+
+def test_replayed_batch_id_is_idempotent(spark, dated, tiny_transactions,
+                                         tmp_path):
+    """At-least-once foreachBatch: re-delivering an already-applied
+    micro-batch (same batch_id) must NOT re-fold it — pre-fix, every
+    count/sum partial for the replayed days double-counted."""
+    store = DayPartialsStore(spark, SPEC, "day", str(tmp_path / "store"))
+    store.apply_increment(dated.filter(F.col("day") % 2 == 0), batch_id=0)
+    store.apply_increment(dated.filter(F.col("day") % 2 == 1), batch_id=1)
+    before = store.features_asof(REF_DAY)
+    expected = {r["customer_id"]: tuple(r) for r in before.collect()}
+    # replay batch 1 (crash-before-checkpoint-commit scenario)
+    v = store.apply_increment(dated.filter(F.col("day") % 2 == 1),
+                              batch_id=1)
+    assert v == store.latest_version()
+    got = {r["customer_id"]: tuple(r)
+           for r in store.features_asof(REF_DAY).collect()}
+    assert got == expected
+    assert store.last_applied_batch() == 1
+    # a genuinely NEW batch id still applies (monotonic ids)
+    store.apply_increment(dated.limit(0), batch_id=2)
+    assert store.last_applied_batch() == 2
+
+
+def test_half_written_version_is_invisible(spark, dated, tmp_path):
+    """A version directory without Spark's _SUCCESS marker (mid-write
+    crash debris) must never be read or used as the merge base."""
+    store = DayPartialsStore(spark, SPEC, "day", str(tmp_path / "store"))
+    store.apply_increment(dated)
+    assert store.latest_version() == 1
+    # simulate a crashed v=2: directory exists, no _SUCCESS
+    dead = os.path.join(store.path, "v=2")
+    os.makedirs(dead)
+    with open(os.path.join(dead, "part-00000.parquet"), "wb") as f:
+        f.write(b"\x00truncated")
+    assert store.latest_version() == 1  # dead dir invisible
+    v = store.apply_increment(dated.limit(0))
+    assert v == 2  # overwrote the debris
+    assert os.path.exists(os.path.join(dead, "_SUCCESS"))

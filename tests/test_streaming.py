@@ -179,11 +179,13 @@ def test_stream_stream_interval_join(spark, event_dir):
     b_purch = batch.filter(F.col("event_type") == "purchase")
 
     def pairs(df):
+        # name-based selection must work directly: the helper returns
+        # left columns unchanged + colliding right columns suffixed _r
         return sorted(
             (r["l_id"], r["r_id"])
             for r in df.select(
-                F.col("l.event_id").alias("l_id"),
-                F.col("r.event_id").alias("r_id"),
+                F.col("event_id").alias("l_id"),
+                F.col("event_id_r").alias("r_id"),
             ).collect()
         )
 
@@ -204,8 +206,8 @@ def test_stream_stream_interval_join(spark, event_dir):
     out = stream_stream_interval_join(s_clicks, s_purch, on="user_id")
     q = (
         out.select(
-            F.col("l.event_id").alias("l_id"),
-            F.col("r.event_id").alias("r_id"),
+            F.col("event_id").alias("l_id"),
+            F.col("event_id_r").alias("r_id"),
         )
         .writeStream.format("memory")
         .queryName("ssjoin")
@@ -720,3 +722,93 @@ def test_transform_with_state_map_list_timers(spark, event_dir, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev_provider
             )
+
+
+# ---------------------------------------------------------------------------
+# r6 session-3 review regressions — the stateful fold fns are pure enough
+# to unit-test against a GroupState stub, no streaming query needed.
+# ---------------------------------------------------------------------------
+
+
+class _FakeState:
+    def __init__(self, value=None):
+        self._v = value
+        self.hasTimedOut = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutDuration(self, ms):
+        assert ms > 0, "PySpark rejects non-positive timeouts"
+        self.timeout_ms = ms
+
+
+def _run_session_batches(gap_us, batches, state):
+    import pandas as pd
+
+    from feature_generation_benchmark_spark.streaming.features import (
+        _session_fn,
+    )
+
+    fn = _session_fn(gap_us)
+    closed = []
+    for rows in batches:
+        pdf = pd.DataFrame(rows, columns=["ts_us", "value"])
+        closed += [
+            t
+            for out in fn((1,), iter([pdf]), state)
+            for t in out.itertuples(index=False)
+        ]
+    return closed
+
+
+def test_sessionizer_cross_batch_late_event_cannot_regress_boundary():
+    """Pre-fix: a late event (ts < last) moved `last` BACKWARDS, so a
+    following on-time event within the true gap wrongly split a session."""
+    gap = 1000
+    state = _FakeState()
+    # batch 1: events at 1000 and 5000... gap exceeded → first closes
+    _run_session_batches(gap, [[(1000, 1.0)]], state)
+    _run_session_batches(gap, [[(5000, 1.0)]], state)
+    # late event 4500 folds into the open session; boundary must stay 5000
+    _run_session_batches(gap, [[(4500, 1.0)]], state)
+    start, last, n, s = state.get
+    assert (start, last, n) == (5000, 5000, 2) or (start, last, n) == (4500, 5000, 2)
+    # an event within gap of the TRUE end (5000) must NOT split
+    _run_session_batches(gap, [[(5800, 1.0)]], state)
+    start, last, n, s = state.get
+    assert last == 5800 and n == 3
+
+
+def test_sessionizer_sub_ms_gap_sets_positive_timeout():
+    state = _FakeState()
+    _run_session_batches(500, [[(100, 1.0)]], state)
+    assert state.timeout_ms == 1
+
+
+def test_ema_stream_fold_truncates_like_batch_div():
+    """Python // floors; the batch twin's Spark `div` truncates toward
+    zero — negative cents (refunds) must not diverge."""
+    import pandas as pd
+
+    from feature_generation_benchmark_spark.streaming.features import _ema_fn
+
+    state = _FakeState()
+    rows = pd.DataFrame(
+        {"ts_us": [1, 2], "event_id": [1, 2], "cents": [0, -1]}
+    )
+    out = list(_ema_fn((1,), iter([rows]), state))
+    # batch recurrence: e0=0; e1 = (-1 + 0) div 4 = 0 (floor would give -1)
+    assert out[0]["ema_cents"].iloc[0] == 0
