@@ -66,7 +66,12 @@ def from_nanos(col: str) -> "F.Column":
     return F.timestamp_micros(F.expr(f"{col} div 1000"))
 
 
-_NS_PER_DAY = 86_400 * 10**9
+#: Nanoseconds per day — the events time model's single shared constant
+#: (owned here with the rest of the ts [int64 nanos] contract; workload
+#: modules import it rather than re-defining — r6 session-3 review found
+#: four independent copies).
+NS_PER_DAY = 86_400 * 10**9
+_NS_PER_DAY = NS_PER_DAY
 
 
 def _epoch_days(date_str: str) -> int:

@@ -18,7 +18,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from feature_generation_benchmark_spark.sources.testdata import load_table
+from feature_generation_benchmark_spark.sources.testdata import (
+    NS_PER_DAY as _NS_PER_DAY,
+    load_table,
+)
 from feature_generation_benchmark_spark.workloads import QueryDef
 
 _STAGES = ("view", "click", "purchase")
@@ -110,7 +113,6 @@ QUERIES = [
 ]
 
 
-_NS_PER_DAY = 86_400 * 10**9
 
 
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,9 +171,14 @@ def itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation — events self-joined on user_id — shuffles |events|² /
     |users| candidate rows; this one moves |users| basket rows once.
 
-    Output: (type_a, type_b, n_users), type_a < type_b.
+    Output: (type_a, type_b, n_users), type_a < type_b. NULL user_ids
+    are excluded explicitly (the pit.py NULL discipline): Spark's
+    groupBy would pool them into ONE pseudo-basket while the oracle's
+    equality self-join drops them — the groupBy-vs-join divergence.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
     baskets = ev.groupBy("user_id").agg(
         F.array_sort(F.collect_set("event_type")).alias("types")
     )
@@ -387,7 +394,10 @@ def window_funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle twin encodes the same >=).
 
     Oracle: exists-chain SQL (view t1 <= click t2 <= purchase t3,
-    t_k - t1 <= W) — existence is equivalent to the max-frontier DP."""
+    t_k - t1 <= W) — existence is equivalent to the max-frontier DP.
+    NULL user_ids are excluded (pit.py NULL discipline): Spark's groupBy
+    would fold a NULL pseudo-user to a real depth while the oracle's
+    per-depth equality joins never match NULL and bin it at depth 0."""
     step = (
         F.when(F.col("event_type") == _STAGES[0], 1)
         .when(F.col("event_type") == _STAGES[1], 2)
@@ -395,6 +405,7 @@ def window_funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = (
         load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
         .select(
             "user_id",
             F.expr("ts div 1000").alias("ts_us"),

@@ -26,10 +26,12 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from feature_generation_benchmark_spark.sources.testdata import load_table
+from feature_generation_benchmark_spark.sources.testdata import (
+    NS_PER_DAY as _NS_PER_DAY,
+    load_table,
+)
 from feature_generation_benchmark_spark.workloads import QueryDef
 
-_NS_PER_DAY = 86_400 * 10**9
 
 #: PSI window split: 2024-01-16 as epoch days — Jan 1-15 is the reference
 #: window A, Jan 16-30 the comparison window B (events span the month).

@@ -23,10 +23,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from feature_generation_benchmark_spark.sources.testdata import load_table
+from feature_generation_benchmark_spark.sources.testdata import (
+    NS_PER_DAY as _NS_PER_DAY,
+    load_table,
+)
 from feature_generation_benchmark_spark.workloads import QueryDef
 
-_NS_PER_DAY = 86_400 * 10**9
 _US_PER_DAY = 86_400 * 10**6
 _BAR_US = 6 * 3600 * 10**6  # 6-hour bars
 _BAR_NS = _BAR_US * 1000
@@ -460,15 +462,20 @@ def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: ONE (user, event_type)-keyed exchange for the lag window, then
     a type-keyed rollup over 5 keys (partial-agg combines map-side).
-    Integer µs and cents throughout.
+    Integer µs and cents throughout — the gap and the stream order are
+    computed on µs-TRUNCATED timestamps on BOTH engines (r6 session-3
+    review: the Spark side previously ordered and differenced raw nanos
+    while the oracle used epoch_us, so sub-µs components — in-contract
+    for the int64-nanos data model — could flip a 60 s boundary decision
+    or reorder sub-µs ties between the engines).
     """
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir).withColumn("ts_us", F.expr("ts div 1000"))
     w = Window.partitionBy("user_id", "event_type").orderBy(
-        "ts", "event_id"
+        "ts_us", "event_id"
     )
-    gap_ns = F.col("ts") - F.lag("ts").over(w)
+    gap_us = F.col("ts_us") - F.lag("ts_us").over(w)
     kept = F.when(
-        gap_ns.isNull() | (gap_ns >= F.lit(60 * 10**9)), F.lit(1)
+        gap_us.isNull() | (gap_us >= F.lit(60 * 10**6)), F.lit(1)
     ).otherwise(F.lit(0))
     flagged = ev.select("event_type", "cents", kept.alias("kept"))
     return flagged.groupBy("event_type").agg(
@@ -772,26 +779,35 @@ def leadlag_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("lag", "x", "y")
     )
+    # decimal(38,0) sums, not long: daily counts are GLOBAL (grow with
+    # the corpus, unlike per-key aggregates), so at the 100 TB posture a
+    # single x·y product overflows int64 and long sums would wrap
+    # silently while the DuckDB twin's HUGEINT stays exact (the
+    # weekday_seasonality discipline; r6 session-3 review). decimal(18,0)
+    # operands keep the product precision at 37 — exact, no clip.
+    xd = F.col("x").cast("decimal(18,0)")
+    yd = F.col("y").cast("decimal(18,0)")
     sums = pairs.groupBy("lag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
     )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    nd = F.col("n").cast("decimal(18,0)")
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-            "double"
-        )
-        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
     )
     return sums.select(
         "lag",
         "n",
-        F.when(den > 0, F.round(num * F.lit(1e6) / den, 0).cast("long"))
-        .alias("corr_e6"),
+        F.when(
+            den > 0,
+            F.round(num.cast("double") * F.lit(1e6) / den, 0).cast("long"),
+        ).alias("corr_e6"),
     )
 
 
@@ -810,8 +826,12 @@ pairs AS (
   JOIN p ON pday = day + lag
 ),
 s AS (
+  -- HUGEINT products: BIGINT x*y would raise on overflow at the same
+  -- scale the Spark side's decimal sums exist for
   SELECT lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-         sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+         sum(CAST(x AS HUGEINT)*y) AS sxy,
+         sum(CAST(x AS HUGEINT)*x) AS sxx,
+         sum(CAST(y AS HUGEINT)*y) AS syy
   FROM pairs GROUP BY lag
 )
 SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,

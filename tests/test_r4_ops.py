@@ -404,3 +404,36 @@ def test_sentence_dedup_stats_model(spark, tmp_path_factory):
     assert got[2] == {
         "doc_id": 2, "n_sents": 1, "n_dup_sents": 0, "dup_frac": 0.0,
     }
+
+
+def test_null_user_is_excluded_from_basket_and_funnel_ops(
+    spark, tmp_path_factory
+):
+    """r6 session-3 review: groupBy pools NULL user_ids into one
+    pseudo-basket while the SQL oracles' equality joins drop them — both
+    ops must exclude NULL users explicitly so the engines agree."""
+    from feature_generation_benchmark_spark.workloads.funnel import (
+        itemset_pairs,
+        window_funnel_depth,
+    )
+
+    rows = [
+        (0, 0 * _US, 1, "view", 1.0),
+        (1, 10 * _US, 1, "click", 1.0),
+        (2, 20 * _US, None, "view", 1.0),
+        (3, 30 * _US, None, "click", 1.0),
+        (4, 40 * _US, None, "purchase", 1.0),
+    ]
+    d = _write_events(spark, tmp_path_factory, rows, "null_user")
+    pairs = {
+        (r["type_a"], r["type_b"]): r["n_users"]
+        for r in itemset_pairs(spark, d).collect()
+    }
+    # only user 1's basket counts; the NULL pseudo-basket must not
+    assert pairs == {("click", "view"): 1}
+    depth = {
+        r["depth"]: r["n_users"] for r in window_funnel_depth(spark, d).collect()
+    }
+    # user 1 reaches depth 2 (view->click); the NULL rows form no user
+    assert depth.get(2, 0) == 1
+    assert sum(depth.values()) == 1
