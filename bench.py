@@ -67,6 +67,12 @@ def main() -> None:
         t0 = time.time()
         fn(spark, sf_dir).write.mode("overwrite").parquet(out)
         timings[name] = round(time.time() - t0, 3)
+        # drop caches OUTSIDE the timed region: several operators
+        # .cache() intra-query frames (dedup shingles, graph edges) and
+        # no caller unpersists — without this each cached frame stays
+        # pinned for the rest of the run, squeezing execution memory and
+        # making later timings order-dependent (r6 session-3 review)
+        spark.catalog.clearCache()
 
     shutil.rmtree(out_root, ignore_errors=True)
     detail_line, summary_line = format_output(

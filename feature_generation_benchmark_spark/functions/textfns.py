@@ -140,10 +140,20 @@ def token_windows(toks: Column, width: int, step: int) -> Column:
     overlapping) and chunk-granularity dedup (``dedup_chunk_exact``,
     non-overlapping): window k starts at ``k*step`` (0-based) and takes up
     to ``width`` tokens, so a trailing short window keeps every token
-    covered. Callers must ensure ``size(toks) > 0`` (``sequence(0, -1)``
-    would descend)."""
+    covered. A window is emitted only if it ADDS uncovered tokens —
+    i.e. window k (k ≥ 1) requires ``(k-1)*step + width < n`` (r6
+    session-3 review: with width 64 / step 48 a 100-token doc previously
+    emitted a second trailing chunk fully contained in the first — pure
+    duplicated training text; full coverage never needs such a window).
+    For ``step == width`` the bound reduces to the old ``start ≤ n-1``.
+    Callers must ensure ``size(toks) > 0`` (``sequence(0, -1)`` would
+    descend)."""
+    n = F.size(toks)
+    upper = F.greatest(
+        F.lit(0), F.least(n - 1, n - F.lit(width - step + 1))
+    )
     return F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 1, F.lit(step)),
+        F.sequence(F.lit(0), upper, F.lit(step)),
         lambda s, i: F.struct(
             i.cast("long").alias("chunk_idx"),
             F.slice(toks, s + 1, width).alias("window"),

@@ -373,8 +373,19 @@ def mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select(
         "doc_id", "source", token_count("text").cast("long").alias("n_tokens")
     )
-    src = t.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
-    tot = t.agg(F.sum("n_tokens").alias("total_tokens"))
+    # src_tokens > 0 guard: a source whose docs all tokenize empty would
+    # hit ANSI DIVIDE_BY_ZERO in the rate division on Spark while the
+    # DuckDB twin's NULL silently dropped it (r6 session-3 review) —
+    # make the drop explicit and identical on both engines.
+    src = (
+        t.groupBy("source")
+        .agg(F.sum("n_tokens").alias("src_tokens"))
+        .filter(F.col("src_tokens") > 0)
+    )
+    # total from the 20-row src aggregate, NOT a second corpus aggregate:
+    # integer sum-of-sums is bit-identical and saves a full tokenizing
+    # scan (the docstring's "big side scanned once" now actually holds).
+    tot = src.agg(F.sum("src_tokens").alias("total_tokens"))
 
     w = F.lit(_MIX_DEFAULT_W)
     for s, wt in MIX_WEIGHTS.items():
@@ -418,8 +429,9 @@ WITH t AS (
                               x -> x <> '')) AS BIGINT) AS n_tokens
   FROM documents
 ),
-src AS (SELECT source, sum(n_tokens) AS src_tokens FROM t GROUP BY source),
-tot AS (SELECT sum(n_tokens) AS total_tokens FROM t),
+src AS (SELECT source, sum(n_tokens) AS src_tokens FROM t
+        GROUP BY source HAVING sum(n_tokens) > 0),
+tot AS (SELECT sum(src_tokens) AS total_tokens FROM src),
 rates AS (
   SELECT source,
     least(1.0,
@@ -577,9 +589,16 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # zero-token docs (empty/punctuation-only text) can never pass the
+    # min_tokens=20 gate, so filter them BEFORE the ratio projection —
+    # under Spark 4's default ANSI mode the unguarded `x / n_tokens`
+    # divisions abort the whole query with DIVIDE_BY_ZERO on the first
+    # such doc (r6 session-3 review, repro-confirmed; the DuckDB twin's
+    # double division yields inf and the bounds filter drops it, so the
+    # result set is unchanged).
     t = docs.select(
         "doc_id", "source", "text", tokens(F.col("text")).alias("toks")
-    )
+    ).filter(F.size("toks") > 0)
     vocab = F.array(*[F.lit(w) for w in _ALL_STOPWORDS])
     n_tokens = F.size("toks").cast("long")
     n_chars = F.length("text").cast("long")
@@ -590,14 +609,25 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_distinct = F.size(F.array_distinct("toks"))
     n_digits = F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]"), F.lit(0)))
     b = QUALITY_BOUNDS
+    # when()-guarded ratios (the text_quality pattern), NOT a bare
+    # filter-then-divide: Catalyst collapses the zero-token filter into
+    # the downstream quality predicate and common-subexpression
+    # elimination evaluates the division EAGERLY inside the merged
+    # predicate, before the guard can short-circuit — observed as a
+    # DIVIDE_BY_ZERO raised from inside a codegen'd SpecificPredicate.
+    # Conditional (when) scope is exempt from eager CSE.
+    has_toks = n_tokens > 0
+    has_chars = n_chars > 0
     sig = t.select(
         "doc_id",
         "source",
         n_tokens.alias("n_tokens"),
-        (token_len_sum / n_tokens).alias("avg_token_len"),
-        (stop_hits / n_tokens).alias("stopword_ratio"),
-        (F.lit(1.0) - n_distinct / n_tokens).alias("dup_token_ratio"),
-        (n_digits / n_chars).alias("digit_char_ratio"),
+        F.when(has_toks, token_len_sum / n_tokens).alias("avg_token_len"),
+        F.when(has_toks, stop_hits / n_tokens).alias("stopword_ratio"),
+        F.when(has_toks, F.lit(1.0) - n_distinct / n_tokens).alias(
+            "dup_token_ratio"
+        ),
+        F.when(has_chars, n_digits / n_chars).alias("digit_char_ratio"),
         lang_predict(F.col("toks")).alias("lang_pred"),
         fingerprint_md5("text").alias("fp"),
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4).alias("skey"),
@@ -741,23 +771,25 @@ def quality_stratified_mixture(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.expr(
-        "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
-    )
     # zero-token docs (empty/punctuation-only text) would divide by zero
     # in the quality score under ANSI mode — they carry no trainable
     # tokens, so excluding them IS the curation semantics (mirrored in
-    # the oracle's WHERE)
-    scored = docs.filter(F.size(toks) > 0).select(
+    # the oracle's WHERE). The token array is STAGED in its own
+    # projection via the canonical textfns.tokens() (r6 session-3
+    # review: the previous inline split/filter strings re-tokenized each
+    # row 4× — the text_quality staging rule — and hand-copied the
+    # canonical tokenization instead of reusing it).
+    t = docs.select(
+        "doc_id", "source", tokens(F.col("text")).alias("toks")
+    ).filter(F.size("toks") > 0)
+    scored = t.select(
         "doc_id",
         "source",
-        F.size(toks).cast("long").alias("n_tokens"),
+        F.size("toks").cast("long").alias("n_tokens"),
         # integer quality proxy: distinct-token permille
         F.expr(
-            "CAST(size(array_distinct(filter(split(lower(text), "
-            "'[^a-z0-9]+'), x -> x != ''))) * 1000 AS BIGINT)"
-            " div "
-            "size(filter(split(lower(text), '[^a-z0-9]+'), x -> x != ''))"
+            "CAST(size(array_distinct(toks)) * 1000 AS BIGINT)"
+            " div size(toks)"
         ).alias("q_score"),
     )
     bounds = scored.groupBy("source").agg(

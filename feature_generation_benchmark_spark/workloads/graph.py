@@ -160,7 +160,14 @@ def triangle_counts_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-join → explode corners → count per part. Every join is an
     equi-join; the orientation bounds the wedge join's per-key fan-out,
     which is what makes the self-join survive hot parts at 100 TB."""
-    edges = _part_edges(spark, sf_dir)
+    # cache: the edge list (the costliest subtree — distinct of a
+    # per-order pair join over lineitem) feeds the degree agg, BOTH
+    # sides of the wedge self-join, and the closing-edge probe — four
+    # evaluations without the cache (r6 session-3 review; the sibling
+    # pagerank/BFS queries already cache their shared edge lists).
+    # Storage ownership follows the operators/dedup.py contract: the
+    # session owner clears caches between workloads.
+    edges = _part_edges(spark, sf_dir).cache()
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))

@@ -190,9 +190,12 @@ def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(keys, fk, "left")
             .agg(
                 F.count(F.lit(1)).alias("n_rows"),
-                F.sum(F.col("__hit").isNull().cast("long")).alias(
-                    "n_orphans"
-                ),
+                # coalesce: sum over ZERO rows is NULL, but the oracle's
+                # scalar count(*) subquery says 0 for an empty fact
+                # table (r6 session-3 review)
+                F.coalesce(
+                    F.sum(F.col("__hit").isNull().cast("long")), F.lit(0)
+                ).alias("n_orphans"),
             )
             .select(F.lit(name).alias("edge"), "n_rows", "n_orphans")
         )

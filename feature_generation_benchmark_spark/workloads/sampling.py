@@ -174,8 +174,14 @@ WITH toked AS (
 ), nz AS (
   SELECT doc_id, toks, len(toks) AS n FROM toked WHERE len(toks) > 0
 ), starts AS (
+  -- emit a window only while it ADDS uncovered tokens (the
+  -- token_windows bound): start <= min(n-1, n - (width - step + 1))
   SELECT doc_id, toks,
-         unnest(generate_series(0, n - 1, {_CHUNK_STEP})) AS s
+         unnest(generate_series(
+           0,
+           greatest(0, least(n - 1,
+                             n - {_CHUNK_TOKENS - _CHUNK_STEP + 1})),
+           {_CHUNK_STEP})) AS s
   FROM nz
 )
 SELECT doc_id,

@@ -370,3 +370,87 @@ def test_doc_repetition_property_net(spark):
         assert got["max_doc_dup_frac_e6"] == max_dup
 
     net()
+
+
+# ---------------------------------------------------------------------------
+# r6 session-3 review regressions: ANSI divide-by-zero hardening and the
+# degenerate trailing chunk.
+# ---------------------------------------------------------------------------
+
+
+def _docs_dir(spark, tmp_path_factory, rows, name):
+    d = tmp_path_factory.mktemp(name)
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_curation_pipeline_survives_zero_token_docs(spark, tmp_path_factory):
+    """Repro from the review: a punctuation-only doc aborted the whole
+    query with DIVIDE_BY_ZERO under Spark 4's default ANSI mode."""
+    from feature_generation_benchmark_spark.workloads.curation import (
+        curation_pipeline,
+    )
+
+    words = " ".join(["the", "a", "of", "to", "and"] * 10)
+    rows = [
+        (0, "!!! ??? ...", "en", "s0", 11),     # zero tokens
+        (1, "", "en", "s0", 0),                  # empty text
+        (2, words, "en", "s0", len(words)),
+    ]
+    d = _docs_dir(spark, tmp_path_factory, rows, "zt_pipeline")
+    out = curation_pipeline(spark, d).collect()  # must not raise
+    assert sum(r["n_docs"] for r in out) <= 1    # only doc 2 can survive
+
+
+def test_mixture_sampling_drops_zero_token_sources(spark, tmp_path_factory):
+    """A source whose docs all tokenize empty previously crashed Spark
+    (ANSI) while the oracle silently dropped it — both now drop it."""
+    from feature_generation_benchmark_spark.workloads.curation import (
+        mixture_sampling,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta", "src0", None),
+        (1, "epsilon zeta eta theta", "src1", None),
+        (2, "...", "srcEMPTY", None),
+        (3, "???", "srcEMPTY", None),
+    ]
+    rows = [(i, t, "en", s, len(t)) for i, t, s, _ in rows]
+    d = _docs_dir(spark, tmp_path_factory, rows, "zt_mixture")
+    out = mixture_sampling(spark, d).collect()  # must not raise
+    assert {r["source"] for r in out} <= {"src0", "src1"}
+
+
+def test_doc_chunking_emits_no_fully_contained_trailing_chunk(
+    spark, tmp_path_factory
+):
+    """width 64 / stride 48: a 100-token doc must yield chunks at 0 and
+    48 only — the pre-fix third chunk (start 96, tokens 96..99) was
+    fully contained in chunk 1: duplicated training text."""
+    from feature_generation_benchmark_spark.workloads.sampling import (
+        doc_chunking,
+    )
+
+    text100 = " ".join(f"w{i}" for i in range(100))
+    text64 = " ".join(f"w{i}" for i in range(64))
+    text65 = " ".join(f"w{i}" for i in range(65))
+    rows = [
+        (0, text100, "en", "s0", len(text100)),
+        (1, text64, "en", "s0", len(text64)),   # exactly one window
+        (2, text65, "en", "s0", len(text65)),   # 65th token needs chunk 2
+    ]
+    d = _docs_dir(spark, tmp_path_factory, rows, "chunk_tail")
+    got = {}
+    for r in doc_chunking(spark, d).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["n_chunk_tokens"])
+        )
+    assert sorted(got[0]) == [(0, 64), (1, 52)]   # 48..99: 52 tokens, no 3rd
+    assert sorted(got[1]) == [(0, 64)]
+    assert sorted(got[2]) == [(0, 64), (1, 17)]   # 48..64 adds token 64
+    # full coverage: every token index appears in some chunk
+    covered = 48 + 52
+    assert covered >= 100

@@ -136,6 +136,10 @@ def main() -> int:
         sdf = fn(spark, sf_dir)
         spark_pdf = sdf.toPandas()
         t_spark = time.time() - t0
+        # release intra-query caches (dedup/graph operators .cache() and
+        # assign cleanup to the session owner) — a full 189-query gate
+        # run otherwise pins every cached frame simultaneously
+        spark.catalog.clearCache()
         n_spark = len(spark_pdf)
         if name not in oracles:
             print(f"{name}: rows={n_spark} (rows-only, no oracle) "
