@@ -18,12 +18,16 @@ from feature_generation_benchmark_spark.functions.textfns import (
     md5_prefix_long,
     tokens,
 )
-from feature_generation_benchmark_spark.sources.testdata import load_table
+from feature_generation_benchmark_spark.sources.testdata import (
+    NS_PER_DAY as _NS_PER_DAY_TREND,
+    load_table,
+)
 from feature_generation_benchmark_spark.workloads import QueryDef
 
-_TOKS_SQL = (
-    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
-)
+# canonical-tokenization SQL twin: ONE owner (workloads/text.py, next to
+# the Spark-side canonical in functions/textfns.py) — r6 session-3
+# review found a verbatim copy here that could silently diverge
+from feature_generation_benchmark_spark.workloads.text import _TOKS_SQL
 
 _TFIDF_K = 3  # top terms kept per document
 _HASH_BUCKETS = 64
@@ -612,16 +616,21 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col(f"s_{v}").cast("double") * F.col(f"s_{v}")
         )
 
+    # den > 0 guard: a constant measure column makes its var_term exactly
+    # 0.0 — ANSI Spark raises DIVIDE_BY_ZERO even for doubles while the
+    # DuckDB twin returns NULL corr (r6 session-3 review); NULL is the
+    # honest undefined-correlation answer on both engines.
     cells = [
         F.struct(
             F.lit(a).alias("col_x"),
             F.lit(b).alias("col_y"),
-            (
+            F.when(
+                var_term(a) * var_term(b) > 0,
                 (
                     F.col("n") * F.col(f"sp_{a}_{b}").cast("double")
                     - F.col(f"s_{a}").cast("double") * F.col(f"s_{b}")
                 )
-                / (var_term(a) * var_term(b))
+                / (var_term(a) * var_term(b)),
             ).alias("corr"),
         )
         for a, b in _corr_pairs()
@@ -680,7 +689,6 @@ QUERIES.append(
 # feature at 100 TB cost: one (user, day) pre-agg + one user-keyed agg.
 # --------------------------------------------------------------------------
 
-_NS_PER_DAY_TREND = 86_400 * 10**9
 
 
 def user_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:

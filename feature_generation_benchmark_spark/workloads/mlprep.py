@@ -742,20 +742,26 @@ def kll_value_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE ungrouped agg building both sketches via NULL-skipping
+    # conditionals, not a crossJoin of two filtered 1-row frames: if one
+    # of the two hardcoded types had no rows the empty side previously
+    # collapsed the whole result to ZERO rows while the check twin's
+    # oracle still emitted one (r6 session-3 review). A theta sketch is
+    # a pure set summary, so per-type conditional aggregation builds the
+    # identical sketches.
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", "user_id"
-    )
-    sketches = ev.groupBy("event_type").agg(
-        F.theta_sketch_agg("user_id").alias("sk")
-    )
-    a = sketches.filter(F.col("event_type") == "purchase").select(
-        F.col("sk").alias("sk_a")
-    )
-    b = sketches.filter(F.col("event_type") == "error").select(
-        F.col("sk").alias("sk_b")
+    ).filter(F.col("event_type").isin("purchase", "error"))
+    pair = ev.agg(
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("sk_a"),
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "error", F.col("user_id"))
+        ).alias("sk_b"),
     )
     return (
-        a.crossJoin(F.broadcast(b))
+        pair
         .select(
             F.lit("purchase").alias("type_a"),
             F.lit("error").alias("type_b"),
@@ -1376,16 +1382,26 @@ def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("arm")
         )
     )
-    counts = users.groupBy("arm").agg(F.count(F.lit(1)).alias("n"))
-    a = counts.filter(F.col("arm") == 0).select(F.col("n").alias("n_a"))
-    b = counts.filter(F.col("arm") == 1).select(F.col("n").alias("n_b"))
+    # ONE ungrouped conditional agg, not a crossJoin of two filtered
+    # 1-row frames: if every user hashed to one arm the empty side made
+    # the crossJoin return ZERO rows while the oracle still emitted one
+    # (r6 session-3 review) — conditional sums give (n, 0) on both
+    # engines, and NULLs on a genuinely empty table on both.
+    counts = users.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
     tot = F.col("n_a") + F.col("n_b")
     exp = tot.cast("double") / 2
     chi2 = (
         (F.col("n_a") - exp) * (F.col("n_a") - exp) / exp
         + (F.col("n_b") - exp) * (F.col("n_b") - exp) / exp
     )
-    return a.crossJoin(F.broadcast(b)).select(
+    return counts.select(
         "n_a",
         "n_b",
         F.round(chi2 * 1e6, 0).cast("long").alias("chi2_e6"),
@@ -1398,10 +1414,12 @@ WITH u AS (
               AS BIGINT) % 2 AS INT) AS arm
   FROM (SELECT DISTINCT user_id FROM events)
 ),
-c AS (SELECT arm, count(*) AS n FROM u GROUP BY arm),
 w AS (
-  SELECT (SELECT n FROM c WHERE arm = 0) AS n_a,
-         (SELECT n FROM c WHERE arm = 1) AS n_b
+  -- conditional sums, mirroring the Spark side: one row with (n, 0)
+  -- under total one-arm skew, (NULL, NULL) only on an empty table
+  SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b
+  FROM u
 )
 SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
   CAST(round(

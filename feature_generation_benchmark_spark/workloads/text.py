@@ -50,8 +50,13 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_punct"),
         char_class_count(F.col("text"), "[0-9]").cast("long").alias("n_digits"),
         F.when(n_tokens > 0, token_len_sum / n_tokens).alias("avg_token_len"),
-        (
-            char_class_count(F.lower(F.col("text")), r"[^a-z0-9\s]") / n_chars
+        # guarded like avg_token_len: empty text is in-domain, the bare
+        # int/int division raises under ANSI while the oracle's DOUBLE
+        # division yields NULL (r6 session-3 review)
+        F.when(
+            n_chars > 0,
+            char_class_count(F.lower(F.col("text")), r"[^a-z0-9\s]")
+            / n_chars,
         ).alias("punct_ratio"),
     )
 
@@ -286,8 +291,6 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token"))
     return (
         counts.withColumn("rank", F.row_number().over(w))
@@ -694,22 +697,29 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.col("n") * F.col("sxx").cast("double") - F.col("sx").cast(
         "double"
     ) * F.col("sx")
+    # d != 0 guard: a language with exactly ONE distinct token has
+    # x = ln(1) = 0 for its whole (1-row) vocab, so d = 0 — ANSI Spark
+    # raises DIVIDE_BY_ZERO even on doubles while the DuckDB twin yields
+    # NULL slope/intercept (r6 session-3 review); an OLS over one point
+    # is genuinely undefined, so NULL on both engines.
     return s.select(
         "lang",
         F.col("n").alias("n_vocab"),
-        (
+        F.when(
+            d != 0,
             (
                 F.col("n") * F.col("sxy").cast("double")
                 - F.col("sx").cast("double") * F.col("sy")
             )
-            / d
+            / d,
         ).alias("zipf_slope"),
-        (
+        F.when(
+            d != 0,
             (
                 F.col("sy").cast("double") * F.col("sxx")
                 - F.col("sx").cast("double") * F.col("sxy")
             )
-            / d
+            / d,
         ).alias("zipf_intercept_e3"),
     )
 
