@@ -28,7 +28,10 @@ from feature_generation_benchmark_spark.operators.joins import (
 from feature_generation_benchmark_spark.operators.sessionization import (
     session_stats,
 )
-from feature_generation_benchmark_spark.sources.testdata import load_table
+from feature_generation_benchmark_spark.sources.testdata import (
+    NS_PER_DAY as _NS_PER_DAY_HLL,
+    load_table,
+)
 from feature_generation_benchmark_spark.workloads import QueryDef
 
 MKT_SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
@@ -44,8 +47,9 @@ def _cents(col: str) -> Column:
     return F.round(F.col(col) * F.lit(100), 0)
 
 
-def _pct(col: str) -> Column:
-    return F.round(F.col(col) * F.lit(100), 0)
+#: Same operation as _cents (×100, round) — alias, not a copy, so the
+#: scaling rule has one definition (r6 session-3 review).
+_pct = _cents
 
 
 # --------------------------------------------------------------------------
@@ -53,50 +57,63 @@ def _pct(col: str) -> Column:
 # --------------------------------------------------------------------------
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 with EXACT integer accumulation: the per-row terms are
+    cast to long/decimal BEFORE the sums, so every sum is exact and
+    order-free at ANY scale, then deterministically cast to double on
+    output (identical IEEE round-to-nearest on both engines). The
+    previous double-sum form was exact only while group sums stayed
+    under 2^53 — sum_charge_e6 (~3.75e10/row) crosses that around sf0.5
+    and the hash gate would start failing nondeterministically (r6
+    session-3 review). charge accumulates in decimal(38,0): its sum
+    passes int64 around sf30."""
     li = load_table(spark, sf_dir, "lineitem")
     d = li.filter(F.col("l_shipdate") < _ts_ntz("1998-09-03")).select(
         "l_returnflag",
         "l_linestatus",
-        F.col("l_quantity").alias("qty"),
-        _cents("l_extendedprice").alias("price_cents"),
-        _pct("l_discount").alias("disc_pct"),
-        _pct("l_tax").alias("tax_pct"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        _cents("l_extendedprice").cast("long").alias("price_cents"),
+        _pct("l_discount").cast("long").alias("disc_pct"),
+        _pct("l_tax").cast("long").alias("tax_pct"),
     )
+    charge = (
+        F.col("price_cents")
+        * (F.lit(100) - F.col("disc_pct"))
+        * (F.lit(100) + F.col("tax_pct"))
+    ).cast("decimal(20,0)")
+    n = F.count(F.lit(1))
     return d.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum("qty").alias("sum_qty"),
-        F.sum("price_cents").alias("sum_base_price_cents"),
-        F.sum(F.col("price_cents") * (F.lit(100) - F.col("disc_pct"))).alias(
-            "sum_disc_price_e4"
-        ),
-        F.sum(
-            F.col("price_cents")
-            * (F.lit(100) - F.col("disc_pct"))
-            * (F.lit(100) + F.col("tax_pct"))
-        ).alias("sum_charge_e6"),
-        F.avg("qty").alias("avg_qty"),
-        F.avg("price_cents").alias("avg_price_cents"),
-        F.avg("disc_pct").alias("avg_disc_pct"),
-        F.count(F.lit(1)).alias("count_order"),
+        F.sum("qty").cast("double").alias("sum_qty"),
+        F.sum("price_cents").cast("double").alias("sum_base_price_cents"),
+        F.sum(F.col("price_cents") * (F.lit(100) - F.col("disc_pct")))
+        .cast("double")
+        .alias("sum_disc_price_e4"),
+        F.sum(charge).cast("double").alias("sum_charge_e6"),
+        (F.sum("qty").cast("double") / n).alias("avg_qty"),
+        (F.sum("price_cents").cast("double") / n).alias("avg_price_cents"),
+        (F.sum("disc_pct").cast("double") / n).alias("avg_disc_pct"),
+        n.cast("long").alias("count_order"),
     )
 
 
 _Q1_ORACLE = """
 WITH d AS (
-  SELECT l_returnflag, l_linestatus, l_quantity AS qty,
-         round(l_extendedprice*100) AS price_cents,
-         round(l_discount*100) AS disc_pct,
-         round(l_tax*100) AS tax_pct
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents,
+         CAST(round(l_discount*100) AS BIGINT) AS disc_pct,
+         CAST(round(l_tax*100) AS BIGINT) AS tax_pct
   FROM lineitem
   WHERE l_shipdate < TIMESTAMP '1998-09-03'
 )
 SELECT l_returnflag, l_linestatus,
-  sum(qty) AS sum_qty,
-  sum(price_cents) AS sum_base_price_cents,
-  sum(price_cents*(100-disc_pct)) AS sum_disc_price_e4,
-  sum(price_cents*(100-disc_pct)*(100+tax_pct)) AS sum_charge_e6,
-  avg(qty) AS avg_qty,
-  avg(price_cents) AS avg_price_cents,
-  avg(disc_pct) AS avg_disc_pct,
+  CAST(sum(qty) AS DOUBLE) AS sum_qty,
+  CAST(sum(price_cents) AS DOUBLE) AS sum_base_price_cents,
+  CAST(sum(price_cents*(100-disc_pct)) AS DOUBLE) AS sum_disc_price_e4,
+  CAST(sum(CAST(price_cents AS HUGEINT)*(100-disc_pct)*(100+tax_pct))
+       AS DOUBLE) AS sum_charge_e6,
+  CAST(sum(qty) AS DOUBLE) / count(*) AS avg_qty,
+  CAST(sum(price_cents) AS DOUBLE) / count(*) AS avg_price_cents,
+  CAST(sum(disc_pct) AS DOUBLE) / count(*) AS avg_disc_pct,
   CAST(count(*) AS BIGINT) AS count_order
 FROM d GROUP BY l_returnflag, l_linestatus
 """
@@ -697,7 +714,10 @@ def approx_users_per_type_check(
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", "user_id", _cents("value").alias("cents")
     )
-    est = approx_users_per_type(spark, sf_dir)
+    # lazy localCheckpoint (the kmeans idiom): est feeds BOTH the rank
+    # join and the final projection — without the cut the full-scan
+    # sketch aggregate runs twice per gate run (r6 session-3 review)
+    est = approx_users_per_type(spark, sf_dir).localCheckpoint(eager=False)
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users")
     )
@@ -1228,7 +1248,11 @@ QUERIES.append(
 # built-in session_window — verified against first-principles islands (r2)
 # --------------------------------------------------------------------------
 
-_SESSION_GAP_US = 30 * 60 * 1_000_000
+#: Single source for BOTH the plan's session_window duration string
+#: and the oracle's gap constant (r6 session-3 review: a hard-coded
+#: '30 minutes' literal next to this constant could silently desync).
+_SESSION_GAP_US = _GAP_US  # one 30-min gap rule for all 3 variants
+_SESSION_GAP_STR = f"{_SESSION_GAP_US // 60_000_000} minutes"
 
 
 def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1244,7 +1268,7 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         ev.select("user_id", ts.alias("ts"), _cents("value").alias("vc"))
         .groupBy(
-            F.session_window("ts", "30 minutes").alias("sw"), F.col("user_id")
+            F.session_window("ts", _SESSION_GAP_STR).alias("sw"), F.col("user_id")
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -1340,7 +1364,6 @@ QUERIES.append(
 )
 
 
-_NS_PER_DAY_HLL = 86_400 * 10**9
 
 
 def hll_users_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
