@@ -82,7 +82,11 @@ def read_table(
         reader = reader.option("header", "true")
     if schema is not None:
         reader = reader.schema(schema)
-    elif fmt in ("csv", "json"):
+    elif fmt == "csv":
+        # whole-dataset inference scan — acceptable only as the explicit
+        # schema-less fallback the docstring warns about. (JSON infers by
+        # default; the 'inferSchema' option is CSV-only and was a silent
+        # no-op on the JSON branch — r6 session-3 review.)
         reader = reader.option("inferSchema", "true")
     for k, v in options.items():
         reader = reader.option(k, v)
@@ -243,10 +247,26 @@ def write_zordered_parquet(
     outliers clamp to the edge buckets, which only pads the two extreme
     cells' stats.
     """
+    if "__z" in df.columns:
+        # withColumn would silently overwrite (and the final drop remove)
+        # the user's data — refuse loudly (r6 session-3 review)
+        raise ValueError(
+            "write_zordered_parquet: input already has a '__z' column — "
+            "rename it before writing"
+        )
     qs = df.stat.approxQuantile(cols, [quantile_error, 1 - quantile_error], 0.001)
     # constant / heavily-skewed columns collapse to lo == hi: widen so the
-    # column degrades to a constant bit-plane instead of aborting the write
-    bounds = [(lo, hi if hi > lo else lo + 1.0) for lo, hi in qs]
+    # column degrades to a constant bit-plane instead of aborting the
+    # write. approxQuantile returns [] (not [lo, hi]) for an all-NULL
+    # column or an empty frame — same degenerate-column treatment, with
+    # the column named instead of an opaque unpack error.
+    bounds = []
+    for c, q in zip(cols, qs):
+        if len(q) == 2:
+            lo, hi = q
+            bounds.append((lo, hi if hi > lo else lo + 1.0))
+        else:
+            bounds.append((0.0, 1.0))  # all-NULL column: constant plane
     z = zorder_value(cols, bounds, bits=bits)
     zdf = df.withColumn("__z", z)
     ranged = (

@@ -434,28 +434,40 @@ def dedup_minhash_lsh_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", n=3, threshold=_JACCARD_T, prefix_filter=True
     ).select("id_a", "id_b", F.col("jaccard").alias("j_exact"))
     both = exact.join(lsh, ["id_a", "id_b"], "full_outer")
+    # coalesce every sum: on a corpus with ZERO near-dup pairs the join
+    # is empty and sum-over-no-rows is NULL, so NULL == 0 turned all
+    # three ok-flags NULL while the oracle hardcodes 0/TRUE — a false
+    # gate red on a correct pipeline (r6 session-3 review).
+    z = F.lit(0)
     return both.agg(
-        F.sum(F.col("j_exact").isNotNull().cast("long")).alias(
-            "n_exact_pairs"
-        ),
+        F.coalesce(
+            F.sum(F.col("j_exact").isNotNull().cast("long")), z
+        ).alias("n_exact_pairs"),
         (
-            F.sum(F.col("j_exact").isNull().cast("long")) == 0
+            F.coalesce(F.sum(F.col("j_exact").isNull().cast("long")), z)
+            == 0
         ).alias("precision_ok_extra"),
         (
-            F.sum(
-                (
-                    F.col("j_lsh").isNotNull()
-                    & (F.abs(F.col("j_lsh") - F.col("j_exact")) > 1e-12)
-                ).cast("long")
+            F.coalesce(
+                F.sum(
+                    (
+                        F.col("j_lsh").isNotNull()
+                        & (F.abs(F.col("j_lsh") - F.col("j_exact")) > 1e-12)
+                    ).cast("long")
+                ),
+                z,
             )
             == 0
         ).alias("precision_ok_values"),
         (
-            F.sum(
-                (
-                    (F.col("j_exact") >= _MINHASH_HIGH_SIM)
-                    & F.col("j_lsh").isNull()
-                ).cast("long")
+            F.coalesce(
+                F.sum(
+                    (
+                        (F.col("j_exact") >= _MINHASH_HIGH_SIM)
+                        & F.col("j_lsh").isNull()
+                    ).cast("long")
+                ),
+                z,
             )
             == 0
         ).alias("high_sim_recall_ok"),
@@ -601,8 +613,13 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") != F.col("canonical"))
         .select(F.col("doc_id").alias("src"), F.col("canonical").alias("dst"))
     )
+    # prefix_filter=True: identical pair set (same oracle), bounded
+    # candidate cost — the clusters pipeline previously inherited the
+    # naive inverted-index self-join the file itself labels quadratic on
+    # hot shingles (r6 session-3 review; the naive baseline stays served
+    # as dedup_ngram_jaccard_naive).
     jacc_edges = ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=_JACCARD_T, prefix_filter=False
+        docs, "doc_id", "text", n=3, threshold=_JACCARD_T, prefix_filter=True
     ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     comps = connected_components(exact_edges.union(jacc_edges))
     return comps.select(F.col("id").alias("doc_id"), "component")

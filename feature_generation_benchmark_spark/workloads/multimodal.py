@@ -17,7 +17,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from feature_generation_benchmark_spark.operators.multimodal import (
-    attach_media_meta,
     extract_media_features,
     frame_sample_plan,
     resize_media,
@@ -28,10 +27,16 @@ from feature_generation_benchmark_spark.workloads import QueryDef
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    blobs = docs.select(
+    # NULL text -> NULL blob: excluded on BOTH engines (the operator maps
+    # drop NULL blobs; oracles carry the same WHERE) - r6 session-3 review
+    blobs = docs.filter(F.col("text").isNotNull()).select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("blob")
     )
-    blobs = attach_media_meta(blobs, "blob", "image", "raw")
+    # (attach_media_meta was called here historically but its meta
+    # struct never reached the output — extract_media_features
+    # projects to (id, blob) and recomputes n_bytes/media_type; the
+    # typed-metadata surface stays covered by tests/test_multimodal
+    # via the operator API — r6 session-3 review, dead-code removal)
     feats = extract_media_features(blobs, "doc_id", "blob")
     # driver-facing projection: arrays don't survive the driver's pandas
     # canonicalizer (sort_values on list cells) — expose the vector's dim
@@ -50,7 +55,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    blobs = docs.select(
+    # NULL text -> NULL blob: excluded on BOTH engines (the operator maps
+    # drop NULL blobs; oracles carry the same WHERE) - r6 session-3 review
+    blobs = docs.filter(F.col("text").isNotNull()).select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("blob")
     )
     resized = resize_media(blobs, "doc_id", "blob", target_w=32, target_h=32)
@@ -77,7 +84,7 @@ WITH h AS (
   SELECT doc_id,
          octet_length(encode(text)) AS n_bytes,
          sha256(text) AS hex
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ), b AS (
   SELECT *,
          {_HEXB.format(hi=1, lo=2)} AS b0,
@@ -97,7 +104,9 @@ FROM b
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    blobs = docs.select(
+    # NULL text -> NULL blob: excluded on BOTH engines (the operator maps
+    # drop NULL blobs; oracles carry the same WHERE) - r6 session-3 review
+    blobs = docs.filter(F.col("text").isNotNull()).select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("blob")
     )
     sampled = frame_sample_plan(blobs, "doc_id", "blob", every_n=10)
@@ -115,6 +124,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FRAME_SAMPLE_ORACLE = f"""
 WITH h AS (
   SELECT doc_id, sha256(text) AS hex FROM documents
+  WHERE text IS NOT NULL
 ), b AS (
   SELECT doc_id, hex,
          1 + ({_HEXB.format(hi=5, lo=6)}) % 64 AS n_frames
@@ -131,7 +141,7 @@ SELECT doc_id,
   CAST(32 AS INT) AS width,
   CAST(32 AS INT) AS height,
   CAST(32 * 32 AS BIGINT) AS resized_bytes
-FROM documents
+FROM documents WHERE text IS NOT NULL
 """
 
 QUERIES = [
@@ -191,7 +201,9 @@ def multimodal_real_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    narrow = docs.select(
+    # NULL text excluded (same contract as the other multimodal queries;
+    # bytes(None) would abort the worker) - r6 session-3 review
+    narrow = docs.filter(F.col("text").isNotNull()).select(
         "source", F.encode(F.col("text"), "UTF-8").alias("blob")
     )
 
@@ -248,6 +260,7 @@ WITH bytes AS (
               ELSE 0 END AS b
   FROM documents,
        unnest(generate_series(1, {_PIX_N})) AS u(i)
+  WHERE text IS NOT NULL
 )
 SELECT source,
        CAST(count(*) // {_PIX_N} AS BIGINT) AS n_docs,

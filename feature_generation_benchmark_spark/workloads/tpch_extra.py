@@ -30,8 +30,15 @@ from feature_generation_benchmark_spark.workloads.relational import (
 
 
 def _rev_e4() -> "F.Column":
-    """price_cents × (100 − disc_pct): exact integer-valued double."""
-    return _cents("l_extendedprice") * (F.lit(100) - _pct("l_discount"))
+    """price_cents × (100 − disc_pct) as LONG — summed exactly at any
+    scale. Double sums of integer-valued doubles lose exactness past
+    2^53 (~sf4 for corpus-wide revenue totals; r6 session-3 review, the
+    relational.py q1 discipline); aggregated outputs cast back to double
+    so result schemas are unchanged, and a long sum raises loudly on
+    int64 overflow (~sf2000) instead of drifting silently."""
+    return (
+        _cents("l_extendedprice") * (F.lit(100) - _pct("l_discount"))
+    ).cast("long")
 
 
 # --------------------------------------------------------------------------
@@ -66,7 +73,11 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer is CORPUS-dim (~150k rows × sf): no explicit broadcast
+        # hint — the 100× probe OOM'd the driver on forced corpus-dim
+        # broadcasts (operators/dedup.py precedent); AQE broadcasts from
+        # runtime stats while it fits (r6 session-3 review)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), supp.s_nationkey == n1.s_nk)
         .join(F.broadcast(n2), cust.c_nationkey == n2.c_nk)
         .select(
@@ -77,7 +88,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return joined.groupBy("supp_nation", "cust_nation", "l_year").agg(
-        F.sum("rev_e4").alias("revenue_e4"),
+        F.sum("rev_e4").cast("double").alias("revenue_e4"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
@@ -85,7 +96,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q7_ORACLE = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
   CAST(year(l_shipdate) AS INT) AS l_year,
-  sum(round(l_extendedprice*100) * (100 - round(l_discount*100)))
+  CAST(sum(CAST(round(l_extendedprice*100) AS HUGEINT) * CAST(100 - round(l_discount*100) AS HUGEINT)) AS DOUBLE)
     AS revenue_e4,
   CAST(count(*) AS BIGINT) AS n_lines
 FROM lineitem
@@ -126,20 +137,23 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").alias("l_year"),
             (
                 _rev_e4()
-                - F.col("l_quantity") * _cents("p_retailprice") * F.lit(100)
+                - F.col("l_quantity").cast("long")
+                * _cents("p_retailprice").cast("long")
+                * F.lit(100)
             ).alias("profit_e4"),
         )
     )
     return profit.groupBy("nation", "l_year").agg(
-        F.sum("profit_e4").alias("profit_e4"),
+        F.sum("profit_e4").cast("double").alias("profit_e4"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
 
 _Q9_ORACLE = """
 SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS l_year,
-  sum(round(l_extendedprice*100) * (100 - round(l_discount*100))
-      - l_quantity * round(p_retailprice*100) * 100) AS profit_e4,
+  CAST(sum(CAST(round(l_extendedprice*100) AS HUGEINT) * CAST(100 - round(l_discount*100) AS HUGEINT)
+      - CAST(l_quantity AS HUGEINT) * CAST(round(p_retailprice*100) AS HUGEINT)
+        * 100) AS DOUBLE) AS profit_e4,
   CAST(count(*) AS BIGINT) AS n_lines
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
@@ -206,9 +220,10 @@ def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         _rev_e4().alias("rev_e4"),
     )
     agg = j.agg(
-        F.sum(F.when(F.col("is_promo"), F.col("rev_e4")).otherwise(F.lit(0.0)))
+        F.sum(F.when(F.col("is_promo"), F.col("rev_e4")).otherwise(F.lit(0)))
+        .cast("double")
         .alias("promo_rev_e4"),
-        F.sum("rev_e4").alias("total_rev_e4"),
+        F.sum("rev_e4").cast("double").alias("total_rev_e4"),
     )
     return agg.select(
         "promo_rev_e4",
@@ -220,10 +235,10 @@ def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q14_ORACLE = """
 WITH a AS (
   SELECT
-    sum(CASE WHEN p_type = 'PROMO'
-        THEN round(l_extendedprice*100) * (100 - round(l_discount*100))
-        ELSE 0 END) AS promo_rev_e4,
-    sum(round(l_extendedprice*100) * (100 - round(l_discount*100)))
+    CAST(sum(CASE WHEN p_type = 'PROMO'
+        THEN CAST(round(l_extendedprice*100) AS HUGEINT) * CAST(100 - round(l_discount*100) AS HUGEINT)
+        ELSE 0 END) AS DOUBLE) AS promo_rev_e4,
+    CAST(sum(CAST(round(l_extendedprice*100) AS HUGEINT) * CAST(100 - round(l_discount*100) AS HUGEINT)) AS DOUBLE)
       AS total_rev_e4
   FROM lineitem JOIN part ON l_partkey = p_partkey
   WHERE l_shipdate >= TIMESTAMP '1997-09-01'
@@ -256,21 +271,25 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.join(F.broadcast(mx), rev.total_rev_e4 == mx.max_rev_e4)
         .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
-        .select("s_suppkey", "s_name", "total_rev_e4")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev_e4").cast("double").alias("total_rev_e4"),
+        )
     )
 
 
 _Q15_ORACLE = """
 WITH rev AS (
   SELECT l_suppkey,
-    sum(round(l_extendedprice*100) * (100 - round(l_discount*100)))
+    sum(CAST(round(l_extendedprice*100) AS HUGEINT) * CAST(100 - round(l_discount*100) AS HUGEINT))
       AS total_rev_e4
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01'
     AND l_shipdate <  TIMESTAMP '1997-07-01'
   GROUP BY l_suppkey
 )
-SELECT s_suppkey, s_name, total_rev_e4
+SELECT s_suppkey, s_name, CAST(total_rev_e4 AS DOUBLE) AS total_rev_e4
 FROM rev JOIN supplier ON l_suppkey = s_suppkey
 WHERE total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)
 """
@@ -338,7 +357,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(big, orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer is CORPUS-dim: no explicit broadcast hint (see q7 note)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey",
             "c_name",
@@ -401,14 +421,14 @@ def q19_disjunct_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.filter(cond).agg(
-        F.sum(_rev_e4()).alias("revenue_e4"),
+        F.sum(_rev_e4()).cast("double").alias("revenue_e4"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
 
 _Q19_ORACLE = """
 SELECT
-  sum(round(l_extendedprice*100) * (100 - round(l_discount*100)))
+  CAST(sum(CAST(round(l_extendedprice*100) AS HUGEINT) * CAST(100 - round(l_discount*100) AS HUGEINT)) AS DOUBLE)
     AS revenue_e4,
   CAST(count(*) AS BIGINT) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -659,7 +679,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust_in_region), orders.o_custkey == F.col("c_custkey"))
+        # customer-in-region is CORPUS-dim: no explicit broadcast hint
+        # (see q7 note) — AQE decides from runtime stats
+        .join(cust_in_region, orders.o_custkey == F.col("c_custkey"))
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .select(
             "o_year",
@@ -668,9 +690,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     agg = j.groupBy("o_year").agg(
-        F.sum(F.when(F.col("is_target"), F.col("rev_e4")).otherwise(F.lit(0.0)))
+        F.sum(F.when(F.col("is_target"), F.col("rev_e4")).otherwise(F.lit(0)))
+        .cast("double")
         .alias("target_rev_e4"),
-        F.sum("rev_e4").alias("total_rev_e4"),
+        F.sum("rev_e4").cast("double").alias("total_rev_e4"),
     )
     return agg.select(
         "o_year",
@@ -683,7 +706,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q8_ORACLE = """
 WITH j AS (
   SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-         round(l_extendedprice*100) * (100 - round(l_discount*100)) AS rev_e4,
+         CAST(round(l_extendedprice*100) AS HUGEINT) * CAST(100 - round(l_discount*100) AS HUGEINT) AS rev_e4,
          (s_nationkey = 3) AS is_target
   FROM lineitem
   JOIN part     ON l_partkey = p_partkey
@@ -695,9 +718,11 @@ WITH j AS (
   WHERE p_type = 'STANDARD' AND r_name = 'AMERICA'
 )
 SELECT o_year,
-  sum(CASE WHEN is_target THEN rev_e4 ELSE 0 END) AS target_rev_e4,
-  sum(rev_e4) AS total_rev_e4,
-  sum(CASE WHEN is_target THEN rev_e4 ELSE 0 END) / sum(rev_e4)
+  CAST(sum(CASE WHEN is_target THEN rev_e4 ELSE 0 END) AS DOUBLE)
+    AS target_rev_e4,
+  CAST(sum(rev_e4) AS DOUBLE) AS total_rev_e4,
+  CAST(sum(CASE WHEN is_target THEN rev_e4 ELSE 0 END) AS DOUBLE)
+    / CAST(sum(rev_e4) AS DOUBLE)
     AS mkt_share
 FROM j GROUP BY o_year
 """
@@ -717,21 +742,28 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_part = li.groupBy("l_partkey").agg(F.sum("rev_e4").alias("value_e4"))
     total = per_part.agg(F.sum("value_e4").alias("total_e4"))
+    # threshold arithmetic in decimal: value_e4 × 10000 passes int64 at
+    # scale (ANSI would raise); decimal keeps the comparison exact
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("value_e4") * 10000 > F.col("total_e4") * 5)
-        .select("l_partkey", "value_e4")
+        .filter(
+            F.col("value_e4").cast("decimal(38,0)") * 10000
+            > F.col("total_e4").cast("decimal(38,0)") * 5
+        )
+        .select(
+            "l_partkey", F.col("value_e4").cast("double").alias("value_e4")
+        )
     )
 
 
 _Q11_ORACLE = """
 WITH per_part AS (
   SELECT l_partkey,
-    sum(round(l_extendedprice*100) * (100 - round(l_discount*100)))
+    sum(CAST(round(l_extendedprice*100) AS HUGEINT) * CAST(100 - round(l_discount*100) AS HUGEINT))
       AS value_e4
   FROM lineitem GROUP BY l_partkey
 )
-SELECT l_partkey, value_e4
+SELECT l_partkey, CAST(value_e4 AS DOUBLE) AS value_e4
 FROM per_part
 WHERE value_e4 * 10000 > (SELECT sum(value_e4) * 5 FROM per_part)
 """
@@ -914,9 +946,7 @@ def price_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").cast("date"),
             F.lit("1970-01-01").cast("date"),
         ).cast("long").alias("day"),
-        F.round(F.col("o_totalprice") * F.lit(100), 0)
-        .cast("long")
-        .alias("cents"),
+        _cents("o_totalprice").cast("long").alias("cents"),
     )
     daily = (
         orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
@@ -998,13 +1028,12 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.col("o_totalprice") * F.lit(100), 0)
-        .cast("long")
-        .alias("cents"),
+        _cents("o_totalprice").cast("long").alias("cents"),
     )
     w = Window.partitionBy("segment").orderBy("cents", "o_orderkey")
     ranked = (
-        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        # customer is CORPUS-dim: no explicit broadcast hint (see q7 note)
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
         .select("segment", "cents", F.row_number().over(w).alias("i"))
     )
     s = ranked.groupBy("segment").agg(
