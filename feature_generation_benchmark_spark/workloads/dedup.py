@@ -621,7 +621,14 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     jacc_edges = ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=_JACCARD_T, prefix_filter=True
     ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    comps = connected_components(exact_edges.union(jacc_edges))
+    # EAGER checkpoint before the star-contraction loop: the first
+    # iteration's self-joins would otherwise re-embed the whole
+    # prefix-Jaccard plan several times and run its AQE broadcasts
+    # concurrently — observed OOMing a default-memory driver in a long
+    # gate session. Materialized once, the loop iterates a tiny
+    # (src, dst) table.
+    edges = exact_edges.union(jacc_edges).localCheckpoint(eager=True)
+    comps = connected_components(edges)
     return comps.select(F.col("id").alias("doc_id"), "component")
 
 
