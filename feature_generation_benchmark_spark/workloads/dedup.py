@@ -15,7 +15,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from feature_generation_benchmark_spark.functions.textfns import fingerprint_md5
+from feature_generation_benchmark_spark.functions.textfns import (
+    fingerprint_md5,
+    tokens,
+)
 from feature_generation_benchmark_spark.operators.clustering import (
     connected_components,
 )
@@ -487,6 +490,159 @@ WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= {_JACCARD_T}
 """
 
 
+#: token-count eligibility for a doc to produce 3-gram shingles (and so
+#: to be representable by a minhash signature at all) — mirrors the
+#: ``len(toks) >= 3`` guard inside the oracle's shingle CTE.
+_MIN_SHINGLE_TOKS = 3
+
+#: Planted-clone parameters for the gated raw dedup entries: every doc
+#: with ``doc_id % _CLONE_MOD == 0`` is re-emitted verbatim under
+#: ``doc_id + _CLONE_OFFSET``, so byte-identical pairs EXIST at every
+#: scale (the synthetic corpus has none at the sf0.001/0.01 gate scales
+#: — without planting, the recall anchor would be vacuously green).
+#: Both engines derive the clones from the same table with the same
+#: arithmetic, so the anchor stays cross-engine deterministic.
+_CLONE_MOD = 31
+_CLONE_OFFSET = 1_000_000_000
+
+
+def _with_planted_clones(docs: DataFrame) -> DataFrame:
+    clones = docs.filter(
+        F.col("doc_id") % _CLONE_MOD == 0
+    ).select(
+        (F.col("doc_id") + F.lit(_CLONE_OFFSET)).alias("doc_id"), "text"
+    )
+    return docs.select("doc_id", "text").unionByName(clones)
+
+
+def _exact_dup_pairs(corpus: DataFrame, min_toks: int) -> DataFrame:
+    """(id_a, id_b) pairs of byte-identical documents that are ELIGIBLE
+    for the hashed pipeline under test (≥ ``min_toks`` tokens — docs too
+    short to shingle/simhash can never appear in its output). Identical
+    text ⇒ identical shingle/token multisets ⇒ the pipeline must emit
+    the pair deterministically; this is the cheap in-plan recall anchor
+    the gated raw entries hash cross-engine."""
+    fp = corpus.filter(
+        F.size(tokens("text")) >= min_toks
+    ).select("doc_id", F.md5("text").alias("__f"))
+    a = fp.select(F.col("doc_id").alias("id_a"), "__f")
+    b = fp.select(F.col("doc_id").alias("id_b"), "__f")
+    return (
+        a.join(b, "__f")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+
+
+def _exact_dup_cte(min_toks: int) -> str:
+    return f"""corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_CLONE_OFFSET}, text FROM documents
+  WHERE doc_id % {_CLONE_MOD} = 0
+),
+eligible AS (
+  SELECT doc_id, md5(text) AS f FROM corpus
+  WHERE len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+            x -> x <> '')) >= {min_toks}
+),
+dp AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM eligible a JOIN eligible b ON a.f = b.f AND a.doc_id < b.doc_id
+)"""
+
+
+def dedup_minhash_lsh_raw_gated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hash-gated form of the PRODUCTION xxhash64 MinHash-LSH pipeline
+    (r6 verdict #1 — zero ``no_oracle`` rows): runs the identical
+    :func:`dedup_minhash_lsh` plan end-to-end (signatures → banding →
+    candidates → exact-Jaccard verify), then folds the pair list into
+    cross-engine facts + in-plan invariants instead of serving the
+    banding-dependent pair set raw:
+
+    - ``n_docs`` / ``n_exact_dup_pairs`` — exact (DuckDB recomputes);
+    - ``exact_dups_caught_ok`` — every byte-identical eligible pair is
+      in the output with jaccard == 1 (identical docs have identical
+      signatures, so all 16 bands collide deterministically — a miss
+      means broken signatures/banding/verify, not LSH noise). The
+      corpus is documents + ~3% planted verbatim clones
+      (``_with_planted_clones``) so this anchor is NON-vacuous at every
+      scale — the synthetic corpus has no byte-identical pairs at the
+      gate scales;
+    - ``pairs_ge_threshold_ok`` / ``pairs_canonical_ok`` — the verify
+      filter and (a<b, distinct) pair contract held.
+
+    The full recall/precision gate vs the exact AllPairs set lives in
+    the ``dedup_minhash_lsh`` check twin; the cross-engine value gate
+    on an identically-shaped pipeline is ``dedup_minhash_md5``."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = _with_planted_clones(docs)
+    # lazy localCheckpoint: the pair list feeds two aggregates below —
+    # without the cut the whole LSH pipeline would run twice
+    xx = minhash_dedup_pairs(
+        corpus,
+        "doc_id",
+        "text",
+        n=3,
+        num_perm=64,
+        bands=16,
+        threshold=_JACCARD_T,
+    ).localCheckpoint(eager=False)
+    dup = _exact_dup_pairs(corpus, _MIN_SHINGLE_TOKS)
+    z = F.lit(0)
+    caught = dup.join(xx, ["id_a", "id_b"], "left").agg(
+        F.coalesce(F.count(F.lit(1)), z).alias("n_exact_dup_pairs"),
+        F.coalesce(
+            F.sum(
+                (
+                    F.col("jaccard").isNull()
+                    | (F.abs(F.col("jaccard") - 1.0) > 1e-12)
+                ).cast("long")
+            ),
+            z,
+        ).alias("__n_missed"),
+    )
+    contract = xx.agg(
+        F.coalesce(
+            F.sum((F.col("jaccard") < _JACCARD_T - 1e-12).cast("long")), z
+        ).alias("__n_below_t"),
+        F.coalesce(
+            F.sum((F.col("id_a") >= F.col("id_b")).cast("long")), z
+        ).alias("__n_disordered"),
+        F.count(F.lit(1)).alias("__n_pairs"),
+        F.countDistinct("id_a", "id_b").alias("__n_pairs_distinct"),
+    )
+    return (
+        docs.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(F.broadcast(caught))
+        .crossJoin(F.broadcast(contract))
+        .select(
+            "n_docs",
+            "n_exact_dup_pairs",
+            (F.col("__n_missed") == 0).alias("exact_dups_caught_ok"),
+            (F.col("__n_below_t") == 0).alias("pairs_ge_threshold_ok"),
+            (
+                (F.col("__n_disordered") == 0)
+                & (F.col("__n_pairs") == F.col("__n_pairs_distinct"))
+            ).alias("pairs_canonical_ok"),
+        )
+    )
+
+
+_MINHASH_RAW_ORACLE = f"""
+WITH {_exact_dup_cte(_MIN_SHINGLE_TOKS)}
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+  CAST(count(*) AS BIGINT) AS n_exact_dup_pairs,
+  TRUE AS exact_dups_caught_ok,
+  TRUE AS pairs_ge_threshold_ok,
+  TRUE AS pairs_canonical_ok
+FROM dp
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dup_pairs(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
@@ -575,6 +731,82 @@ WHERE {hamming} <= 3
 
 
 _SIMHASH_MD5_ORACLE = _simhash_md5_oracle()
+
+
+def dedup_simhash_raw_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated form of the PRODUCTION xxhash64 SimHash pipeline (r6
+    verdict #1): runs the identical :func:`dedup_simhash` plan
+    (bit-vote → 16-bit banding → pigeonhole candidates → hamming
+    verify), folded into cross-engine facts + in-plan invariants:
+
+    - ``n_docs`` / ``n_exact_dup_pairs`` — exact (DuckDB recomputes;
+      eligibility is ≥1 token, matching the pipeline's zero-token
+      exclusion; corpus = documents + ~3% planted verbatim clones so
+      the anchor is non-vacuous at every scale);
+    - ``exact_dups_hamming0_ok`` — byte-identical eligible docs have
+      identical token multisets, hence identical bit votes under ANY
+      hash family, hence hamming 0 — a miss is pipeline breakage, not
+      hash noise;
+    - ``pairs_le_max_ok`` / ``pairs_canonical_ok`` — the hamming ≤ 3
+      filter and (a<b, distinct) pair contract held.
+
+    The cross-engine value gate on the identically-shaped pipeline is
+    ``dedup_simhash_md5`` (votes, banding and hamming all pinned)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = _with_planted_clones(docs)
+    xx = simhash_dup_pairs(
+        corpus, "doc_id", "text", max_hamming=3
+    ).localCheckpoint(eager=False)
+    dup = _exact_dup_pairs(corpus, 1)
+    z = F.lit(0)
+    caught = dup.join(xx, ["id_a", "id_b"], "left").agg(
+        F.coalesce(F.count(F.lit(1)), z).alias("n_exact_dup_pairs"),
+        F.coalesce(
+            F.sum(
+                (
+                    F.col("hamming").isNull() | (F.col("hamming") != 0)
+                ).cast("long")
+            ),
+            z,
+        ).alias("__n_missed"),
+    )
+    contract = xx.agg(
+        F.coalesce(
+            F.sum((F.col("hamming") > 3).cast("long")), z
+        ).alias("__n_over_max"),
+        F.coalesce(
+            F.sum((F.col("id_a") >= F.col("id_b")).cast("long")), z
+        ).alias("__n_disordered"),
+        F.count(F.lit(1)).alias("__n_pairs"),
+        F.countDistinct("id_a", "id_b").alias("__n_pairs_distinct"),
+    )
+    return (
+        docs.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(F.broadcast(caught))
+        .crossJoin(F.broadcast(contract))
+        .select(
+            "n_docs",
+            "n_exact_dup_pairs",
+            (F.col("__n_missed") == 0).alias("exact_dups_hamming0_ok"),
+            (F.col("__n_over_max") == 0).alias("pairs_le_max_ok"),
+            (
+                (F.col("__n_disordered") == 0)
+                & (F.col("__n_pairs") == F.col("__n_pairs_distinct"))
+            ).alias("pairs_canonical_ok"),
+        )
+    )
+
+
+_SIMHASH_RAW_ORACLE = f"""
+WITH {_exact_dup_cte(1)}
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+  CAST(count(*) AS BIGINT) AS n_exact_dup_pairs,
+  TRUE AS exact_dups_hamming0_ok,
+  TRUE AS pairs_le_max_ok,
+  TRUE AS pairs_canonical_ok
+FROM dp
+"""
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -760,11 +992,14 @@ QUERIES = [
              "MinHash-LSH (xxhash64 production path) hash-gated on "
              "precision + high-sim recall vs the exact Jaccard pair set",
              bench=False),
-    # raw production pipeline stays served for users/bench under its own
-    # name (rows-only: banding candidates are hash-family-specific)
-    QueryDef("dedup_minhash_lsh_raw", dedup_minhash_lsh, None,
+    # raw production pipeline stays served + benched, now hash-gated on
+    # exact-dup recall + pair-contract invariants (r7: zero no_oracle
+    # rows; raw pair output remains available via minhash_dedup_pairs)
+    QueryDef("dedup_minhash_lsh_raw", dedup_minhash_lsh_raw_gated,
+             _MINHASH_RAW_ORACLE,
              "MinHash signatures + banded LSH candidates + exact verify "
-             "(raw pair output)"),
+             "(production xxhash64 pipeline, hash-gated on exact-dup "
+             "catch + threshold/canonical pair contract)"),
     # bench=False: correctness twin of dedup_minhash_lsh on the md5 hash
     # family (the only 128-bit hash Spark and DuckDB compute identically);
     # the xxhash64 production path above is the one benchmarked.
@@ -777,8 +1012,13 @@ QUERIES = [
              _BLOOM_DECONTAM_ORACLE,
              "decontamination via a deterministic blocked Bloom filter "
              "(compact broadcast; no false negatives, bounded FPs)"),
-    QueryDef("dedup_simhash", dedup_simhash, None,
-             "SimHash near-dup pairs (hamming <= 3 via 16-bit bands)"),
+    # production xxhash64 simhash stays served + benched, hash-gated on
+    # exact-dup recall + pair-contract invariants (r7: zero no_oracle
+    # rows; raw pair output remains available via simhash_dup_pairs)
+    QueryDef("dedup_simhash", dedup_simhash_raw_gated, _SIMHASH_RAW_ORACLE,
+             "SimHash near-dup pipeline, hamming <= 3 via 16-bit bands "
+             "(production xxhash64 path, hash-gated on exact-dup "
+             "hamming-0 catch + max-hamming/canonical pair contract)"),
     # bench=False: correctness twin of dedup_simhash on the md5 hash family
     # (bit votes, band packing, candidates and hamming all oracle-checked);
     # the xxhash64 production path above is the one benchmarked.

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from feature_generation_benchmark_spark.sources.testdata import (
@@ -710,12 +710,21 @@ def kll_value_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"ts div {_NS_PER_DAY}").alias("day"),
         F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
     )
+    # day row counts and min/max ride in the same two aggregates as the
+    # sketches — exact scaffolding for the gated registry form
+    # (kll_value_sketch_rollup_raw), zero extra passes.
     day_sketches = ev.groupBy("event_type", "day").agg(
-        F.kll_sketch_agg_bigint("cents").alias("sk")
+        F.kll_sketch_agg_bigint("cents").alias("sk"),
+        F.count(F.lit(1)).alias("day_rows"),
+        F.min("cents").alias("day_min"),
+        F.max("cents").alias("day_max"),
     )
     merged = day_sketches.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_days"),
         F.kll_merge_agg_bigint("sk").alias("sk"),
+        F.sum("day_rows").alias("n_rows"),
+        F.min("day_min").alias("min_cents"),
+        F.max("day_max").alias("max_cents"),
     )
     return merged.select(
         "event_type",
@@ -727,6 +736,9 @@ def kll_value_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.kll_sketch_get_quantile_bigint("sk", F.lit(0.9)).alias(
             "p90_cents"
         ),
+        "n_rows",
+        "min_cents",
+        "max_cents",
     )
 
 
@@ -759,6 +771,15 @@ def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.theta_sketch_agg(
             F.when(F.col("event_type") == "error", F.col("user_id"))
         ).alias("sk_b"),
+        # exact per-side row counts in the SAME single-pass aggregate:
+        # scaffolding for the gated registry form
+        # (theta_audience_overlap_raw), zero extra scans.
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+            "__rows_a"
+        ),
+        F.sum((F.col("event_type") == "error").cast("long")).alias(
+            "__rows_b"
+        ),
     )
     return (
         pair
@@ -792,6 +813,8 @@ def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("est_a_only"),
+            F.coalesce(F.col("__rows_a"), F.lit(0)).alias("n_rows_a"),
+            F.coalesce(F.col("__rows_b"), F.lit(0)).alias("n_rows_b"),
         )
     )
 
@@ -810,7 +833,11 @@ def kll_value_sketch_rollup_check(
     means a broken merge, not sketch noise. The DuckDB oracle computes
     the same exact stats and literal TRUEs — the hash gates the BOUND
     without pinning sketch internals."""
-    est = kll_value_sketch_rollup(spark, sf_dir)
+    # prune the raw-gate scaffolding (n_rows/min/max): the rank join
+    # computes its own n_rows and the duplicate name would be ambiguous
+    est = kll_value_sketch_rollup(spark, sf_dir).select(
+        "event_type", "n_days", "n", "p50_cents", "p90_cents"
+    )
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
@@ -937,25 +964,146 @@ FROM pu
 """
 
 
+def kll_value_sketch_rollup_raw_gated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hash-gated form of the PRODUCTION KLL rollup (r6 verdict #1): the
+    plan is the identical day-sketch → merge pipeline of
+    :func:`kll_value_sketch_rollup` (day counts/min/max fold into the
+    same two aggregates), projected to exact scaffolding (n_days, n —
+    the sketch's item count is deterministic and must equal the true
+    row count, which the oracle recomputes) plus in-plan invariants on
+    the randomized quantile estimates: both inside [min, max], and
+    p90 ≥ p50 (one merged sketch answers both ranks — rank-monotone by
+    construction). The TIGHT ε-rank bound lives in the
+    ``kll_value_sketch_rollup`` check twin, whose exact rank-count side
+    costs a second scan this production entry must not pay."""
+    m = kll_value_sketch_rollup(spark, sf_dir)
+    return m.select(
+        "event_type",
+        "n_days",
+        "n",
+        (F.col("n") == F.col("n_rows")).alias("n_matches_exact"),
+        F.col("p50_cents").between(
+            F.col("min_cents"), F.col("max_cents")
+        ).alias("p50_in_range"),
+        F.col("p90_cents").between(
+            F.col("min_cents"), F.col("max_cents")
+        ).alias("p90_in_range"),
+        (F.col("p90_cents") >= F.col("p50_cents")).alias("p90_ge_p50"),
+    ).orderBy("event_type")
+
+
+_KLL_RAW_ORACLE = f"""
+SELECT event_type,
+  CAST(count(DISTINCT epoch_ns(ts) // {_NS_PER_DAY}) AS BIGINT) AS n_days,
+  CAST(count(*) AS BIGINT) AS n,
+  TRUE AS n_matches_exact,
+  TRUE AS p50_in_range,
+  TRUE AS p90_in_range,
+  TRUE AS p90_ge_p50
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def theta_audience_overlap_raw_gated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hash-gated form of the PRODUCTION theta set-algebra plan (r6
+    verdict #1): the identical single-pass conditional-sketch aggregate
+    of :func:`theta_audience_overlap` (per-side row counts fold into
+    the same agg), projected to exact scaffolding (n_rows_a/b — DuckDB
+    recomputes both) plus the sketch-algebra invariants every correct
+    theta implementation satisfies, with 5% slack for above-threshold
+    estimation noise: each side's estimate in [presence, 1.05·rows],
+    union within [0.95·max, 1.05·(a+b)], intersection ≤ 1.05·min, and
+    difference+intersection partitioning a. The exact-counts gate lives
+    in the ``theta_audience_overlap`` check twin, whose per-user
+    presence aggregate this production entry must not pay."""
+    est = theta_audience_overlap(spark, sf_dir)
+
+    def _hi(col: str) -> Column:
+        return F.col(col) + F.greatest(
+            F.lit(1), (F.lit(0.05) * F.col(col)).cast("long")
+        )
+
+    return est.select(
+        "type_a",
+        "type_b",
+        "n_rows_a",
+        "n_rows_b",
+        (
+            ((F.col("est_a") >= 1) == (F.col("n_rows_a") >= 1))
+            & (F.col("est_a") <= _hi("n_rows_a"))
+        ).alias("a_sane"),
+        (
+            ((F.col("est_b") >= 1) == (F.col("n_rows_b") >= 1))
+            & (F.col("est_b") <= _hi("n_rows_b"))
+        ).alias("b_sane"),
+        (
+            F.col("est_union")
+            >= (
+                F.lit(0.95) * F.greatest(F.col("est_a"), F.col("est_b"))
+            ).cast("long")
+        ).alias("union_ge_parts"),
+        (
+            F.col("est_union") <= _hi("est_a") + _hi("est_b")
+        ).alias("union_le_sum"),
+        (
+            F.col("est_intersect")
+            <= F.greatest(
+                F.lit(1),
+                (
+                    F.lit(1.05) * F.least(F.col("est_a"), F.col("est_b"))
+                ).cast("long"),
+            )
+        ).alias("intersect_le_min"),
+        (
+            F.abs(F.col("est_a_only") + F.col("est_intersect") - F.col("est_a"))
+            <= F.greatest(
+                F.lit(1), (F.lit(0.05) * F.col("est_a")).cast("long")
+            )
+        ).alias("partition_ok"),
+    )
+
+
+_THETA_RAW_ORACLE = """
+SELECT 'purchase' AS type_a, 'error' AS type_b,
+  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_rows_a,
+  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_rows_b,
+  TRUE AS a_sane,
+  TRUE AS b_sane,
+  TRUE AS union_ge_parts,
+  TRUE AS union_le_sum,
+  TRUE AS intersect_le_min,
+  TRUE AS partition_ok
+FROM events
+"""
+
+
 QUERIES.append(
-    # raw production sketch plans stay served + benched (rows-only:
-    # sketch estimates are engine-specific; the _check twins below
-    # hash-gate the error bounds vs exact)
+    # raw production sketch plans stay served + benched, now hash-gated
+    # on exact scaffolding + in-plan sketch invariants (r7: zero
+    # no_oracle rows; tight error bounds vs exact live in the twins)
     QueryDef(
         "kll_value_sketch_rollup_raw",
-        kll_value_sketch_rollup,
-        None,
+        kll_value_sketch_rollup_raw_gated,
+        _KLL_RAW_ORACLE,
         "day-grain KLL quantile sketches merged to per-type p50/p90 "
-        "(production re-aggregatable pre-agg plan)",
+        "(production re-aggregatable pre-agg plan, hash-gated on exact "
+        "n_days/n + range/monotonicity invariants)",
     )
 )
 QUERIES.append(
     QueryDef(
         "theta_audience_overlap_raw",
-        theta_audience_overlap,
-        None,
+        theta_audience_overlap_raw_gated,
+        _THETA_RAW_ORACLE,
         "theta-sketch audience union/intersect/difference estimates "
-        "(production sketch plan)",
+        "(production sketch plan, hash-gated on exact row counts + "
+        "set-algebra invariants)",
     )
 )
 QUERIES.append(

@@ -435,17 +435,65 @@ FROM lineitem""")
     return "\nUNION ALL\n".join(parts)
 
 
+def schema_profile_approx_raw_gated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hash-gated form of the PRODUCTION Expand-free profiler (r6
+    verdict #1): a pure projection over :func:`schema_profile_approx` —
+    the plan stays ONE map-combined aggregate with no Expand (the same
+    ``test_schema_profile_approx_no_expand`` guard covers it) — that
+    serves the exact scaffolding (n_rows, n_nulls, min/max — DuckDB
+    recomputes all four) plus an in-plan sanity bound on the
+    engine-specific HLL++ estimate: ≥1 iff a non-null exists, and
+    ≤ 1.1× the non-null count. The TIGHT 5%-vs-exact bound lives in the
+    ``schema_profile_approx`` check twin, whose exact countDistinct
+    side re-introduces the per-column Expand this production entry
+    exists to avoid."""
+    p = schema_profile_approx(spark, sf_dir)
+    nonnull = F.col("n_rows") - F.col("n_nulls")
+    return p.select(
+        "col_name",
+        "n_rows",
+        "n_nulls",
+        (
+            ((F.col("n_distinct_approx") >= 1) == (nonnull >= 1))
+            & (
+                F.col("n_distinct_approx")
+                <= nonnull
+                + F.greatest(F.lit(1), (F.lit(0.1) * nonnull).cast("long"))
+            )
+        ).alias("distinct_est_sane"),
+        "min_str",
+        "max_str",
+    )
+
+
+def _profile_approx_raw_oracle() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(f"""
+SELECT '{c}' AS col_name,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+  TRUE AS distinct_est_sane,
+  CAST(min({c}) AS VARCHAR) AS min_str,
+  CAST(max({c}) AS VARCHAR) AS max_str
+FROM lineitem""")
+    return "\nUNION ALL\n".join(parts)
+
+
 QUERIES.append(
-    # raw production profiler stays served + benched (rows-only: HLL++
-    # estimates are engine-specific; the bound-gated check below is the
-    # cross-engine correctness gate; Expand-free plan is plan-guarded by
-    # test_schema_profile_approx_no_expand)
+    # raw production profiler stays served + benched, now hash-gated on
+    # its exact scaffolding + estimate sanity bound (r7: zero no_oracle
+    # rows; Expand-free plan still guarded by
+    # test_schema_profile_approx_no_expand; 5% bound gate is the twin)
     QueryDef(
         "schema_profile_approx_raw",
-        schema_profile_approx,
-        None,
-        "single-pass Expand-free HLL++ column profiler "
-        "(production plan)",
+        schema_profile_approx_raw_gated,
+        _profile_approx_raw_oracle(),
+        "single-pass Expand-free HLL++ column profiler (production "
+        "plan, hash-gated on exact rows/nulls/min/max + estimate "
+        "sanity bound)",
     )
 )
 QUERIES.append(

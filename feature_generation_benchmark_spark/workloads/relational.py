@@ -686,6 +686,10 @@ FROM e GROUP BY event_type
 # --------------------------------------------------------------------------
 
 def approx_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # count/min/max ride in the SAME single-pass aggregate as the
+    # sketches: exact scaffolding the gated registry form
+    # (approx_users_per_type_raw) hashes cross-engine at zero extra
+    # scans — the sketch estimates themselves stay engine-specific.
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
@@ -695,6 +699,9 @@ def approx_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx(_cents("value"), 0.99, 10000).alias(
             "p99_value_cents"
         ),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(_cents("value")).alias("min_cents"),
+        F.max(_cents("value")).alias("max_cents"),
     )
 
 
@@ -717,7 +724,17 @@ def approx_users_per_type_check(
     # lazy localCheckpoint (the kmeans idiom): est feeds BOTH the rank
     # join and the final projection — without the cut the full-scan
     # sketch aggregate runs twice per gate run (r6 session-3 review)
-    est = approx_users_per_type(spark, sf_dir).localCheckpoint(eager=False)
+    est = (
+        approx_users_per_type(spark, sf_dir)
+        # prune the raw-gate scaffolding (n_rows/min/max): the rank join
+        # computes its own n_rows and the duplicate name would be
+        # ambiguous downstream
+        .select(
+            "event_type", "n_users_approx",
+            "p50_value_cents", "p99_value_cents",
+        )
+        .localCheckpoint(eager=False)
+    )
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users")
     )
@@ -771,6 +788,60 @@ SELECT event_type,
   TRUE AS users_within_6pct,
   TRUE AS p50_within_rank,
   TRUE AS p99_within_rank
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def approx_users_per_type_raw_gated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hash-gated form of the PRODUCTION sketch plan (r6 verdict #1 —
+    zero ``no_oracle`` rows in the driver artifact): the plan is the
+    identical ONE-pass groupBy aggregate as
+    :func:`approx_users_per_type` (sketches + count/min/max in one map-
+    combined agg — nothing added but projections), but the served
+    columns are the exact scaffolding (n_rows, min/max cents — DuckDB
+    recomputes them) plus in-plan sanity bounds on the engine-specific
+    estimates: HLL++ distinct within [1, 1.1·n_rows], both quantile
+    estimates inside [min, max], and p99 ≥ p50 (one GK summary answers
+    both ranks, so monotonicity is a structural invariant). The TIGHT
+    6%/rank-ε bound lives in the ``approx_users_per_type`` check twin,
+    whose exact side costs a second scan this production entry must not
+    pay."""
+    est = approx_users_per_type(spark, sf_dir)
+    slack = F.greatest(
+        F.lit(1), (F.lit(0.1) * F.col("n_rows")).cast("long")
+    )
+    return est.select(
+        "event_type",
+        "n_rows",
+        F.col("min_cents").cast("long").alias("min_cents"),
+        F.col("max_cents").cast("long").alias("max_cents"),
+        (
+            (F.col("n_users_approx") >= 1)
+            & (F.col("n_users_approx") <= F.col("n_rows") + slack)
+        ).alias("users_est_sane"),
+        F.col("p50_value_cents").between(
+            F.col("min_cents"), F.col("max_cents")
+        ).alias("p50_in_range"),
+        F.col("p99_value_cents").between(
+            F.col("min_cents"), F.col("max_cents")
+        ).alias("p99_in_range"),
+        (F.col("p99_value_cents") >= F.col("p50_value_cents")).alias(
+            "p99_ge_p50"
+        ),
+    ).orderBy("event_type")
+
+
+_APPROX_RAW_ORACLE = """
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(min(round(value * 100)) AS BIGINT) AS min_cents,
+  CAST(max(round(value * 100)) AS BIGINT) AS max_cents,
+  TRUE AS users_est_sane,
+  TRUE AS p50_in_range,
+  TRUE AS p99_in_range,
+  TRUE AS p99_ge_p50
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -871,12 +942,14 @@ QUERIES = [
              "approximate aggregates (HLL++ distinct + GK quantiles), "
              "hash-gated on exact counts + error-bound flags",
              bench=False),
-    # raw production plan stays served + benched under its own name
-    # (rows-only: estimates are engine-specific; the bound-gated check
-    # twin above is the cross-engine correctness gate)
-    QueryDef("approx_users_per_type_raw", approx_users_per_type, None,
-             "HLL++ distinct + GK quantiles per event type "
-             "(production sketch plan)"),
+    # raw production plan stays served + benched under its own name,
+    # now hash-gated on its exact scaffolding + in-plan sanity bounds
+    # (r7: zero no_oracle rows; the tight bound gate is the check twin)
+    QueryDef("approx_users_per_type_raw", approx_users_per_type_raw_gated,
+             _APPROX_RAW_ORACLE,
+             "HLL++ distinct + GK quantiles per event type (production "
+             "single-pass sketch plan, hash-gated on exact count/min/max "
+             "+ estimate sanity bounds)"),
     QueryDef("json_props_stats", json_props_stats, _JSON_ORACLE,
              "JSON payload extraction + aggregation"),
     QueryDef("incident_window_stats", incident_window_stats, _INCIDENT_ORACLE,
@@ -1382,15 +1455,26 @@ def hll_users_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``test_hll_rollup_matches_single_pass`` pins the two-level merge to
     the one-level sketch exactly and within 5% of the exact count."""
     ev = load_table(spark, sf_dir, "events")
+    # per-day row counts and per-day estimates ride in the same two
+    # aggregates — exact scaffolding + union-monotonicity reference for
+    # the gated registry form (hll_users_sketch_rollup_raw), zero extra
+    # passes over either level.
     day_sketches = ev.groupBy(
         "event_type",
         F.expr(f"ts div {_NS_PER_DAY_HLL}").alias("day"),
-    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    ).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("day_rows"),
+    )
     return day_sketches.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_days"),
         F.round(F.hll_sketch_estimate(F.hll_union_agg("sk")))
         .cast("long")
         .alias("est_users"),
+        F.sum("day_rows").alias("n_rows"),
+        F.max(
+            F.round(F.hll_sketch_estimate("sk")).cast("long")
+        ).alias("max_day_est"),
     )
 
 
@@ -1437,16 +1521,63 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def hll_users_sketch_rollup_raw_gated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hash-gated form of the PRODUCTION two-level sketch rollup (r6
+    verdict #1): the plan is the identical day-sketch → union-merge
+    pipeline of :func:`hll_users_sketch_rollup` (day row counts and
+    per-day estimates fold into the same two aggregates), projected to
+    the exact scaffolding (n_days, n_rows — DuckDB recomputes both)
+    plus two in-plan invariants on the engine-specific estimate: the
+    rolled-up estimate sits in [1, 1.1·n_rows], and union monotonicity —
+    HLL registers are idempotent maxes, so the merged sketch dominates
+    every day sketch register-wise and its estimate cannot fall below
+    0.9× the largest day estimate (0.9 absorbs sparse/dense-mode bias
+    switches). The TIGHT 5%-vs-exact bound lives in the
+    ``hll_users_sketch_rollup`` check twin, whose exact countDistinct
+    side this production entry must not pay."""
+    m = hll_users_sketch_rollup(spark, sf_dir)
+    slack = F.greatest(
+        F.lit(1), (F.lit(0.1) * F.col("n_rows")).cast("long")
+    )
+    return m.select(
+        "event_type",
+        "n_days",
+        "n_rows",
+        (
+            (F.col("est_users") >= 1)
+            & (F.col("est_users") <= F.col("n_rows") + slack)
+        ).alias("est_in_row_bound"),
+        (
+            F.col("est_users")
+            >= (F.lit(0.9) * F.col("max_day_est")).cast("long")
+        ).alias("est_ge_max_day"),
+    ).orderBy("event_type")
+
+
+_HLL_RAW_ORACLE = f"""
+SELECT event_type,
+  CAST(count(DISTINCT epoch_ns(ts) // {_NS_PER_DAY_HLL}) AS BIGINT)
+    AS n_days,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  TRUE AS est_in_row_bound,
+  TRUE AS est_ge_max_day
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES.append(
-    # raw production sketch-rollup plan stays served + benched (rows-only:
-    # HLL estimates are engine-specific; the _check twin below hash-gates
-    # the 5% bound vs exact)
+    # raw production sketch-rollup plan stays served + benched, now
+    # hash-gated on exact scaffolding + in-plan union-monotonicity
+    # bounds (r7: zero no_oracle rows; 5%-vs-exact gate is the twin)
     QueryDef(
         "hll_users_sketch_rollup_raw",
-        hll_users_sketch_rollup,
-        None,
+        hll_users_sketch_rollup_raw_gated,
+        _HLL_RAW_ORACLE,
         "day-grain HLL sketch table merged to per-type distinct "
-        "estimates (production re-aggregatable pre-agg plan)",
+        "estimates (production re-aggregatable pre-agg plan, hash-gated "
+        "on exact n_days/n_rows + estimate sanity/monotonicity bounds)",
     )
 )
 QUERIES.append(

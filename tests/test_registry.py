@@ -140,3 +140,12 @@ def test_bench_output_contract():
     # the driver keeps the last ~2000 chars: the summary must survive
     tail = (detail_line + "\n" + summary_line)[-2000:]
     assert json.loads(tail.splitlines()[-1]) == s
+
+
+def test_every_entry_is_oracle_gated(reg):
+    """r6 verdict #1: zero ``no_oracle`` rows in the driver artifact —
+    every registry entry (including the ``_raw`` production sketch/LSH
+    plans) must carry a DuckDB oracle; engine-specific estimates are
+    served through exact scaffolding + bound flags instead of raw."""
+    missing = [n for n, q in reg.items() if q.oracle is None]
+    assert not missing, f"entries without an oracle: {missing}"
