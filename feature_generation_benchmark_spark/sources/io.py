@@ -7,6 +7,8 @@ reference's per-engine scan variants (eager, lazy, glob) hand-build.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -266,7 +268,16 @@ def write_zordered_parquet(
             lo, hi = q
             bounds.append((lo, hi if hi > lo else lo + 1.0))
         else:
-            bounds.append((0.0, 1.0))  # all-NULL column: constant plane
+            # surface the degradation by NAME (r6 advice: the silent
+            # (0,1) substitution contradicted this comment's promise) —
+            # the layout still works, minus this column's clustering
+            warnings.warn(
+                f"write_zordered_parquet: column '{c}' has no quantile "
+                "bounds (all-NULL or empty frame) — it degrades to a "
+                "constant bit-plane and contributes no clustering",
+                stacklevel=2,
+            )
+            bounds.append((0.0, 1.0))
     z = zorder_value(cols, bounds, bits=bits)
     zdf = df.withColumn("__z", z)
     ranged = (

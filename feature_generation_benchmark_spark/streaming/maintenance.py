@@ -147,9 +147,15 @@ class DayPartialsStore:
         stage = os.path.join(self.path, f"_stage_v={next_v}")
         shutil.rmtree(stage, ignore_errors=True)
         merged.write.mode("overwrite").parquet(stage)
-        if batch_id is not None:
+        # A non-streaming apply (batch_id=None) interleaved with
+        # streaming writes must CARRY the previous marker forward:
+        # dropping it would make last_applied_batch() return None, and a
+        # re-delivered streaming micro-batch would re-fold and
+        # double-count every partial (r6 advice).
+        marker = batch_id if batch_id is not None else self.last_applied_batch()
+        if marker is not None:
             with open(os.path.join(stage, "_applied_batch"), "w") as f:
-                f.write(str(batch_id))
+                f.write(str(marker))
         shutil.rmtree(vdir, ignore_errors=True)  # dead half-write, if any
         os.rename(stage, vdir)
         for v in self._versions()[: -self.keep_versions]:

@@ -51,9 +51,9 @@ from feature_generation_benchmark_spark.functions.textfns import (
 from feature_generation_benchmark_spark.sources.testdata import load_table
 from feature_generation_benchmark_spark.workloads import QueryDef
 
-_TOKS_SQL = (
-    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
-)
+# single ownership of the canonical tokenization SQL (r6 advice):
+# workloads/text.py defines it; features_eng.py and this module import it
+from feature_generation_benchmark_spark.workloads.text import _TOKS_SQL
 
 QUERIES: list[QueryDef] = []
 
@@ -107,9 +107,12 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice("t", 2, F.size("t") - 1),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
+    # lazy localCheckpoint: the exploded bigram frame feeds the bigram
+    # model, the context model AND the scoring join — without the cut
+    # the corpus explode runs three times (r6 advice)
     bg = toks.select("doc_id", F.explode(pairs).alias("p")).select(
         "doc_id", "p.w1", "p.w2"
-    )
+    ).localCheckpoint(eager=False)
     big = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     ctx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     ml = (
@@ -128,11 +131,12 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.expr("negsum div n").alias("score"))
     )
+    # binned feeds both the histogram and the final bucket rollup
     binned = scored.select(
         "doc_id",
         F.expr(f"score div {_CCNET_BIN_E6}").alias("bin"),
         "score",
-    )
+    ).localCheckpoint(eager=False)
     hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("nb"))
     w_cum = Window.orderBy("bin").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -265,6 +269,10 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     b_count = _DSIR_BUCKETS
     docs = load_table(spark, sf_dir, "documents")
+    # lazy localCheckpoint: the exploded token frame feeds BOTH the
+    # bucket model and the per-doc scoring join — without the cut the
+    # corpus-wide explode runs twice (r6 advice; triangle_counts_parts
+    # precedent)
     feat = docs.select(
         "doc_id",
         "lang",
@@ -273,15 +281,18 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         (md5_prefix_long(F.col("term")) % b_count).alias("b"),
-    )
+    ).localCheckpoint(eager=False)
     is_t = F.col("lang") == _DSIR_TARGET_LANG
     per_bucket = feat.groupBy("b").agg(
         F.count(F.lit(1)).alias("cs"),
         F.sum(F.when(is_t, 1).otherwise(0)).alias("ct"),
     )
-    tot = feat.agg(
-        F.count(F.lit(1)).alias("ns"),
-        F.sum(F.when(is_t, 1).otherwise(0)).alias("nt"),
+    # corpus totals are exactly the bucket sums: derive them from the
+    # 256-row per_bucket frame, NOT a second corpus-wide aggregate
+    # (r6 advice; same rule mixture_sampling applies)
+    tot = per_bucket.agg(
+        F.sum("cs").alias("ns"),
+        F.sum("ct").alias("nt"),
     )
     lr_e6 = (
         F.round(

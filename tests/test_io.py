@@ -336,3 +336,29 @@ def test_merge_schema_reads_evolved_dataset(spark, tmp_path):
     assert {f.name for f in df.schema.fields} >= {"k", "v", "score"}
     rows = {r.k: r for r in df.collect()}
     assert rows[1].score is None and rows[2].score == 9.5
+
+
+def test_zorder_all_null_column_warns_by_name(spark, tmp_path):
+    """An all-NULL z-order column (approxQuantile returns []) must emit
+    a warning NAMING the column while the write still succeeds with the
+    other column clustering (r6 advice: the old path substituted (0,1)
+    silently, contradicting its own comment)."""
+    import warnings as _w
+
+    from pyspark.sql import functions as F
+
+    from feature_generation_benchmark_spark.sources.io import (
+        write_zordered_parquet,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").cast("double").alias("x"),
+        F.lit(None).cast("double").alias("y"),
+    )
+    out = str(tmp_path / "znull")
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        write_zordered_parquet(df, out, ["x", "y"], n_files=4)
+    msgs = [str(r.message) for r in rec]
+    assert any("'y'" in m and "constant bit-plane" in m for m in msgs), msgs
+    assert spark.read.parquet(out).count() == 1000

@@ -124,6 +124,30 @@ def test_replayed_batch_id_is_idempotent(spark, dated, tiny_transactions,
     assert store.last_applied_batch() == 2
 
 
+def test_batch_apply_carries_marker_forward(spark, dated, tiny_transactions,
+                                            tmp_path):
+    """A non-streaming apply (batch_id=None) interleaved with streaming
+    writes must carry the previous _applied_batch marker into the new
+    version — pre-fix it dropped the marker, last_applied_batch()
+    returned None, and a re-delivered streaming micro-batch re-folded
+    and double-counted every partial (r6 advice)."""
+    store = DayPartialsStore(spark, SPEC, "day", str(tmp_path / "store"))
+    store.apply_increment(dated.filter(F.col("day") % 2 == 0), batch_id=0)
+    # interleaved ad-hoc batch load: marker must survive
+    store.apply_increment(dated.filter(F.col("day") % 2 == 1),
+                          batch_id=None)
+    assert store.last_applied_batch() == 0
+    before = {r["customer_id"]: tuple(r)
+              for r in store.features_asof(REF_DAY).collect()}
+    # crash-replay of streaming batch 0 must now still be a no-op
+    v0 = store.latest_version()
+    store.apply_increment(dated.filter(F.col("day") % 2 == 0), batch_id=0)
+    assert store.latest_version() == v0
+    got = {r["customer_id"]: tuple(r)
+           for r in store.features_asof(REF_DAY).collect()}
+    assert got == before
+
+
 def test_half_written_version_is_invisible(spark, dated, tmp_path):
     """A version directory without Spark's _SUCCESS marker (mid-write
     crash debris) must never be read or used as the merge base."""
