@@ -166,3 +166,30 @@ def test_asof_output_collision_raises(spark):
             left, right, on="k", left_time="lt", right_time="rt",
             value_cols=["v"],
         )
+
+
+def test_join_chain_equals_single_pass(spark):
+    """J3: folding one planner-compiled half per window with a left-join
+    chain must equal the single-pass aggregate over the full spec —
+    every half groups the same key universe, so no null-fill ever
+    triggers (impl/polars_pivot-lazy.py:171-173 parity)."""
+    from feature_generation_benchmark_spark.plans.planner import (
+        compile_features,
+    )
+    from feature_generation_benchmark_spark.sources.testdata import (
+        events_transactions,
+    )
+    from feature_generation_benchmark_spark.workloads.events_features import (
+        EVENTS_SPEC,
+        _join_chain,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    chained = _join_chain(spark, sf)
+    trx = events_transactions(spark, sf, max_t_minus=max(EVENTS_SPEC.windows))
+    single = compile_features(EVENTS_SPEC, trx)
+    assert sorted(chained.columns) == sorted(single.columns)
+    cols = sorted(chained.columns)
+    a = {r["user_id"]: tuple(r[c] for c in cols) for r in chained.collect()}
+    b = {r["user_id"]: tuple(r[c] for c in cols) for r in single.collect()}
+    assert a == b and a
