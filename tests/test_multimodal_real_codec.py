@@ -223,3 +223,27 @@ def test_extract_features_real_wav_e2e(spark):
         audio_features(samples, rate), abs=1e-6
     )
     assert abs(r["feature_vec"][0] - 0.1) < 1e-6  # 1600/16000 s duration
+
+
+def test_real_pixel_stats_rejects_non_ascii(spark, tmp_path):
+    """r6 verdict #6: the pixel-stats oracle indexes CODEPOINTS
+    (DuckDB substr/ord) while the Spark side sums UTF-8 BYTES — parity
+    holds only on ASCII, so a non-ASCII doc must fail LOUDLY with the
+    named guard instead of hash-mismatching confusingly."""
+    import pytest
+    from pyspark.errors import PythonException
+
+    from feature_generation_benchmark_spark.workloads.multimodal import (
+        multimodal_real_pixel_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "plain ascii body", "en", "web", 16),
+            (2, "café au lait — non-ascii", "fr", "web", 22),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    with pytest.raises(PythonException, match="ASCII"):
+        multimodal_real_pixel_stats(spark, str(tmp_path)).collect()
