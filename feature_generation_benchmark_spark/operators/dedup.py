@@ -102,6 +102,23 @@ def ngram_jaccard_pairs(
     exactly the pairs with ≥1 new side; the prefix + positional bounds
     are pair-symmetric, so pruning stays exact, and both-new pairs are
     normalized + deduplicated.
+
+    Frequency model (r6 verdict #2 — the 100× probe's only superlinear
+    leg was the corpus-wide vocabulary aggregate + corpus×vocab shuffle
+    join that attached exact document frequencies): the prefix principle
+    is exact under ANY deterministic global total order — frequency
+    ordering is a pruning HEURISTIC, not a correctness requirement — so
+    the order key is now ``(sampled_df, shingle_hash)`` from a BOUNDED
+    heavy-hitter model: a deterministic 1/8 doc sample's shingles,
+    aggregated (sample-sized, not corpus-sized) and capped to the top
+    2¹⁶ by frequency (TakeOrdered — never a full sort). The model
+    broadcast-joins onto the shingle index (absent ⇒ df 0, ordered by
+    hash among themselves), so NO corpus-sized frame ever shuffles on
+    the shingle key before candidate generation, and the vocabulary
+    aggregate can no longer spill regardless of corpus size. Hot
+    shingles — the ones that blow up the candidate join — are by
+    definition heavy in any uniform doc sample, so they still sort last
+    and fall out of the prefixes.
     """
     from pyspark.sql.window import Window
 
@@ -111,31 +128,56 @@ def ngram_jaccard_pairs(
             "the un-pruned baseline has no incremental formulation"
         )
 
-    # join on 8-byte shingle hashes, not ~20-byte strings: same equality
-    # semantics (64-bit collision odds are negligible at any corpus size
-    # that fits a cluster), much lighter shuffle
-    sh = (
-        doc_shingles(df, id_col, text_col, n)
-        .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
+    # per-doc sorted distinct 8-byte shingle-hash ARRAYS, built narrowly
+    # (no shuffle): one row per doc is what gets cached, what verifies
+    # pairs (array_intersect), and what carries n_shingles for free —
+    # the exploded (id, shingle) index is derived from it on demand.
+    # Hash join keys, not ~20-byte strings: same equality semantics
+    # (64-bit collision odds negligible at any cluster-sized corpus),
+    # much lighter shuffle.
+    toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    sh_arr = (
+        toked.select(
+            F.col(id_col),
+            F.array_sort(
+                F.transform(
+                    F.array_distinct(word_ngrams(F.col("__toks"), n)),
+                    lambda s: F.xxhash64(s),
+                )
+            ).alias("__arr"),
+        )
+        .filter(F.size("__arr") > 0)
+        .select(
+            F.col(id_col), "__arr", F.size("__arr").alias("n_shingles")
+        )
         .cache()
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    sizes = sh_arr.select(F.col(id_col), "n_shingles")
 
     if prefix_filter:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        model = (
+            sh_arr.filter(
+                F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(8))
+                == 0
+            )
+            .select(F.explode("__arr").alias("shingle"))
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .orderBy(F.col("__df").desc(), "shingle")
+            .limit(1 << 16)
+        )
+        exploded = sh_arr.select(
+            F.col(id_col), "n_shingles", F.explode("__arr").alias("shingle")
+        )
         ranked = (
-            sh.join(freq, "shingle")
+            exploded.join(F.broadcast(model), "shingle", "left")
+            .withColumn("__df", F.coalesce("__df", F.lit(0)))
             .withColumn(
                 "__pos",
                 F.row_number().over(
                     Window.partitionBy(id_col).orderBy("__df", "shingle")
                 ),
             )
-            # no broadcast hint: sizes is DOC-dim (grows with the corpus)
-            # — the 100x probe OOM'd the driver building it as an explicit
-            # broadcast; AQE broadcasts it from runtime stats while it
-            # fits and shuffle-joins beyond that
-            .join(sizes, id_col)
         )
         # ε-guard keeps float noise in t·|d| from inflating the ceil and
         # shortening the prefix (false negatives); verification forgives
@@ -207,12 +249,10 @@ def ngram_jaccard_pairs(
         # exploded rows: candidates × avg set size explodes (sf0.1 skew
         # fixture: 718k pairs → ~140M rows through the exploded join);
         # joining one array row per doc side and intersecting JVM-side
-        # (array_intersect) moves only |pairs| + |docs| rows. At corpus
-        # scale the array table is one row per doc — AQE broadcasts it
-        # when small, hash-joins it when not.
-        arrs = sh.groupBy(id_col).agg(
-            F.array_sort(F.collect_list("shingle")).alias("__arr")
-        )
+        # (array_intersect) moves only |pairs| + |docs| rows. The array
+        # table IS the cached sh_arr — no re-aggregation. At corpus
+        # scale AQE broadcasts it when small, hash-joins it when not.
+        arrs = sh_arr.select(F.col(id_col), "__arr")
         common = (
             cand.join(
                 arrs.select(
@@ -238,6 +278,7 @@ def ngram_jaccard_pairs(
     else:
         # without the prefix: count intersections straight off the
         # inverted-index self-join (one pass, no candidate materialization)
+        sh = sh_arr.select(F.col(id_col), F.explode("__arr").alias("shingle"))
         a = sh.select(F.col(id_col).alias("id_a"), "shingle")
         b = sh.select(F.col(id_col).alias("id_b"), "shingle")
         common = (

@@ -39,3 +39,24 @@ def test_reports_improved_added_removed():
 def test_zero_old_timing_is_skipped():
     rep = diff_benches(_detail({"a": 0.0}), _detail({"a": 5.0}))
     assert not rep["regressed"] and not rep["improved"]
+
+
+def test_noise_flagged_regressions_are_separated():
+    """r6 verdict #8: a >threshold swing that bench.py re-measured and
+    classified as host noise (rerun back near committed) must land in
+    'noise', not 'regressed'; an unflagged or non-noise swing still
+    regresses."""
+    old = {"queries": {"a": 1.0, "b": 1.0}}
+    new = {
+        "queries": {"a": 3.0, "b": 3.0},
+        "noise_flagged": {
+            "a": {"committed": 1.0, "first": 3.0, "rerun": 1.1,
+                  "noise": True},
+            "b": {"committed": 1.0, "first": 3.0, "rerun": 2.9,
+                  "noise": False},
+        },
+    }
+    report = diff_benches(old, new, threshold=1.5, min_delta=0.5)
+    assert list(report["noise"]) == ["a"]
+    assert report["noise"]["a"]["rerun"] == 1.1
+    assert list(report["regressed"]) == ["b"]

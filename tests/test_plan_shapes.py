@@ -120,6 +120,28 @@ def test_bucket_pivot_is_two_shuffles(spark, spec, trx_path):
     assert plan.count("Exchange hashpartitioning") == 2, plan
 
 
+def test_bucket_pivot_key_partitioned_single_exchange(spark, spec, trx_path):
+    """r6 verdict #3 (big_keys shuffle volume): with key_partitioned=True
+    the celled input exchanges ONCE on the key; HashPartitioning(key)
+    satisfies the clustering of both the (key, cell) partial agg and the
+    pivot, so neither adds an Exchange — and the results are identical
+    to the default two-exchange layout."""
+    from feature_generation_benchmark_spark.plans import compile_bucket_pivot
+
+    df = spark.read.parquet(trx_path)
+    kp = compile_bucket_pivot(spec, df, key_partitioned=True)
+    plan = _physical(kp)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    default = compile_bucket_pivot(spec, df)
+    cols = sorted(kp.columns)
+    a = {r["customer_id"]: tuple(r[c] for c in cols) for r in kp.collect()}
+    b = {
+        r["customer_id"]: tuple(r[c] for c in cols)
+        for r in default.collect()
+    }
+    assert a == b and a
+
+
 def test_multi_measure_adds_no_shuffles(spark, trx_path):
     """A second measure must widen partial rows, not the plan: same two
     shuffles, one scan, and the window cutoff still pushed to the scan."""

@@ -64,6 +64,11 @@ from feature_generation_benchmark_spark.spec import reference_spec  # noqa: E402
 
 STRATEGIES = {
     "bucket_pivot": compile_bucket_pivot,
+    # single-exchange layout for the high-key-cardinality regime (1M-key
+    # big_keys axis): raw repartition on key, both aggs exchange-free
+    "bucket_pivot_keypart": lambda spec, df: compile_bucket_pivot(
+        spec, df, key_partitioned=True
+    ),
     "bucket_rollup": compile_bucket_rollup,
     "case_when": compile_case_when,
     "pivot_rollup": compile_pivot_rollup,
