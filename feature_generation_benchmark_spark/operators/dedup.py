@@ -128,56 +128,42 @@ def ngram_jaccard_pairs(
             "the un-pruned baseline has no incremental formulation"
         )
 
-    # per-doc sorted distinct 8-byte shingle-hash ARRAYS, built narrowly
-    # (no shuffle): one row per doc is what gets cached, what verifies
-    # pairs (array_intersect), and what carries n_shingles for free —
-    # the exploded (id, shingle) index is derived from it on demand.
-    # Hash join keys, not ~20-byte strings: same equality semantics
-    # (64-bit collision odds negligible at any cluster-sized corpus),
-    # much lighter shuffle.
-    toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
-    sh_arr = (
-        toked.select(
-            F.col(id_col),
-            F.array_sort(
-                F.transform(
-                    F.array_distinct(word_ngrams(F.col("__toks"), n)),
-                    lambda s: F.xxhash64(s),
-                )
-            ).alias("__arr"),
-        )
-        .filter(F.size("__arr") > 0)
-        .select(
-            F.col(id_col), "__arr", F.size("__arr").alias("n_shingles")
-        )
+    # join on 8-byte shingle hashes, not ~20-byte strings: same equality
+    # semantics (64-bit collision odds are negligible at any corpus size
+    # that fits a cluster), much lighter shuffle. Hashing happens on the
+    # EXPLODED rows (whole-stage-codegen'd) — hashing inside an array
+    # ``transform`` lambda falls out of codegen and re-evaluates the
+    # upstream token split per element (~4× the whole pipeline's cost,
+    # measured at sf0.1).
+    sh = (
+        doc_shingles(df, id_col, text_col, n)
+        .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
         .cache()
     )
-    sizes = sh_arr.select(F.col(id_col), "n_shingles")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
 
     if prefix_filter:
         model = (
-            sh_arr.filter(
+            sh.filter(
                 F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(8))
                 == 0
             )
-            .select(F.explode("__arr").alias("shingle"))
             .groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("__df"))
             .orderBy(F.col("__df").desc(), "shingle")
             .limit(1 << 16)
         )
-        exploded = sh_arr.select(
-            F.col(id_col), "n_shingles", F.explode("__arr").alias("shingle")
-        )
+        by_id = Window.partitionBy(id_col)
         ranked = (
-            exploded.join(F.broadcast(model), "shingle", "left")
+            sh.join(F.broadcast(model), "shingle", "left")
             .withColumn("__df", F.coalesce("__df", F.lit(0)))
+            # row_number and the per-doc size share ONE window exchange
+            # (same partitioning) — no separate sizes join here
             .withColumn(
                 "__pos",
-                F.row_number().over(
-                    Window.partitionBy(id_col).orderBy("__df", "shingle")
-                ),
+                F.row_number().over(by_id.orderBy("__df", "shingle")),
             )
+            .withColumn("n_shingles", F.count(F.lit(1)).over(by_id))
         )
         # ε-guard keeps float noise in t·|d| from inflating the ceil and
         # shortening the prefix (false negatives); verification forgives
@@ -249,10 +235,12 @@ def ngram_jaccard_pairs(
         # exploded rows: candidates × avg set size explodes (sf0.1 skew
         # fixture: 718k pairs → ~140M rows through the exploded join);
         # joining one array row per doc side and intersecting JVM-side
-        # (array_intersect) moves only |pairs| + |docs| rows. The array
-        # table IS the cached sh_arr — no re-aggregation. At corpus
-        # scale AQE broadcasts it when small, hash-joins it when not.
-        arrs = sh_arr.select(F.col(id_col), "__arr")
+        # (array_intersect) moves only |pairs| + |docs| rows. At corpus
+        # scale the array table is one row per doc — AQE broadcasts it
+        # when small, hash-joins it when not.
+        arrs = sh.groupBy(id_col).agg(
+            F.array_sort(F.collect_list("shingle")).alias("__arr")
+        )
         common = (
             cand.join(
                 arrs.select(
@@ -278,7 +266,6 @@ def ngram_jaccard_pairs(
     else:
         # without the prefix: count intersections straight off the
         # inverted-index self-join (one pass, no candidate materialization)
-        sh = sh_arr.select(F.col(id_col), F.explode("__arr").alias("shingle"))
         a = sh.select(F.col(id_col).alias("id_a"), "shingle")
         b = sh.select(F.col(id_col).alias("id_b"), "shingle")
         common = (
