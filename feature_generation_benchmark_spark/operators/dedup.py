@@ -169,9 +169,13 @@ def ngram_jaccard_pairs(
         # shortening the prefix (false negatives); verification forgives
         # any extra candidates, never a missed one
         alpha = F.ceil(F.lit(threshold) * F.col("n_shingles") - F.lit(1e-9))
+        # cache: prefix feeds BOTH sides of the candidate self-join, and
+        # without the cut the broadcast join + window sort above it
+        # execute twice (the plan duplicates the whole subtree per join
+        # side — measured as the dominant 100× probe cost, r7)
         prefix = ranked.filter(
             F.col("__pos") <= F.col("n_shingles") - alpha + F.lit(1)
-        ).select(F.col(id_col), "shingle", "__pos", "n_shingles")
+        ).select(F.col(id_col), "shingle", "__pos", "n_shingles").cache()
         a_src = prefix
         if new_ids is not None:
             # incremental: the a-side of the candidate join carries only
@@ -238,9 +242,11 @@ def ngram_jaccard_pairs(
         # (array_intersect) moves only |pairs| + |docs| rows. At corpus
         # scale the array table is one row per doc — AQE broadcasts it
         # when small, hash-joins it when not.
+        # cached: joined once per pair side — uncached, the per-doc
+        # collect_list aggregation runs twice
         arrs = sh.groupBy(id_col).agg(
             F.array_sort(F.collect_list("shingle")).alias("__arr")
-        )
+        ).cache()
         common = (
             cand.join(
                 arrs.select(
