@@ -169,13 +169,22 @@ def ngram_jaccard_pairs(
         # shortening the prefix (false negatives); verification forgives
         # any extra candidates, never a missed one
         alpha = F.ceil(F.lit(threshold) * F.col("n_shingles") - F.lit(1e-9))
-        # cache: prefix feeds BOTH sides of the candidate self-join, and
-        # without the cut the broadcast join + window sort above it
-        # execute twice (the plan duplicates the whole subtree per join
-        # side — measured as the dominant 100× probe cost, r7)
-        prefix = ranked.filter(
-            F.col("__pos") <= F.col("n_shingles") - alpha + F.lit(1)
-        ).select(F.col(id_col), "shingle", "__pos", "n_shingles").cache()
+        # DISK_ONLY persist: prefix feeds BOTH sides of the candidate
+        # self-join — without the cut the window sort above it executes
+        # twice (the dominant 100× probe cost). MEMORY_AND_DISK made the
+        # 100× leg 40% SLOWER than recomputing: the corpus-sized cached
+        # blocks compete with the very sort/join execution memory the
+        # reuse is meant to feed. Disk blocks stay out of that budget
+        # and a sequential re-read beats a second corpus sort (r7).
+        from pyspark import StorageLevel
+
+        prefix = (
+            ranked.filter(
+                F.col("__pos") <= F.col("n_shingles") - alpha + F.lit(1)
+            )
+            .select(F.col(id_col), "shingle", "__pos", "n_shingles")
+            .persist(StorageLevel.DISK_ONLY)
+        )
         a_src = prefix
         if new_ids is not None:
             # incremental: the a-side of the candidate join carries only
@@ -242,11 +251,12 @@ def ngram_jaccard_pairs(
         # (array_intersect) moves only |pairs| + |docs| rows. At corpus
         # scale the array table is one row per doc — AQE broadcasts it
         # when small, hash-joins it when not.
-        # cached: joined once per pair side — uncached, the per-doc
-        # collect_list aggregation runs twice
+        # NOT cached: the per-doc collect_list over the cached sh is a
+        # cheap map-combined agg; storing a second corpus-sized frame
+        # costs more memory pressure than the recompute (100× probe, r7)
         arrs = sh.groupBy(id_col).agg(
             F.array_sort(F.collect_list("shingle")).alias("__arr")
-        ).cache()
+        )
         common = (
             cand.join(
                 arrs.select(
