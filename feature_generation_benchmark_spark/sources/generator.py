@@ -71,6 +71,12 @@ class SizeConfig:
     customers: int
     partitions: int
     days_per_partition: int
+    #: deterministic multiplier on the per-(customer, day) Binomial rate —
+    #: 1.0 is the reference contract (G2); <1.0 row-samples the SAME
+    #: seeded trajectory (every stream draw is unchanged; only the row
+    #: fan-out count shrinks), so a scaled size keeps big's full key and
+    #: partition axes on a disk-constrained box.
+    rate_scale: float = 1.0
 
 
 #: The reference's scale ladder (``python/data_generation/__init__.py:36-67``).
@@ -86,6 +92,10 @@ SIZES: dict[str, SizeConfig] = {
     # (input + at-scale shuffle spill + 2,080-col output concurrently).
     "big_parts": SizeConfig(100_000, 730, 1),
     "big_keys": SizeConfig(1_000_000, 50, 1),
+    # BOTH axes at full setting (1M keys × 730 one-day partitions) with the
+    # per-day rate sampled 0.15× — ~2.4B rows / ~35 GB, the largest layout
+    # this box can hold input + spill + 2,080-col output concurrently.
+    "big_both": SizeConfig(1_000_000, 730, 1, rate_scale=0.15),
 }
 
 
@@ -141,7 +151,7 @@ def _stream(pair_seed, tag, idx):
     return _mix64((base + idx.astype(np.uint64) * np.uint64(_PHI)).astype(np.uint64))
 
 
-def _make_batch_fn(days: int, seed: int):
+def _make_batch_fn(days: int, seed: int, rate_scale: float = 1.0):
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import numpy as np
 
@@ -164,7 +174,15 @@ def _make_batch_fn(days: int, seed: int):
             # per-day ±10% jitter (G3)
             d = np.arange(days, dtype=np.uint64)
             jit = 0.9 + 0.2 * _u01(_stream(s[:, None], _TAG_JITTER, d[None, :]))
-            counts = np.maximum((rate[:, None] * jit).astype(np.int64), 0)
+            # rate_scale shrinks only the per-day fan-out count; the rate
+            # and jitter streams above are untouched and the per-row draws
+            # below stay counter-based, so a scaled dataset is exactly as
+            # deterministic and layout-independent as the full one (it is
+            # NOT a row-subset of it: per-row counters are indexed within
+            # the pair, so fewer day-0 rows shift every later row's index)
+            counts = np.maximum(
+                (rate[:, None] * jit * rate_scale).astype(np.int64), 0
+            )
             n_per_pair = counts.sum(axis=1)
             total = int(n_per_pair.sum())
             if total == 0:
@@ -218,6 +236,7 @@ def generate_transactions(
     days_per_partition: int = 30,
     seed: int = 42,
     tasks: int | None = None,
+    rate_scale: float = 1.0,
 ) -> DataFrame:
     """Deterministic transactions DataFrame (reference schema
     ``src/lib.rs:241-249``). Same (seed, size) → identical dataset,
@@ -230,7 +249,7 @@ def generate_transactions(
         (F.col("id") / customers).cast("long").alias("partition"),
     )
     return seeds.mapInArrow(
-        _make_batch_fn(days_per_partition, seed), SPARK_SCHEMA
+        _make_batch_fn(days_per_partition, seed, rate_scale), SPARK_SCHEMA
     )
 
 
@@ -239,7 +258,13 @@ def generate_size(
 ) -> DataFrame:
     cfg = SIZES[size]
     return generate_transactions(
-        spark, cfg.customers, cfg.partitions, cfg.days_per_partition, seed, tasks
+        spark,
+        cfg.customers,
+        cfg.partitions,
+        cfg.days_per_partition,
+        seed,
+        tasks,
+        cfg.rate_scale,
     )
 
 

@@ -75,6 +75,37 @@ def test_determinism_across_task_layouts(spark):
     assert c.exceptAll(a).count() > 0  # different seed → different data
 
 
+def test_rate_scale_shrinks_fanout_deterministically(spark, trx):
+    """rate_scale < 1 must shrink the per-(customer, day) row fan-out
+    ≈ rate_scale (floor bias puts it slightly under) while staying as
+    deterministic and layout-independent as the full-rate dataset, with
+    both stress axes (all keys, all partitions) intact and all per-row
+    distributions unchanged."""
+    scaled = generate_transactions(
+        spark, customers=60, partitions=2, days_per_partition=30, seed=42,
+        rate_scale=0.15, tasks=3,
+    ).cache()
+    n_full, n_scaled = trx.count(), scaled.count()
+    # floor(25·jit·0.15) has mean ≈ 3.2/25 ≈ 0.13 of full
+    assert 0.10 * n_full < n_scaled < 0.15 * n_full
+    # determinism: same (seed, scale) under a different task layout
+    again = generate_transactions(
+        spark, customers=60, partitions=2, days_per_partition=30, seed=42,
+        rate_scale=0.15, tasks=7,
+    )
+    assert again.exceptAll(scaled).count() == 0
+    assert scaled.exceptAll(again).count() == 0
+    # both axes intact: all customers and partitions still present
+    row = scaled.agg(
+        F.countDistinct("customer_id").alias("nc"),
+        F.countDistinct("part_col").alias("np"),
+        F.avg("trx_amnt").alias("mean_amt"),
+    ).first()
+    assert row["nc"] == 60 and row["np"] == 2
+    assert abs(row["mean_amt"] - 5050) < 150  # per-row draws unchanged
+    scaled.unpersist()
+
+
 def test_reference_task_2080_features_cross_strategy(spark, trx):
     """The reference's full 2,080-feature task compiles and the two native
     strategies agree exactly on generated data (cumulative-window + exact
