@@ -367,6 +367,33 @@ def test_compile_features_dispatch(spark, tiny_transactions):
     assert df.count() == 2
 
 
+def test_planner_layout_choice_from_hints(spark, tiny_transactions):
+    """With row/key hints, the planner picks the bucket_pivot exchange
+    layout: high key cardinality (keys×cells ≥ 0.1×rows) → the
+    single-exchange key-partitioned plan; low → the default map-combined
+    plan. Both compile and agree on results."""
+    from feature_generation_benchmark_spark.plans.planner import (
+        choose_bucket_pivot_layout,
+    )
+    from feature_generation_benchmark_spark.spec import reference_spec
+
+    spec = reference_spec()  # 416 cells
+    # big_keys regime: 1M keys × 416 cells = 416M ≥ 0.1 × 1.22B rows
+    assert choose_bucket_pivot_layout(spec, 1_224_956_453, 1_000_000)
+    # medium regime: 100k keys × 416 cells = 41.6M < 0.1 × 1.75B rows
+    assert not choose_bucket_pivot_layout(spec, 1_749_194_545, 100_000)
+    # hinted compile produces the same rows as the unhinted default
+    hinted = compile_features(
+        SMALL_SPEC, tiny_transactions, strategy="bucket_pivot",
+        n_rows_hint=10, n_keys_hint=1_000_000,
+    )
+    default = compile_features(
+        SMALL_SPEC, tiny_transactions, strategy="bucket_pivot"
+    )
+    assert hinted.exceptAll(default).count() == 0
+    assert default.exceptAll(hinted).count() == 0
+
+
 def test_pivot_rollup_approximate_reproduces_reference_defects(spark):
     """approximate=True is the bit-faithful migration mode: it must show
     the reference pivot impls' two documented defects (SURVEY §2.7.2-3)
