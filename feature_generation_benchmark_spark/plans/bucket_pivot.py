@@ -210,7 +210,7 @@ def compile_bucket_pivot(
 
     Trade-off: the single exchange moves RAW celled rows (no map-side
     combine), so this layout loses when combine is effective — few keys
-    × many rows (medium: 17k keys × 1.7B rows combines 250:1). It wins
+    × many rows (medium: 100k keys × 1.7B rows, ~130 rows/key/task). It wins
     in the high-key-cardinality regime where rows-per-(key,cell)-per-
     task ≈ 1 and combine never fires: there the default's two ~input-
     sized exchanges become one. Callers pick per workload (the
