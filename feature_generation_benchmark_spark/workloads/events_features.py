@@ -169,6 +169,17 @@ def _bucket_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_bucket_pivot(EVENTS_SPEC, _load(spark, sf_dir))
 
 
+def _bucket_pivot_keypart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single-exchange key-partitioned layout (the planner's pick in
+    the high-key-cardinality regime — 2.31× faster at big_keys, see
+    RESULTS.md r7 A/Bs) driver-gated against the SAME batch oracle as
+    every other strategy, so the at-scale layout itself is hash-checked
+    end-to-end, not only equality-tested against the default layout."""
+    return compile_bucket_pivot(
+        EVENTS_SPEC, _load(spark, sf_dir), key_partitioned=True
+    )
+
+
 def _grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_grouped_map(EVENTS_SPEC, _load(spark, sf_dir))
 
@@ -278,6 +289,13 @@ QUERIES = [
         _ORACLE,
         "integer-cell partial agg + known-values PivotFirst + arithmetic "
         "rollup (strategy A2+A3'', the at-scale default)",
+    ),
+    QueryDef(
+        "feat_bucket_pivot_keypart",
+        _bucket_pivot_keypart,
+        _ORACLE,
+        "single-exchange key-partitioned bucket_pivot layout (the "
+        "planner's high-key-cardinality pick, 2.31x faster at big_keys)",
     ),
     QueryDef(
         "feat_grouped_map",
