@@ -1,20 +1,27 @@
 """Pure-numpy image codec for the library-free formats — uncompressed
-24-bit BMP (BITMAPINFOHEADER, BI_RGB) and binary PPM (P6).
+24-bit BMP (BITMAPINFOHEADER, BI_RGB), binary PPM (P6), and 8-bit
+truecolor PNG (RFC 2083 — DEFLATE via the stdlib ``zlib``).
 
-Both formats are fully public specifications (BMP: Windows
-device-independent bitmap layout; PPM: netpbm). They need no codec
-libraries, so the multimodal ``decoder="real"`` path can ACTUALLY decode,
-resize, and re-encode them in this container; formats that genuinely
-require external libraries (PNG/JPEG/video) still raise the documented
+All three formats are fully public specifications (BMP: Windows
+device-independent bitmap layout; PPM: netpbm; PNG: RFC 2083 /
+ISO 15948). None needs an external codec library — PNG's only
+compression is zlib, which ships with CPython — so the multimodal
+``decoder="real"`` path can ACTUALLY decode, resize, and re-encode them
+in this container; formats that genuinely require external libraries
+(JPEG/video/compressed audio) still raise the documented
 ``NotImplementedError`` at the same call sites.
 
 Everything is vectorized numpy — these run inside Arrow-batched
-``mapInPandas`` workers, so per-pixel Python loops are never acceptable.
+``mapInPandas`` workers, so per-pixel Python loops are never acceptable
+on the paths our encoder produces (PNG decode keeps a per-pixel inner
+loop ONLY for the Average/Paeth filters foreign encoders may emit;
+our encoder emits filter 0, whose decode is a pure memcpy).
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -22,12 +29,18 @@ _BMP_HEADER_FMT = "<2sIHHI"  # magic, file size, res1, res2, pixel offset
 _BMP_INFO_FMT = "<IiiHHIIiiII"  # BITMAPINFOHEADER
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
 def sniff_format(data: bytes) -> str | None:
-    """'bmp' | 'ppm' for the formats this codec handles, else None."""
+    """'bmp' | 'ppm' | 'png' for the formats this codec handles, else
+    None."""
     if data[:2] == b"BM":
         return "bmp"
     if data[:2] == b"P6":
         return "ppm"
+    if data[:8] == _PNG_MAGIC:
+        return "png"
     return None
 
 
@@ -122,6 +135,127 @@ def encode_ppm(img: np.ndarray) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
 
 
+def _png_chunks(data: bytes):
+    """Yield (type, body) for each chunk; stops at IEND. CRCs are
+    verified — a silently corrupt IDAT would otherwise surface as a
+    confusing zlib error (or worse, wrong pixels)."""
+    pos = 8
+    while pos + 8 <= len(data):
+        (size,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + size]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + size)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        yield ctype, body
+        if ctype == b"IEND":
+            return
+        pos += 12 + size
+    raise ValueError("PNG truncated before IEND")
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """8-bit truecolor PNG (color type 2 RGB or 6 RGBA, non-interlaced)
+    → (H, W, 3) uint8 RGB array (alpha, if present, is dropped — this
+    codec's consumers are RGB feature extractors). Filters 0-4 are all
+    unfiltered per RFC 2083 §6; Sub/Up are vectorized, Average/Paeth
+    (never emitted by :func:`encode_png`) fall back to a per-pixel loop
+    for foreign files. Palette, 16-bit, grayscale and interlaced
+    variants raise ValueError — decode fidelity over silent guessing."""
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG stream")
+    width = height = None
+    channels = None
+    idat = bytearray()
+    for ctype, body in _png_chunks(data):
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if depth != 8 or color not in (2, 6) or comp or filt or interlace:
+                raise ValueError(
+                    f"unsupported PNG variant (depth={depth}, color={color},"
+                    f" interlace={interlace}); only 8-bit RGB/RGBA"
+                    " non-interlaced"
+                )
+            channels = 3 if color == 2 else 4
+        elif ctype == b"IDAT":
+            idat += body
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel payload size mismatch")
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    filters = lines[:, 0]
+    out = np.zeros((height, stride), dtype=np.uint8)
+    bpp = channels
+    for y in range(height):
+        f = int(filters[y])
+        cur = lines[y, 1:].astype(np.int64)
+        prev = out[y - 1].astype(np.int64) if y else np.zeros(stride, np.int64)
+        if f == 0:  # None
+            rec = cur
+        elif f == 2:  # Up
+            rec = cur + prev
+        elif f == 1:  # Sub — per-byte-lane cumulative sum (mod 256)
+            rec = cur.reshape(-1, bpp).cumsum(axis=0).reshape(-1)
+        elif f in (3, 4):  # Average / Paeth — sequential by spec
+            rec = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = rec[x - bpp] & 0xFF if x >= bpp else 0
+                b = prev[x]
+                if f == 3:
+                    rec[x] = cur[x] + ((a + b) >> 1)
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    rec[x] = cur[x] + _paeth(int(a), int(b), int(c))
+        else:
+            raise ValueError(f"invalid PNG filter {f}")
+        out[y] = rec & 0xFF
+    img = out.reshape(height, width, channels)
+    return img[..., :3].copy()
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB array → 8-bit truecolor non-interlaced PNG.
+    Every scanline uses filter 0 (None): DEFLATE alone compresses our
+    synthetic fixtures fine, decode of our own files stays a pure
+    vectorized copy, and the byte stream is deterministic (fixed zlib
+    level, no heuristic filter search)."""
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("encode_png needs (H, W, 3) RGB")
+    lines = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+    lines[:, 1:] = img.reshape(h, w * 3)
+    payload = zlib.compress(lines.tobytes(), 6)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", payload)
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(data: bytes) -> tuple[np.ndarray, str]:
     """Decode any supported format; returns (array, format)."""
     fmt = sniff_format(data)
@@ -129,9 +263,11 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
         return decode_bmp(data), "bmp"
     if fmt == "ppm":
         return decode_ppm(data), "ppm"
+    if fmt == "png":
+        return decode_png(data), "png"
     raise NotImplementedError(
-        "only uncompressed BMP and binary PPM decode without codec "
-        "libraries; plug PIL/ffmpeg here for other formats"
+        "only BMP, binary PPM and 8-bit truecolor PNG decode without "
+        "codec libraries; plug PIL/ffmpeg here for other formats"
     )
 
 
@@ -140,6 +276,8 @@ def encode_image(img: np.ndarray, fmt: str) -> bytes:
         return encode_bmp(img)
     if fmt == "ppm":
         return encode_ppm(img)
+    if fmt == "png":
+        return encode_png(img)
     raise NotImplementedError(f"cannot encode {fmt!r} without codec libraries")
 
 

@@ -4,12 +4,14 @@ columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
 The decode step runs in three modes: ``decoder="fake"`` produces
 deterministic pseudo-features derived from the bytes (the whole pipeline
 is testable with any blob); ``decoder="real"`` GENUINELY decodes the
-library-free image formats — uncompressed 24-bit BMP and binary PPM —
+library-free image formats — uncompressed 24-bit BMP, binary PPM, and
+8-bit truecolor PNG (RFC 2083; DEFLATE comes from the stdlib zlib) —
 via the pure-numpy codec (``operators/imagecodec.py``: decode, nearest-
 neighbor resize, re-encode, channel-stat features, all vectorized); and
 for formats that require codec libraries absent in this container
-(PNG/JPEG/audio/video), ``decoder="real"`` raises ``NotImplementedError``
-at the exact point a real deployment plugs PIL/torchaudio/pyav.
+(JPEG/compressed audio/video), ``decoder="real"`` raises
+``NotImplementedError`` at the exact point a real deployment plugs
+PIL/torchaudio/pyav.
 Everything around decode — schema, batch iteration, partitioning, UDF
 signature — is the real Spark plumbing a production pipeline would keep.
 
@@ -70,10 +72,11 @@ def _decode_stub(
     blob: bytes, media_type: str, decoder: str, digest: bytes | None = None
 ):
     """The decode stage. ``decoder="real"`` genuinely decodes the
-    library-free image formats (uncompressed 24-bit BMP, binary PPM —
-    pure-numpy codec, ``operators/imagecodec.py``) and raises the
-    documented ``NotImplementedError`` for formats that require codec
-    libraries absent here (PNG/JPEG/audio/video — plug PIL / torchaudio /
+    library-free image formats (uncompressed 24-bit BMP, binary PPM,
+    8-bit truecolor PNG — pure-numpy codec,
+    ``operators/imagecodec.py``) and raises the documented
+    ``NotImplementedError`` for formats that require codec libraries
+    absent here (JPEG/compressed audio/video — plug PIL / torchaudio /
     pyav at this exact point). The deterministic fake derives plausible
     shapes and an 8-dim feature vector from the content hash so the
     downstream plumbing is exercisable with ANY bytes. ``digest`` lets
@@ -98,7 +101,7 @@ def _decode_stub(
                 len(samples),
                 audio_features(samples, rate),
             )
-        img, _fmt = decode_image(blob)  # NotImplementedError for png/jpeg/av
+        img, _fmt = decode_image(blob)  # NotImplementedError for jpeg/av
         h, w = img.shape[:2]
         return w, h, 1, image_features(img)
     if digest is None:

@@ -14,6 +14,7 @@ from feature_generation_benchmark_spark.operators.imagecodec import (
     decode_image,
     decode_ppm,
     encode_bmp,
+    encode_png,
     encode_ppm,
     image_features,
     resize_nearest,
@@ -58,9 +59,148 @@ def test_sniff_and_dispatch():
     img = _gradient(4, 4)
     assert sniff_format(encode_bmp(img)) == "bmp"
     assert sniff_format(encode_ppm(img)) == "ppm"
-    assert sniff_format(b"\x89PNG\r\n") is None
+    assert sniff_format(encode_png(img)) == "png"
+    assert sniff_format(b"\x89PNG\r\n") is None  # truncated magic
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\n....")
+        decode_image(b"\xff\xd8\xff\xe0JFIF....")  # JPEG needs a library
+
+
+@pytest.mark.parametrize("h,w", [(1, 1), (2, 3), (16, 16), (7, 13)])
+def test_png_roundtrip_exact(h, w):
+    img = _gradient(h, w)
+    data = encode_png(img)
+    back, fmt = decode_image(data)
+    assert fmt == "png"
+    assert back.shape == (h, w, 3)
+    assert np.array_equal(back, img)
+    # deterministic byte stream (fixed filter + zlib level)
+    assert data == encode_png(img)
+
+
+def _png_with_filters(img, filters):
+    """Re-emit a PNG choosing a per-row filter type — produces the
+    filtered byte streams a foreign encoder would, so decode's
+    Sub/Up/Average/Paeth reconstruction is exercised for real."""
+    import struct
+    import zlib
+
+    h, w, _ = img.shape
+    bpp = 3
+    raw = img.reshape(h, w * bpp).astype(np.int64)
+    lines = bytearray()
+    for y in range(h):
+        f = filters[y % len(filters)]
+        cur = raw[y]
+        prev = raw[y - 1] if y else np.zeros(w * bpp, dtype=np.int64)
+        left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, dtype=np.int64), prev[:-bpp]])
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prev
+        elif f == 3:
+            filt = cur - ((left + prev) >> 1)
+        else:  # Paeth
+            p = left + prev - ul
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            filt = cur - pred
+        lines.append(f)
+        lines += (filt & 0xFF).astype(np.uint8).tobytes()
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("filters", [[1], [2], [3], [4], [0, 1, 2, 3, 4]])
+def test_png_decode_all_filter_types(filters):
+    """Foreign encoders emit Sub/Up/Average/Paeth; reconstruction must be
+    pixel-exact for each filter and for mixed per-row choices."""
+    from feature_generation_benchmark_spark.operators.imagecodec import (
+        decode_png,
+    )
+
+    img = _gradient(8, 5)
+    assert np.array_equal(decode_png(_png_with_filters(img, filters)), img)
+
+
+def test_png_rgba_alpha_dropped_and_crc_checked():
+    import struct
+    import zlib
+
+    from feature_generation_benchmark_spark.operators.imagecodec import (
+        decode_png,
+    )
+
+    # hand-build a 2x2 RGBA PNG (color type 6); decode keeps RGB
+    img = _gradient(2, 2)
+    rgba = np.concatenate(
+        [img, np.full((2, 2, 1), 200, dtype=np.uint8)], axis=2
+    )
+    lines = b"".join(
+        b"\x00" + rgba[y].tobytes() for y in range(2)
+    )
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(lines))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(data), img)
+    # flip one IDAT payload byte: CRC must catch it loudly
+    corrupt = bytearray(data)
+    idat_pos = data.index(b"IDAT") + 6
+    corrupt[idat_pos] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(corrupt))
+
+
+def test_png_unsupported_variants_raise():
+    import struct
+    import zlib
+
+    from feature_generation_benchmark_spark.operators.imagecodec import (
+        decode_png,
+    )
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    # 16-bit depth and palette color are out of scope -> named error
+    for depth, color in [(16, 2), (8, 3)]:
+        data = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, depth, color, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00"))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="unsupported PNG"):
+            decode_png(data)
 
 
 def test_resize_nearest_hand_computed():
@@ -89,6 +229,7 @@ def test_extract_features_real_decoder_e2e(spark):
     imgs = {i: _gradient(8 + i, 5 + i) for i in range(4)}
     rows = [(i, bytearray(encode_bmp(img))) for i, img in imgs.items()]
     rows.append((99, bytearray(encode_ppm(_gradient(6, 6)))))
+    rows.append((98, bytearray(encode_png(_gradient(9, 7)))))
     df = spark.createDataFrame(rows, "doc_id long, blob binary")
     out = {
         r["doc_id"]: r
@@ -104,6 +245,10 @@ def test_extract_features_real_decoder_e2e(spark):
             image_features(img), abs=1e-6
         )
     assert (out[99]["width"], out[99]["height"]) == (6, 6)
+    assert (out[98]["width"], out[98]["height"]) == (7, 9)
+    assert out[98]["feature_vec"] == pytest.approx(
+        image_features(_gradient(9, 7)), abs=1e-6
+    )
 
 
 def test_resize_media_real_decoder_e2e(spark):
@@ -115,7 +260,11 @@ def test_resize_media_real_decoder_e2e(spark):
 
     img = _gradient(16, 12)
     df = spark.createDataFrame(
-        [(1, bytearray(encode_bmp(img))), (2, bytearray(encode_ppm(img)))],
+        [
+            (1, bytearray(encode_bmp(img))),
+            (2, bytearray(encode_ppm(img))),
+            (3, bytearray(encode_png(img))),
+        ],
         "doc_id long, blob binary",
     )
     out = {
@@ -127,9 +276,11 @@ def test_resize_media_real_decoder_e2e(spark):
     want = resize_nearest(img, 6, 4)
     got_bmp, fmt1 = decode_image(bytes(out[1]["resized"]))
     got_ppm, fmt2 = decode_image(bytes(out[2]["resized"]))
-    assert (fmt1, fmt2) == ("bmp", "ppm")
+    got_png, fmt3 = decode_image(bytes(out[3]["resized"]))
+    assert (fmt1, fmt2, fmt3) == ("bmp", "ppm", "png")
     assert np.array_equal(got_bmp, want)
     assert np.array_equal(got_ppm, want)
+    assert np.array_equal(got_png, want)
     assert (out[1]["width"], out[1]["height"]) == (6, 4)
 
 
