@@ -175,18 +175,20 @@ _PIX_N = _PIX_W * _PIX_H * 3  # 768 bytes per synthesized image
 
 
 def multimodal_real_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Drive the REAL (pure-numpy BMP) codec through the oracle gate.
+    """Drive the REAL (pure-numpy) codecs through the oracle gate.
 
     Each document's UTF-8 bytes become the pixel buffer of a 16×16 RGB
-    image (first 768 bytes, zero-padded), ENCODED to an actual BMP file
-    (bottom-up rows, BGR, 4-byte padding) and DECODED back inside the
-    ``mapInPandas`` worker via ``operators/imagecodec.py`` — a true
-    encode→decode roundtrip per blob, not the hash fake. The output is
-    the per-source EXACT integer per-channel pixel sums; because the BMP
-    roundtrip is pixel-identity, the DuckDB twin computes the same sums
-    straight from the text bytes (ASCII corpus ⇒ ``ord`` = byte), so any
-    codec defect — row order, BGR swap, padding arithmetic — breaks the
-    value hash.
+    image (first 768 bytes, zero-padded), then roundtrip through ALL
+    THREE real image codecs chained — BMP (bottom-up rows, BGR, 4-byte
+    padding) → PPM (P6 header) → PNG (RFC 2083: zlib DEFLATE, filtered
+    scanlines, chunk CRCs) — inside the ``mapInPandas`` worker via
+    ``operators/imagecodec.py``: three true encode→decode roundtrips per
+    blob, not the hash fake. The output is the per-source EXACT integer
+    per-channel pixel sums; because each roundtrip is pixel-identity,
+    the DuckDB twin computes the same sums straight from the text bytes
+    (ASCII corpus ⇒ ``ord`` = byte), so any codec defect — row order,
+    BGR swap, padding arithmetic, PNG filter/CRC/deflate handling —
+    breaks the value hash.
 
     Scale: blob synthesis + encode + decode + channel sums are one
     narrow map (blobs never shuffle); the only exchange is the
@@ -197,7 +199,11 @@ def multimodal_real_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from feature_generation_benchmark_spark.operators.imagecodec import (
         decode_bmp,
+        decode_png,
+        decode_ppm,
         encode_bmp,
+        encode_png,
+        encode_ppm,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -225,7 +231,11 @@ def multimodal_real_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 buf[: len(data)] = data
                 img = buf.reshape(_PIX_H, _PIX_W, 3)
-                back = decode_bmp(encode_bmp(img))  # REAL codec roundtrip
+                # REAL codec roundtrips, chained: any non-identity step
+                # in any of the three formats corrupts the sums
+                back = decode_bmp(encode_bmp(img))
+                back = decode_ppm(encode_ppm(back))
+                back = decode_png(encode_png(back))
                 assert back.shape == (_PIX_H, _PIX_W, 3)
                 sums = back.reshape(-1, 3).astype(np.int64).sum(axis=0)
                 out.append(
