@@ -7,9 +7,13 @@ device-independent bitmap layout; PPM: netpbm; PNG: RFC 2083 /
 ISO 15948). None needs an external codec library — PNG's only
 compression is zlib, which ships with CPython — so the multimodal
 ``decoder="real"`` path can ACTUALLY decode, resize, and re-encode them
-in this container; formats that genuinely require external libraries
-(JPEG/video/compressed audio) still raise the documented
-``NotImplementedError`` at the same call sites.
+in this container. Baseline JPEG (ITU-T T.81) lives in the sibling
+``operators/jpegcodec.py`` (pure numpy DCT + Huffman) and dispatches
+through :func:`decode_image`/:func:`encode_image` here; uncompressed
+AVI video and WAV audio in ``operators/avicodec.py`` / below. Formats
+that genuinely require external libraries (compressed video, MP3/AAC)
+still raise the documented ``NotImplementedError`` at the same call
+sites.
 
 Everything is vectorized numpy — these run inside Arrow-batched
 ``mapInPandas`` workers, so per-pixel Python loops are never acceptable
@@ -33,14 +37,16 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
 def sniff_format(data: bytes) -> str | None:
-    """'bmp' | 'ppm' | 'png' for the formats this codec handles, else
-    None."""
+    """'bmp' | 'ppm' | 'png' | 'jpeg' for the formats the real codecs
+    handle, else None."""
     if data[:2] == b"BM":
         return "bmp"
     if data[:2] == b"P6":
         return "ppm"
     if data[:8] == _PNG_MAGIC:
         return "png"
+    if data[:2] == b"\xff\xd8":
+        return "jpeg"
     return None
 
 
@@ -265,9 +271,16 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
         return decode_ppm(data), "ppm"
     if fmt == "png":
         return decode_png(data), "png"
+    if fmt == "jpeg":
+        from feature_generation_benchmark_spark.operators.jpegcodec import (
+            decode_jpeg,
+        )
+
+        return decode_jpeg(data), "jpeg"
     raise NotImplementedError(
-        "only BMP, binary PPM and 8-bit truecolor PNG decode without "
-        "codec libraries; plug PIL/ffmpeg here for other formats"
+        "only BMP, binary PPM, 8-bit truecolor PNG and baseline JPEG "
+        "decode without codec libraries; plug PIL/ffmpeg here for other "
+        "formats"
     )
 
 
@@ -278,6 +291,12 @@ def encode_image(img: np.ndarray, fmt: str) -> bytes:
         return encode_ppm(img)
     if fmt == "png":
         return encode_png(img)
+    if fmt == "jpeg":
+        from feature_generation_benchmark_spark.operators.jpegcodec import (
+            encode_jpeg,
+        )
+
+        return encode_jpeg(img)
     raise NotImplementedError(f"cannot encode {fmt!r} without codec libraries")
 
 

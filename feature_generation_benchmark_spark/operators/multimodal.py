@@ -72,12 +72,12 @@ def _decode_stub(
     blob: bytes, media_type: str, decoder: str, digest: bytes | None = None
 ):
     """The decode stage. ``decoder="real"`` genuinely decodes the
-    library-free image formats (uncompressed 24-bit BMP, binary PPM,
-    8-bit truecolor PNG — pure-numpy codec,
-    ``operators/imagecodec.py``) and raises the documented
-    ``NotImplementedError`` for formats that require codec libraries
-    absent here (JPEG/compressed audio/video — plug PIL / torchaudio /
-    pyav at this exact point). The deterministic fake derives plausible
+    library-free formats (uncompressed 24-bit BMP, binary PPM, 8-bit
+    truecolor PNG, baseline JPEG — pure-numpy codecs,
+    ``operators/imagecodec.py`` + ``operators/jpegcodec.py``) and
+    raises the documented ``NotImplementedError`` for formats that
+    require codec libraries absent here (compressed video, MP3/AAC —
+    plug PIL / torchaudio / pyav at this exact point). The deterministic fake derives plausible
     shapes and an 8-dim feature vector from the content hash so the
     downstream plumbing is exercisable with ANY bytes. ``digest`` lets
     callers that already hashed the blob (for content addressing) avoid a

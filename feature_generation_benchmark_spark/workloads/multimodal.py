@@ -299,3 +299,120 @@ QUERIES.append(
         bench=False,
     )
 )
+
+
+def multimodal_jpeg_bound_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the REAL baseline JPEG codec (operators/jpegcodec.py)
+    through the oracle gate.
+
+    JPEG is lossy, so the exact-roundtrip gate the BMP/PPM/PNG chain
+    uses cannot apply; this follows the repo's bound-gated sketch
+    pattern instead (COVERAGE r7 §1): the hashed output carries (a)
+    EXACT channel sums computed from the ORIGINAL pixel buffer — the
+    DuckDB twin replays those from the raw bytes — plus (b) an in-plan
+    invariant on the engine-specific part: every document's quality-100
+    encode→decode roundtrip must stay within the codec's PROVABLE
+    ``JPEG_Q100_MAX_ABS_ERR`` L∞ bound (derivation in the module
+    docstring), folded to one ``jpeg_within_bound`` boolean per source
+    that the oracle emits as literal TRUE. A Huffman-table, DCT,
+    zig-zag, byte-stuffing or color-transform defect either corrupts
+    the stream (worker exception) or blows the bound (hash mismatch).
+
+    Scale: blob synthesis + encode + decode + sums are one narrow map
+    (blobs never shuffle); the only exchange is the ≤|sources|
+    combining aggregate."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from feature_generation_benchmark_spark.operators.jpegcodec import (
+        JPEG_Q100_MAX_ABS_ERR,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    narrow = docs.filter(F.col("text").isNotNull()).select(
+        "source", F.encode(F.col("text"), "UTF-8").alias("blob")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for source, blob in zip(pdf["source"], pdf["blob"]):
+                buf = np.zeros(_PIX_N, dtype=np.uint8)
+                data = np.frombuffer(bytes(blob)[:_PIX_N], dtype=np.uint8)
+                if (data >= 128).any():
+                    # same ASCII contract as multimodal_real_pixel_stats
+                    raise ValueError(
+                        "multimodal_jpeg_bound_stats requires an ASCII "
+                        f"corpus; non-ASCII byte in doc from {source!r}"
+                    )
+                buf[: len(data)] = data
+                img = buf.reshape(_PIX_H, _PIX_W, 3)
+                back = decode_jpeg(encode_jpeg(img, quality=100))
+                assert back.shape == (_PIX_H, _PIX_W, 3)
+                err = int(
+                    np.abs(back.astype(np.int64) - img.astype(np.int64)).max()
+                )
+                sums = img.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                out.append(
+                    {
+                        "source": source,
+                        "r_sum": int(sums[0]),
+                        "g_sum": int(sums[1]),
+                        "b_sum": int(sums[2]),
+                        "ok": err <= JPEG_Q100_MAX_ABS_ERR,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    per_doc = narrow.mapInPandas(
+        run, "source string, r_sum long, g_sum long, b_sum long, ok boolean"
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("r_sum").alias("r_total"),
+            F.sum("g_sum").alias("g_total"),
+            F.sum("b_sum").alias("b_total"),
+            F.min("ok").alias("jpeg_within_bound"),
+        )
+        .orderBy("source")
+    )
+
+
+_JPEG_BOUND_ORACLE = f"""
+WITH bytes AS (
+  SELECT source, u.i AS i,
+         CASE WHEN u.i <= length(text) THEN ord(substr(text, u.i, 1))
+              ELSE 0 END AS b
+  FROM documents,
+       unnest(generate_series(1, {_PIX_N})) AS u(i)
+  WHERE text IS NOT NULL
+)
+SELECT source,
+       CAST(count(*) // {_PIX_N} AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN (i - 1) % 3 = 0 THEN b ELSE 0 END) AS BIGINT)
+         AS r_total,
+       CAST(sum(CASE WHEN (i - 1) % 3 = 1 THEN b ELSE 0 END) AS BIGINT)
+         AS g_total,
+       CAST(sum(CASE WHEN (i - 1) % 3 = 2 THEN b ELSE 0 END) AS BIGINT)
+         AS b_total,
+       TRUE AS jpeg_within_bound
+FROM bytes GROUP BY source ORDER BY source
+"""
+
+QUERIES.append(
+    QueryDef(
+        "multimodal_jpeg_bound_stats",
+        multimodal_jpeg_bound_stats,
+        _JPEG_BOUND_ORACLE,
+        "REAL baseline JPEG (T.81: DCT + Annex K Huffman, pure numpy) "
+        "q100 encode->decode per blob inside mapInPandas; exact channel "
+        "sums hash-checked cross-engine + the provable L-inf error bound "
+        "asserted in-plan per document",
+        bench=False,
+    )
+)

@@ -61,8 +61,14 @@ def test_sniff_and_dispatch():
     assert sniff_format(encode_ppm(img)) == "ppm"
     assert sniff_format(encode_png(img)) == "png"
     assert sniff_format(b"\x89PNG\r\n") is None  # truncated magic
+    # JPEG now dispatches to the REAL baseline codec (jpegcodec.py);
+    # a truncated stream fails THERE with a named error, and a format
+    # nothing sniffs still hits the documented plug-a-library point
+    assert sniff_format(b"\xff\xd8\xff\xe0") == "jpeg"
+    with pytest.raises(ValueError, match="truncated"):
+        decode_image(b"\xff\xd8\xff\xe0JFIF....")
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0JFIF....")  # JPEG needs a library
+        decode_image(b"\x00\x01unknown-format")  # unsniffed → plug point
 
 
 @pytest.mark.parametrize("h,w", [(1, 1), (2, 3), (16, 16), (7, 13)])
