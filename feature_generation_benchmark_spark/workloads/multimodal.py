@@ -416,3 +416,125 @@ QUERIES.append(
         bench=False,
     )
 )
+
+
+# --- multimodal_real_video_frames — REAL AVI container, frame sampling ----
+
+_VID_N_FRAMES, _VID_H, _VID_W = 4, 8, 8
+_VID_FRAME_BYTES = _VID_H * _VID_W * 3  # 192; 4 frames = 768 = _PIX_N
+_VID_EVERY_N = 2  # sampled frame indices: 0, 2
+
+
+def multimodal_real_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video path through the oracle gate: each document's UTF-8
+    bytes become a 4-frame 8×8 RGB clip (first 768 bytes, zero-padded,
+    frame-major), encoded into a genuine RIFF/AVI container
+    (``operators/avicodec.py``: hdrl/movi lists, 00db DIB chunks,
+    idx1) and decoded back inside the ``mapInPandas`` worker; every 2nd
+    frame is sampled (indices 0 and 2) and the output is the EXACT
+    per-source per-channel pixel sums over the sampled frames. The DIB
+    frame layout is lossless, so the DuckDB twin recomputes the same
+    sums straight from the text bytes (frame index = byte_pos / 192) —
+    any container-walk, row-order, BGR or padding defect breaks the
+    value hash; sampling the wrong frames shifts whole 192-byte windows
+    and breaks it too.
+
+    Scale: blob synthesis + encode + decode + sums are one narrow map
+    (containers never shuffle); the only exchange is the ≤|sources|
+    combining aggregate."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from feature_generation_benchmark_spark.operators.avicodec import (
+        encode_avi,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    narrow = docs.filter(F.col("text").isNotNull()).select(
+        "source", F.encode(F.col("text"), "UTF-8").alias("blob")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for source, blob in zip(pdf["source"], pdf["blob"]):
+                buf = np.zeros(_PIX_N, dtype=np.uint8)
+                data = np.frombuffer(bytes(blob)[:_PIX_N], dtype=np.uint8)
+                if (data >= 128).any():
+                    # same ASCII contract as multimodal_real_pixel_stats
+                    raise ValueError(
+                        "multimodal_real_video_frames requires an ASCII "
+                        f"corpus; non-ASCII byte in doc from {source!r}"
+                    )
+                buf[: len(data)] = data
+                clip = buf.reshape(_VID_N_FRAMES, _VID_H, _VID_W, 3)
+                sampled = sample_frames(encode_avi(clip, fps=10), _VID_EVERY_N)
+                assert [i for i, _ in sampled] == [0, 2]
+                stack = np.stack([f for _, f in sampled])
+                sums = stack.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                out.append(
+                    {
+                        "source": source,
+                        "n_sampled": len(sampled),
+                        "r_sum": int(sums[0]),
+                        "g_sum": int(sums[1]),
+                        "b_sum": int(sums[2]),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    per_doc = narrow.mapInPandas(
+        run,
+        "source string, n_sampled long, r_sum long, g_sum long, b_sum long",
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_sampled").alias("frames_sampled"),
+            F.sum("r_sum").alias("r_total"),
+            F.sum("g_sum").alias("g_total"),
+            F.sum("b_sum").alias("b_total"),
+        )
+        .orderBy("source")
+    )
+
+
+# sampled frames are byte windows [0,192) and [384,576) of the 768-byte
+# buffer; channel = (i-1) % 3 exactly as in the image twins
+_VIDEO_FRAMES_ORACLE = f"""
+WITH bytes AS (
+  SELECT source, u.i AS i,
+         (u.i - 1) // {_VID_FRAME_BYTES} AS frame,
+         CASE WHEN u.i <= length(text) THEN ord(substr(text, u.i, 1))
+              ELSE 0 END AS b
+  FROM documents,
+       unnest(generate_series(1, {_PIX_N})) AS u(i)
+  WHERE text IS NOT NULL
+)
+SELECT source,
+       CAST(count(*) // {_PIX_N} AS BIGINT) AS n_docs,
+       CAST(count(*) // {_PIX_N} * 2 AS BIGINT) AS frames_sampled,
+       CAST(sum(CASE WHEN frame IN (0, 2) AND (i - 1) % 3 = 0
+                     THEN b ELSE 0 END) AS BIGINT) AS r_total,
+       CAST(sum(CASE WHEN frame IN (0, 2) AND (i - 1) % 3 = 1
+                     THEN b ELSE 0 END) AS BIGINT) AS g_total,
+       CAST(sum(CASE WHEN frame IN (0, 2) AND (i - 1) % 3 = 2
+                     THEN b ELSE 0 END) AS BIGINT) AS b_total
+FROM bytes GROUP BY source ORDER BY source
+"""
+
+QUERIES.append(
+    QueryDef(
+        "multimodal_real_video_frames",
+        multimodal_real_video_frames,
+        _VIDEO_FRAMES_ORACLE,
+        "REAL AVI container roundtrip (RIFF hdrl/movi/idx1, uncompressed "
+        "DIB frames, pure numpy) + every-2nd frame sampling inside "
+        "mapInPandas; exact sampled-frame channel sums hash-checked "
+        "cross-engine",
+        bench=False,
+    )
+)
