@@ -47,6 +47,8 @@ def sniff_format(data: bytes) -> str | None:
         return "png"
     if data[:2] == b"\xff\xd8":
         return "jpeg"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -277,10 +279,16 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
         )
 
         return decode_jpeg(data), "jpeg"
+    if fmt == "gif":
+        from feature_generation_benchmark_spark.operators.gifcodec import (
+            decode_gif_rgb,
+        )
+
+        return decode_gif_rgb(data), "gif"
     raise NotImplementedError(
-        "only BMP, binary PPM, 8-bit truecolor PNG and baseline JPEG "
-        "decode without codec libraries; plug PIL/ffmpeg here for other "
-        "formats"
+        "only BMP, binary PPM, 8-bit truecolor PNG, baseline JPEG and "
+        "single-frame GIF decode without codec libraries; plug "
+        "PIL/ffmpeg here for other formats"
     )
 
 
@@ -297,6 +305,12 @@ def encode_image(img: np.ndarray, fmt: str) -> bytes:
         )
 
         return encode_jpeg(img)
+    if fmt == "gif":
+        from feature_generation_benchmark_spark.operators.gifcodec import (
+            encode_gif_rgb,
+        )
+
+        return encode_gif_rgb(img)
     raise NotImplementedError(f"cannot encode {fmt!r} without codec libraries")
 
 

@@ -179,15 +179,18 @@ def multimodal_real_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Each document's UTF-8 bytes become the pixel buffer of a 16×16 RGB
     image (first 768 bytes, zero-padded), then roundtrip through ALL
-    THREE real image codecs chained — BMP (bottom-up rows, BGR, 4-byte
-    padding) → PPM (P6 header) → PNG (RFC 2083: zlib DEFLATE, filtered
-    scanlines, chunk CRCs) — inside the ``mapInPandas`` worker via
-    ``operators/imagecodec.py``: three true encode→decode roundtrips per
-    blob, not the hash fake. The output is the per-source EXACT integer
-    per-channel pixel sums; because each roundtrip is pixel-identity,
-    the DuckDB twin computes the same sums straight from the text bytes
-    (ASCII corpus ⇒ ``ord`` = byte), so any codec defect — row order,
-    BGR swap, padding arithmetic, PNG filter/CRC/deflate handling —
+    FOUR lossless real image codecs chained — BMP (bottom-up rows, BGR,
+    4-byte padding) → PPM (P6 header) → PNG (RFC 2083: zlib DEFLATE,
+    filtered scanlines, chunk CRCs) → GIF (GIF89a LZW, palette
+    indexing; a 16×16 image has ≤256 pixels hence ≤256 colors, so
+    indexed color is exact) — inside the ``mapInPandas`` worker via
+    ``operators/imagecodec.py`` + ``operators/gifcodec.py``: four true
+    encode→decode roundtrips per blob, not the hash fake. The output is
+    the per-source EXACT integer per-channel pixel sums; because each
+    roundtrip is pixel-identity, the DuckDB twin computes the same sums
+    straight from the text bytes (ASCII corpus ⇒ ``ord`` = byte), so
+    any codec defect — row order, BGR swap, padding arithmetic, PNG
+    filter/CRC/deflate handling, LZW coding or palette mapping —
     breaks the value hash.
 
     Scale: blob synthesis + encode + decode + channel sums are one
@@ -197,6 +200,10 @@ def multimodal_real_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from collections.abc import Iterator
 
+    from feature_generation_benchmark_spark.operators.gifcodec import (
+        decode_gif_rgb,
+        encode_gif_rgb,
+    )
     from feature_generation_benchmark_spark.operators.imagecodec import (
         decode_bmp,
         decode_png,
@@ -236,6 +243,7 @@ def multimodal_real_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 back = decode_bmp(encode_bmp(img))
                 back = decode_ppm(encode_ppm(back))
                 back = decode_png(encode_png(back))
+                back = decode_gif_rgb(encode_gif_rgb(back))
                 assert back.shape == (_PIX_H, _PIX_W, 3)
                 sums = back.reshape(-1, 3).astype(np.int64).sum(axis=0)
                 out.append(
@@ -292,10 +300,10 @@ QUERIES.append(
         "multimodal_real_pixel_stats",
         multimodal_real_pixel_stats,
         _REAL_PIXEL_ORACLE,
-        "REAL BMP encode->decode roundtrip per blob inside mapInPandas "
-        "(pure-numpy codec), exact integer channel sums per source — the "
-        "oracle recomputes them from the raw bytes, so any codec defect "
-        "breaks the hash",
+        "REAL BMP->PPM->PNG->GIF encode->decode roundtrips per blob "
+        "inside mapInPandas (pure-numpy codecs), exact integer channel "
+        "sums per source — the oracle recomputes them from the raw "
+        "bytes, so any codec defect breaks the hash",
         bench=False,
     )
 )
