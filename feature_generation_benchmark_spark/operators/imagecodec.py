@@ -346,10 +346,12 @@ def sniff_wav(data: bytes) -> bool:
 
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/WAVE PCM (8- or 16-bit integer) → ((n_samples, n_channels)
-    float64 array in [-1, 1], sample_rate). Walks the chunk list properly
-    (fmt/data need not be adjacent; chunks pad to even sizes). Compressed
-    or float WAV variants raise ValueError — those need a real library."""
+    """RIFF/WAVE PCM (8/16-bit integer) or G.711 companded (format tag
+    7 = μ-law, 6 = A-law; ``operators/g711.py``) → ((n_samples,
+    n_channels) float64 array in [-1, 1], sample_rate). Walks the chunk
+    list properly (fmt/data need not be adjacent; chunks pad to even
+    sizes). Other compressed or float WAV variants raise ValueError —
+    those need a real library."""
     if not sniff_wav(data):
         raise ValueError("not a RIFF/WAVE stream")
     pos = 12
@@ -367,12 +369,26 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or pcm is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, n_ch, rate, _byte_rate, _block, bits = fmt
-    if audio_format != 1 or bits not in (8, 16):
+    if audio_format == 6 or audio_format == 7:  # G.711 A-law / mu-law
+        if bits != 8:
+            raise ValueError(
+                f"G.711 WAV must be 8-bit (format={audio_format}, "
+                f"bits={bits})"
+            )
+        from feature_generation_benchmark_spark.operators.g711 import (
+            alaw_decode,
+            mulaw_decode,
+        )
+
+        codes = np.frombuffer(pcm, dtype=np.uint8)
+        dec = mulaw_decode(codes) if audio_format == 7 else alaw_decode(codes)
+        scaled = dec.astype(np.float64) / 32768.0
+    elif audio_format != 1 or bits not in (8, 16):
         raise ValueError(
             f"unsupported WAV variant (format={audio_format}, bits={bits});"
-            " only integer PCM 8/16-bit"
+            " only integer PCM 8/16-bit and G.711 mu-law/A-law"
         )
-    if bits == 16:
+    elif bits == 16:
         raw = np.frombuffer(pcm, dtype="<i2")
         scaled = raw.astype(np.float64) / 32768.0
     else:  # 8-bit WAV is UNSIGNED with a 128 midpoint, per the format
@@ -396,6 +412,27 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
         + b"data" + struct.pack("<I", len(pcm)) + pcm
     )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def encode_wav_g711(codes: np.ndarray, rate: int, law: str = "mulaw") -> bytes:
+    """(N,) uint8 G.711 codes → single-channel companded WAV (format
+    tag 7 for μ-law, 6 for A-law, 8 bits/sample)."""
+    if law == "mulaw":
+        tag = 7
+    elif law == "alaw":
+        tag = 6
+    else:
+        raise ValueError(f"law must be 'mulaw' or 'alaw', got {law!r}")
+    pcm = codes.astype(np.uint8).tobytes()
+    fmt = struct.pack("<HHIIHH", tag, 1, rate, rate, 1, 8)
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    if len(pcm) & 1:
+        chunks += b"\x00"  # RIFF chunks pad to even byte counts
     return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
 
 

@@ -546,3 +546,128 @@ QUERIES.append(
         bench=False,
     )
 )
+
+
+# --- multimodal_real_audio_stats — REAL G.711 codecs, SQL-replayed -------
+
+
+def multimodal_real_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-codec path through the oracle gate: each document's
+    UTF-8 bytes are treated as 768 G.711 companded codes (zero-padded),
+    wrapped in a genuine μ-law WAV container (format tag 7), decoded
+    back through the full WAV chunk walk (``decode_wav``), and ALSO
+    expanded directly through both G.711 laws (``operators/g711.py``).
+    The hashed output carries the EXACT int16 sample sums under both
+    laws — the DuckDB twin replays the G.711 expansion formulas
+    (integer shifts/masks/XOR, single-sourced as
+    ``MULAW_DECODE_SQL``/``ALAW_DECODE_SQL``) on the same bytes — plus
+    an in-plan boolean asserting the WAV-container path (fmt-tag-7
+    parse → μ-law expand → /32768 scaling) agrees bit-for-bit with the
+    direct expansion.
+
+    Scale: one narrow map + a ≤|sources| combining aggregate, like the
+    other multimodal entries."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from feature_generation_benchmark_spark.operators.g711 import (
+        alaw_decode,
+        mulaw_decode,
+    )
+    from feature_generation_benchmark_spark.operators.imagecodec import (
+        decode_wav,
+        encode_wav_g711,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    narrow = docs.filter(F.col("text").isNotNull()).select(
+        "source", F.encode(F.col("text"), "UTF-8").alias("blob")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for source, blob in zip(pdf["source"], pdf["blob"]):
+                buf = np.zeros(_PIX_N, dtype=np.uint8)
+                data = np.frombuffer(bytes(blob)[:_PIX_N], dtype=np.uint8)
+                if (data >= 128).any():
+                    # same ASCII contract as multimodal_real_pixel_stats
+                    raise ValueError(
+                        "multimodal_real_audio_stats requires an ASCII "
+                        f"corpus; non-ASCII byte in doc from {source!r}"
+                    )
+                buf[: len(data)] = data
+                mu = mulaw_decode(buf)
+                al = alaw_decode(buf)
+                samples, rate = decode_wav(encode_wav_g711(buf, 8000, "mulaw"))
+                container_ok = bool(
+                    rate == 8000
+                    and samples.shape == (_PIX_N, 1)
+                    and np.array_equal(
+                        samples[:, 0] * 32768.0, mu.astype(np.float64)
+                    )
+                )
+                out.append(
+                    {
+                        "source": source,
+                        "mu_sum": int(mu.astype(np.int64).sum()),
+                        "al_sum": int(al.astype(np.int64).sum()),
+                        "ok": container_ok,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    per_doc = narrow.mapInPandas(
+        run, "source string, mu_sum long, al_sum long, ok boolean"
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("mu_sum").alias("mu_total"),
+            F.sum("al_sum").alias("al_total"),
+            F.min("ok").alias("wav_container_ok"),
+        )
+        .orderBy("source")
+    )
+
+
+def _audio_oracle() -> str:
+    from feature_generation_benchmark_spark.operators.g711 import (
+        ALAW_DECODE_SQL,
+        MULAW_DECODE_SQL,
+    )
+
+    mu = MULAW_DECODE_SQL.format(b="b")
+    al = ALAW_DECODE_SQL.format(b="b")
+    return f"""
+WITH bytes AS (
+  SELECT source,
+         CASE WHEN u.i <= length(text) THEN ord(substr(text, u.i, 1))
+              ELSE 0 END AS b
+  FROM documents,
+       unnest(generate_series(1, {_PIX_N})) AS u(i)
+  WHERE text IS NOT NULL
+)
+SELECT source,
+       CAST(count(*) // {_PIX_N} AS BIGINT) AS n_docs,
+       CAST(sum({mu}) AS BIGINT) AS mu_total,
+       CAST(sum({al}) AS BIGINT) AS al_total,
+       TRUE AS wav_container_ok
+FROM bytes GROUP BY source ORDER BY source
+"""
+
+
+QUERIES.append(
+    QueryDef(
+        "multimodal_real_audio_stats",
+        multimodal_real_audio_stats,
+        _audio_oracle(),
+        "REAL G.711 mu-law/A-law expansion per blob (vectorized numpy) + "
+        "a genuine format-tag-7 WAV container roundtrip; exact int16 "
+        "sample sums hash-checked against the SQL-replayed G.711 "
+        "formulas",
+        bench=False,
+    )
+)
