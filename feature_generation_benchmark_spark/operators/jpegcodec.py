@@ -307,12 +307,17 @@ def _encode_block(
 
 
 def encode_jpeg(
-    img: np.ndarray, quality: int = 90, subsample: str = "444"
+    img: np.ndarray,
+    quality: int = 90,
+    subsample: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """(H, W, 3) uint8 RGB → baseline JFIF bytes (Annex K tables,
     deterministic stream). ``subsample``: '444' (one block per
     component per MCU — the default, lossless chroma placement) or
-    '420' (2×2 box-averaged chroma, the common camera layout)."""
+    '420' (2×2 box-averaged chroma, the common camera layout).
+    ``restart_interval``: emit a DRI segment and RSTn markers every N
+    MCUs (0 = none) — what camera/scan-parallel encoders produce."""
     h, w, c = img.shape
     if c != 3:
         raise ValueError("encode_jpeg needs (H, W, 3) RGB")
@@ -361,8 +366,17 @@ def encode_jpeg(
 
     bw = _BitWriter()
     pred = [0, 0, 0]
+    mcu = 0
     for my in range(ph // mh):
         for mx in range(pw // mw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                # byte-align, then RST0..RST7 cyclically (B.2.1.2);
+                # DC predictors reset with each interval
+                bw.flush()
+                bw.buf += bytes(
+                    [0xFF, 0xD0 + (mcu // restart_interval - 1) % 8]
+                )
+                pred = [0, 0, 0]
             for ci in range(3):
                 hs, vs = samp[ci]
                 dct_codes, act_codes = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
@@ -372,6 +386,7 @@ def encode_jpeg(
                         pred[ci] = _encode_block(
                             bw, zz, pred[ci], dct_codes, act_codes
                         )
+            mcu += 1
     bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -393,6 +408,8 @@ def encode_jpeg(
         (0x11, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
     ):
         out += seg(0xFFC4, bytes([tc_th] + bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     out += seg(0xFFDA, sos)
     out += bw.buf
@@ -564,15 +581,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and mcu and mcu % restart_interval == 0:
+                # spec (B.2.1.2): the stream byte-aligns with 1-bit
+                # padding, then carries an RSTn marker. Drop the pad
+                # bits to check; if no marker follows, restore them —
+                # some encoders omit the final interval's RST.
+                saved_acc, saved_nbits = br.acc, br.nbits
+                br.acc = 0
+                br.nbits = 0
                 m = br.peek_marker()
                 if m is not None and 0xD0 <= m <= 0xD7:
                     br.skip_marker()
                     pred = [0] * len(order)
                 else:
-                    # tolerate missing RST only if the stream simply
-                    # continues (some encoders omit the last interval)
-                    br.acc = 0
-                    br.nbits = 0
+                    br.acc, br.nbits = saved_acc, saved_nbits
             for ci, hs, vs, qt, dc_map, ac_map in order:
                 for byy in range(vs):
                     for bxx in range(hs):

@@ -168,16 +168,32 @@ def test_foreign_table_ids_respected():
 
 
 def test_restart_marker_handling():
-    """Streams with DRI + RSTn decode: inject a restart interval by
-    re-encoding MCU-by-MCU is overkill — instead verify the reader
-    tolerates a DRI segment declaring interval 0 (no restarts), and
-    that real RST bytes inside entropy data are treated as markers."""
+    """Real DRI + RSTn streams (our own encoder emits them with
+    ``restart_interval``): every interval byte-aligns, carries a
+    cyclic RST0-7 marker, and resets DC prediction — the decode must
+    be bit-identical to the restart-free stream's decode."""
     rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)  # 35 MCUs
+    ref = decode_jpeg(encode_jpeg(img, quality=100))
+    for ri in (1, 3, 7, 100):  # incl. interval > MCU count (no RSTs)
+        data = encode_jpeg(img, quality=100, restart_interval=ri)
+        assert np.array_equal(decode_jpeg(data), ref)
+        assert (b"\xff\xd0" in data) == (ri < 35)
+    # 4:2:0 with restarts exercises alignment in the multi-block MCU
+    img2 = rng.integers(0, 256, (33, 49, 3), dtype=np.uint8)
+    ref2 = decode_jpeg(encode_jpeg(img2, quality=100, subsample="420"))
+    out2 = decode_jpeg(
+        encode_jpeg(img2, quality=100, subsample="420", restart_interval=2)
+    )
+    assert np.array_equal(out2, ref2)
+
+
+def test_dri_interval_zero_is_inert():
+    rng = np.random.default_rng(14)
     img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
     data = bytearray(encode_jpeg(img, quality=100))
     ref = decode_jpeg(bytes(data))
     sos = data.find(b"\xff\xda")
     dri = b"\xff\xdd" + struct.pack(">HH", 4, 0)  # DRI, interval 0
     patched = bytes(data[:sos]) + dri + bytes(data[sos:])
-    out = decode_jpeg(patched)
-    assert np.array_equal(out, ref)
+    assert np.array_equal(decode_jpeg(patched), ref)
