@@ -107,6 +107,7 @@ def _green_check_stats(
 
 def registry() -> dict[str, QueryDef]:
     from feature_generation_benchmark_spark.workloads import (
+        classifier,
         curation,
         dedup,
         events_features,
@@ -151,6 +152,7 @@ def registry() -> dict[str, QueryDef]:
         pit,
         quality,
         lmdata,
+        classifier,
     ):
         for q in mod.QUERIES:
             if q.name in out:
