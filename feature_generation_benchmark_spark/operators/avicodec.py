@@ -52,10 +52,14 @@ def _dib_from_frame(frame: np.ndarray) -> bytes:
     return rows.tobytes()
 
 
-def _frame_from_dib(body: bytes, w: int, h: int) -> np.ndarray:
+def _frame_from_dib(
+    body: bytes, w: int, h: int, top_down: bool = False
+) -> np.ndarray:
     rows = np.frombuffer(body, dtype=np.uint8).reshape(h, _row_bytes(w))
     img = rows[:, : w * 3].reshape(h, w, 3)
-    return img[::-1, :, ::-1].copy()  # bottom-up BGR → top-down RGB
+    if not top_down:  # bottom-up storage (positive biHeight, the norm)
+        img = img[::-1]
+    return img[..., ::-1].copy()  # BGR on disk → RGB
 
 
 def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
@@ -124,11 +128,12 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
     if not sniff_avi(data):
         raise ValueError("not a RIFF/AVI stream")
     w = h = None
+    top_down = False
     fps = 0
     frames: list[np.ndarray] = []
 
     def walk(pos: int, end: int) -> None:
-        nonlocal w, h, fps
+        nonlocal w, h, top_down, fps
         while pos + 8 <= end:
             cid = data[pos : pos + 4]
             (size,) = struct.unpack_from("<I", data, pos + 4)
@@ -156,12 +161,14 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
                         f"compression=0x{compression:08X}); only "
                         "uncompressed 24-bit DIB — plug ffmpeg here"
                     )
-                w, h = bw, abs(bh)
+                w, h, top_down = bw, abs(bh), bh < 0
             elif cid in (b"00db", b"00dc"):
                 if w is None:
                     raise ValueError("AVI frame chunk before strf header")
                 frames.append(
-                    _frame_from_dib(data[body_start : body_start + size], w, h)
+                    _frame_from_dib(
+                        data[body_start : body_start + size], w, h, top_down
+                    )
                 )
             pos = body_start + size + (size & 1)  # chunks pad to even
 

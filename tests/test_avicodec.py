@@ -67,6 +67,27 @@ def test_malformed_streams_raise():
         decode_avi(shell)
 
 
+def test_topdown_dib_variant():
+    """Foreign encoders may write top-down DIBs (negative biHeight in
+    strf) — frames must not come back vertically flipped."""
+    rng = np.random.default_rng(6)
+    frames = rng.integers(0, 256, (2, 4, 4, 3), dtype=np.uint8)
+    data = bytearray(encode_avi(frames, fps=10))
+    strf = data.find(b"strf")
+    (h,) = struct.unpack_from("<i", data, strf + 8 + 8)
+    # flip biHeight sign AND re-pack each frame's rows top-down
+    struct.pack_into("<i", data, strf + 8 + 8, -h)
+    pos = 0
+    for f in frames:
+        pos = data.find(b"00db", pos)
+        body = pos + 8
+        flipped = f[:, :, ::-1].reshape(h, -1)  # top-down BGR, no pad (w=4)
+        data[body : body + flipped.size] = flipped.tobytes()
+        pos = body
+    back, _ = decode_avi(bytes(data))
+    assert np.array_equal(back, frames)
+
+
 def test_frame_chunk_padding_odd_sizes():
     """A 1-px-wide frame has a 4-byte padded row (odd chunk body never
     occurs for DIBs, but even-byte RIFF padding must still be walked
