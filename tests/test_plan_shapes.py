@@ -712,3 +712,29 @@ def test_grouping_sets_one_expand_one_shuffle(spark):
     assert plan.count("FileScan parquet") == 1, plan
     assert plan.count("Expand") == 1, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_multimodal_codec_entries_never_shuffle_blobs(spark):
+    """The real-codec registry entries (JPEG/AVI/G.711/classifier chain
+    feeds) are one narrow map over the blobs plus a combining aggregate
+    on the tiny per-source stats: exactly ONE exchange, placed ABOVE
+    the Python map — the binary columns themselves must never ride a
+    shuffle."""
+    from feature_generation_benchmark_spark.workloads.multimodal import (
+        multimodal_jpeg_bound_stats,
+        multimodal_real_audio_stats,
+        multimodal_real_video_frames,
+    )
+    from tests.conftest import SF_SMOKE
+
+    for fn in (
+        multimodal_jpeg_bound_stats,
+        multimodal_real_audio_stats,
+        multimodal_real_video_frames,
+    ):
+        plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1, (fn.__name__, plan)
+        # the exchange's hash keys are the narrow stats, not the blob
+        assert "blob" not in plan.split("Exchange hashpartitioning")[1].split(
+            "\n"
+        )[0], (fn.__name__, plan)
