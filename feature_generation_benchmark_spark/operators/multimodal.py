@@ -101,7 +101,18 @@ def _decode_stub(
                 len(samples),
                 audio_features(samples, rate),
             )
-        img, _fmt = decode_image(blob)  # NotImplementedError for jpeg/av
+        from feature_generation_benchmark_spark.operators.avicodec import (
+            decode_avi,
+            sniff_avi,
+        )
+
+        if sniff_avi(blob):
+            frames, _fps = decode_avi(blob)
+            n, fh, fw = frames.shape[:3]
+            # video: real frame count; features from frame 0 (stable
+            # under frame-count changes, unlike a mean over frames)
+            return fw, fh, n, image_features(frames[0])
+        img, _fmt = decode_image(blob)  # NotImplementedError for mp4 etc.
         h, w = img.shape[:2]
         return w, h, 1, image_features(img)
     if digest is None:

@@ -404,3 +404,50 @@ def test_real_pixel_stats_rejects_non_ascii(spark, tmp_path):
     docs.write.parquet(str(tmp_path / "documents.parquet"))
     with pytest.raises(PythonException, match="ASCII"):
         multimodal_real_pixel_stats(spark, str(tmp_path)).collect()
+
+
+def test_extract_features_real_jpeg_gif_avi_e2e(spark):
+    """The round-7 codecs through the operator API: JPEG (lossy —
+    bounded-error features), GIF (exact), and AVI video (real frame
+    count + frame-0 features) all decode inside the real mapInPandas
+    path."""
+    import numpy as np
+
+    from feature_generation_benchmark_spark.operators.avicodec import (
+        encode_avi,
+    )
+    from feature_generation_benchmark_spark.operators.gifcodec import (
+        encode_gif_rgb,
+    )
+    from feature_generation_benchmark_spark.operators.jpegcodec import (
+        encode_jpeg,
+    )
+    from feature_generation_benchmark_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    img = _gradient(12, 9)
+    rng = np.random.default_rng(23)
+    clip = rng.integers(0, 256, (5, 6, 7, 3), dtype=np.uint8)
+    rows = [
+        (1, bytearray(encode_jpeg(img, quality=100))),
+        (2, bytearray(encode_gif_rgb(img))),
+        (3, bytearray(encode_avi(clip, fps=10))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    out = {
+        r["doc_id"]: r
+        for r in extract_media_features(
+            df, "doc_id", "blob", decoder="real"
+        ).collect()
+    }
+    ref = image_features(img)
+    assert (out[1]["width"], out[1]["height"], out[1]["n_frames"]) == (9, 12, 1)
+    # q100 JPEG error <= 24/255 per pixel -> means within a loose bound
+    assert out[1]["feature_vec"][:3] == pytest.approx(ref[:3], abs=24 / 255)
+    assert (out[2]["width"], out[2]["height"]) == (9, 12)
+    assert out[2]["feature_vec"] == pytest.approx(ref, abs=1e-6)  # exact
+    assert (out[3]["width"], out[3]["height"], out[3]["n_frames"]) == (7, 6, 5)
+    assert out[3]["feature_vec"] == pytest.approx(
+        image_features(clip[0]), abs=1e-6
+    )
