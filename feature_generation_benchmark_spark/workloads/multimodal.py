@@ -173,6 +173,25 @@ QUERIES = [
 _PIX_W, _PIX_H = 16, 16
 _PIX_N = _PIX_W * _PIX_H * 3  # 768 bytes per synthesized image
 
+def _ascii_blob_buffer(blob, source: str, entry: str):
+    """Zero-padded 768-byte uint8 buffer from a document blob, with the
+    shared ASCII contract: the DuckDB twins index CODEPOINTS
+    (substr/ord) while the Spark side consumes UTF-8 BYTES — identical
+    only on ASCII, so a non-ASCII fixture fails loudly here instead of
+    hash-mismatching confusingly (advisor finding, r5)."""
+    import numpy as np
+
+    buf = np.zeros(_PIX_N, dtype=np.uint8)
+    data = np.frombuffer(bytes(blob)[:_PIX_N], dtype=np.uint8)
+    if (data >= 128).any():
+        raise ValueError(
+            f"{entry} requires an ASCII corpus; "
+            f"non-ASCII byte in doc from {source!r}"
+        )
+    buf[: len(data)] = data
+    return buf
+
+
 
 def multimodal_real_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive the REAL (pure-numpy) codecs through the oracle gate.
@@ -224,19 +243,7 @@ def multimodal_real_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = []
             for source, blob in zip(pdf["source"], pdf["blob"]):
-                buf = np.zeros(_PIX_N, dtype=np.uint8)
-                data = np.frombuffer(bytes(blob)[:_PIX_N], dtype=np.uint8)
-                if (data >= 128).any():
-                    # the DuckDB twin indexes CODEPOINTS (substr/ord)
-                    # while this side sums UTF-8 BYTES — identical only
-                    # on ASCII. Fail loudly instead of hash-mismatching
-                    # confusingly on a future non-ASCII fixture (advisor
-                    # finding, r5).
-                    raise ValueError(
-                        "multimodal_real_pixel_stats requires an ASCII "
-                        f"corpus; non-ASCII byte in doc from {source!r}"
-                    )
-                buf[: len(data)] = data
+                buf = _ascii_blob_buffer(blob, source, "multimodal_real_pixel_stats")
                 img = buf.reshape(_PIX_H, _PIX_W, 3)
                 # REAL codec roundtrips, chained: any non-identity step
                 # in any of the three formats corrupts the sums
@@ -348,15 +355,7 @@ def multimodal_jpeg_bound_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = []
             for source, blob in zip(pdf["source"], pdf["blob"]):
-                buf = np.zeros(_PIX_N, dtype=np.uint8)
-                data = np.frombuffer(bytes(blob)[:_PIX_N], dtype=np.uint8)
-                if (data >= 128).any():
-                    # same ASCII contract as multimodal_real_pixel_stats
-                    raise ValueError(
-                        "multimodal_jpeg_bound_stats requires an ASCII "
-                        f"corpus; non-ASCII byte in doc from {source!r}"
-                    )
-                buf[: len(data)] = data
+                buf = _ascii_blob_buffer(blob, source, "multimodal_jpeg_bound_stats")
                 img = buf.reshape(_PIX_H, _PIX_W, 3)
                 back = decode_jpeg(encode_jpeg(img, quality=100))
                 assert back.shape == (_PIX_H, _PIX_W, 3)
@@ -468,15 +467,7 @@ def multimodal_real_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = []
             for source, blob in zip(pdf["source"], pdf["blob"]):
-                buf = np.zeros(_PIX_N, dtype=np.uint8)
-                data = np.frombuffer(bytes(blob)[:_PIX_N], dtype=np.uint8)
-                if (data >= 128).any():
-                    # same ASCII contract as multimodal_real_pixel_stats
-                    raise ValueError(
-                        "multimodal_real_video_frames requires an ASCII "
-                        f"corpus; non-ASCII byte in doc from {source!r}"
-                    )
-                buf[: len(data)] = data
+                buf = _ascii_blob_buffer(blob, source, "multimodal_real_video_frames")
                 clip = buf.reshape(_VID_N_FRAMES, _VID_H, _VID_W, 3)
                 sampled = sample_frames(encode_avi(clip, fps=10), _VID_EVERY_N)
                 assert [i for i, _ in sampled] == [0, 2]
@@ -589,15 +580,7 @@ def multimodal_real_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = []
             for source, blob in zip(pdf["source"], pdf["blob"]):
-                buf = np.zeros(_PIX_N, dtype=np.uint8)
-                data = np.frombuffer(bytes(blob)[:_PIX_N], dtype=np.uint8)
-                if (data >= 128).any():
-                    # same ASCII contract as multimodal_real_pixel_stats
-                    raise ValueError(
-                        "multimodal_real_audio_stats requires an ASCII "
-                        f"corpus; non-ASCII byte in doc from {source!r}"
-                    )
-                buf[: len(data)] = data
+                buf = _ascii_blob_buffer(blob, source, "multimodal_real_audio_stats")
                 mu = mulaw_decode(buf)
                 al = alaw_decode(buf)
                 samples, rate = decode_wav(encode_wav_g711(buf, 8000, "mulaw"))
