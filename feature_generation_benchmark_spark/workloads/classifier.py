@@ -111,6 +111,10 @@ def train_text_classifier(
     feats = feats.cache()
     try:
         n = feats.count()  # also materializes the cache
+        if n == 0:
+            raise ValueError(
+                "train_text_classifier: empty corpus (all text NULL?)"
+            )
         w = {"w1": 0.0, "w2": 0.0, "w3": 0.0, "b": 0.0}
         for _ in range(n_iter):
             p = _p(_z(w))
