@@ -159,12 +159,45 @@ def text_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_text_classifier(load_table(spark, sf_dir, "documents"))
 
 
-def _oracle() -> str:
-    """Unrolled gradient-descent twin: one (score, gradient, update)
-    CTE trio per iteration, replaying the exact quantized trajectory."""
+def text_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING path, composed with training end-to-end: train the
+    model (10 oracle-replayed iterations), then apply it as a corpus
+    gate — per source, how many documents pass (z ≥ 0), and the
+    e6-quantized mean score of the passing set. Application is a free
+    projection + one combining aggregate: at 100 TB the trained
+    4-number model is a plan literal and the gate costs one scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    model = train_text_classifier(docs).collect()[0]  # bounded: 1 row
+    w = {k: model[k] for k in ("w1", "w2", "w3", "b")}
+    scored = docs.filter(F.col("text").isNotNull()).selectExpr(
+        "source",
+        *[f"{sql} AS {name}" for name, sql in _FEATS_SQL.items()],
+    ).select("source", _z(w).alias("z"))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("z") >= 0, 1).otherwise(0)).alias("n_pass"),
+            # e6-quantized integer sum of passing scores → exact
+            # cross-engine mean reconstruction
+            F.sum(
+                F.when(
+                    F.col("z") >= 0, F.round(F.col("z") * _G_SCALE).cast("long")
+                ).otherwise(F.lit(0))
+            ).alias("pass_score_e6"),
+        )
+        .orderBy("source")
+    )
+
+
+def _train_ctes() -> str:
+    """The shared unrolled gradient-descent CTE chain: one (score,
+    gradient, update) trio per iteration, replaying the exact quantized
+    trajectory; ends with the final-weights CTE ``w{_N_ITER}``."""
     sql = f"""
 WITH feats AS (
-  SELECT {_LABEL_SQL} AS y,
+  SELECT source,
+         {_LABEL_SQL} AS y,
          {_FEATS_SQL['x1']} AS x1,
          {_FEATS_SQL['x2']} AS x2,
          {_FEATS_SQL['x3']} AS x3
@@ -198,8 +231,12 @@ w{i + 1} AS (
                {_W_DECIMALS}) AS b
   FROM w{i} w, g{i} g, nn
 )"""
+    return sql
+
+
+def _oracle() -> str:
     n = _N_ITER
-    sql += f"""
+    return _train_ctes() + f"""
 SELECT CAST(nn.n AS BIGINT) AS n_docs,
        w.w1, w.w2, w.w3, w.b,
        (SELECT CAST(sum(CASE WHEN
@@ -208,7 +245,24 @@ SELECT CAST(nn.n AS BIGINT) AS n_docs,
         FROM feats f) AS n_correct
 FROM w{n} w, nn
 """
-    return sql
+
+
+def _gate_oracle() -> str:
+    n = _N_ITER
+    return _train_ctes() + f""",
+scored AS (
+  SELECT f.source,
+         (((w.w1 * f.x1 + w.w2 * f.x2) + w.w3 * f.x3) + w.b) AS z
+  FROM feats f, w{n} w
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN z >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(sum(CASE WHEN z >= 0
+                THEN CAST(round(z * {_G_SCALE}) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS pass_score_e6
+FROM scored GROUP BY source ORDER BY source
+"""
 
 
 # bench=False: at gate scales the wall clock is ~1 s/iteration of FIXED
@@ -225,6 +279,15 @@ QUERIES = [
         "(algebraic sigmoid + e6-quantized gradients + quantized weight "
         "trajectory -> bit-reproducible across engines; unrolled DuckDB "
         "twin replays all 10 iterations)",
+        bench=False,
+    ),
+    QueryDef(
+        "text_classifier_gate",
+        text_classifier_gate,
+        _gate_oracle(),
+        "train -> serve composition: the trained model applied as a "
+        "corpus quality gate (per-source pass counts + e6-quantized "
+        "mean pass score); the oracle replays training AND serving",
         bench=False,
     ),
 ]
