@@ -328,6 +328,43 @@ def resize_nearest(img: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
     return img[rows][:, cols]
 
 
+def resize_area(img: np.ndarray, fx: int, fy: int) -> np.ndarray:
+    """Integer-factor box-mean downsample (the antialiased reduction
+    vision pipelines use; cv2's INTER_AREA for integer factors). Each
+    output pixel is the FLOOR of the mean of its fy×fx source block —
+    pure integer arithmetic, so the oracle-gated registry entry can
+    replay it exactly in SQL. Requires dims divisible by the factors
+    (named error otherwise: silent cropping would corrupt parity)."""
+    h, w = img.shape[:2]
+    if h % fy or w % fx:
+        raise ValueError(
+            f"resize_area needs dims divisible by factors: {(h, w)} vs "
+            f"(fy={fy}, fx={fx})"
+        )
+    blocks = img.reshape(h // fy, fy, w // fx, fx, -1).astype(np.int64)
+    return (blocks.sum(axis=(1, 3)) // (fx * fy)).astype(np.uint8)
+
+
+def resize_bilinear(img: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
+    """Bilinear resize with the standard pixel-center mapping
+    (src = (dst + 0.5)·scale − 0.5, edges clamped) — the general-ratio
+    companion to :func:`resize_nearest`; vectorized gathers + lerps."""
+    h, w = img.shape[:2]
+    ys = np.clip((np.arange(target_h) + 0.5) * (h / target_h) - 0.5, 0, h - 1)
+    xs = np.clip((np.arange(target_w) + 0.5) * (w / target_w) - 0.5, 0, w - 1)
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (ys - y0)[:, None, None]
+    wx = (xs - x0)[None, :, None]
+    f = img.astype(np.float64)
+    top = f[y0][:, x0] * (1 - wx) + f[y0][:, x1] * wx
+    bot = f[y1][:, x0] * (1 - wx) + f[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
 def image_features(img: np.ndarray) -> list[float]:
     """8-dim feature vector from a decoded image: per-channel means and
     stds (e6-rounded for cross-run stability) + normalized dims."""

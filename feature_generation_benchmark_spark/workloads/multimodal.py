@@ -654,3 +654,106 @@ QUERIES.append(
         bench=False,
     )
 )
+
+
+# --- multimodal_area_resize_stats — REAL antialiased downsample, SQL-replayed
+
+
+def multimodal_area_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize math through the oracle gate: each document's 16×16
+    pixel buffer is box-mean downsampled 2×2 → 8×8
+    (``resize_area`` — floor-of-mean, pure integer arithmetic, the
+    INTER_AREA reduction vision pipelines use), and the output is the
+    EXACT per-source channel sums of the DOWNSAMPLED image. The DuckDB
+    twin replays the identical arithmetic from the raw bytes by
+    grouping each 2×2 source block (row = (i-1)/48, col = ((i-1)%48)/3,
+    channel = (i-1)%3 → block key (row/2, col/2, channel)) and summing
+    ``floor(block_sum / 4)`` — any indexing, windowing or rounding
+    defect in the resize breaks the value hash.
+
+    Scale: one narrow map + the ≤|sources| combining aggregate, like
+    the other codec entries."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from feature_generation_benchmark_spark.operators.imagecodec import (
+        resize_area,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    narrow = docs.filter(F.col("text").isNotNull()).select(
+        "source", F.encode(F.col("text"), "UTF-8").alias("blob")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for source, blob in zip(pdf["source"], pdf["blob"]):
+                buf = _ascii_blob_buffer(
+                    blob, source, "multimodal_area_resize_stats"
+                )
+                img = buf.reshape(_PIX_H, _PIX_W, 3)
+                small = resize_area(img, 2, 2)
+                assert small.shape == (_PIX_H // 2, _PIX_W // 2, 3)
+                sums = small.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                out.append(
+                    {
+                        "source": source,
+                        "r_sum": int(sums[0]),
+                        "g_sum": int(sums[1]),
+                        "b_sum": int(sums[2]),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    per_doc = narrow.mapInPandas(
+        run, "source string, r_sum long, g_sum long, b_sum long"
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("r_sum").alias("r_total"),
+            F.sum("g_sum").alias("g_total"),
+            F.sum("b_sum").alias("b_total"),
+        )
+        .orderBy("source")
+    )
+
+
+_AREA_RESIZE_ORACLE = f"""
+WITH bytes AS (
+  SELECT source, doc_id,
+         ((u.i - 1) // {_PIX_W * 3}) // 2 AS blk_r,
+         (((u.i - 1) % {_PIX_W * 3}) // 3) // 2 AS blk_c,
+         (u.i - 1) % 3 AS ch,
+         CASE WHEN u.i <= length(text) THEN ord(substr(text, u.i, 1))
+              ELSE 0 END AS b
+  FROM documents,
+       unnest(generate_series(1, {_PIX_N})) AS u(i)
+  WHERE text IS NOT NULL
+),
+blocks AS (
+  SELECT source, doc_id, blk_r, blk_c, ch, sum(b) // 4 AS px
+  FROM bytes GROUP BY source, doc_id, blk_r, blk_c, ch
+)
+SELECT source,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN ch = 0 THEN px ELSE 0 END) AS BIGINT) AS r_total,
+       CAST(sum(CASE WHEN ch = 1 THEN px ELSE 0 END) AS BIGINT) AS g_total,
+       CAST(sum(CASE WHEN ch = 2 THEN px ELSE 0 END) AS BIGINT) AS b_total
+FROM blocks GROUP BY source ORDER BY source
+"""
+
+QUERIES.append(
+    QueryDef(
+        "multimodal_area_resize_stats",
+        multimodal_area_resize_stats,
+        _AREA_RESIZE_ORACLE,
+        "REAL antialiased 2x2 box-mean downsample (floor-of-mean integer "
+        "arithmetic) per blob inside mapInPandas; exact downsampled "
+        "channel sums replayed block-by-block in the DuckDB twin",
+        bench=False,
+    )
+)

@@ -451,3 +451,41 @@ def test_extract_features_real_jpeg_gif_avi_e2e(spark):
     assert out[3]["feature_vec"] == pytest.approx(
         image_features(clip[0]), abs=1e-6
     )
+
+
+def test_resize_area_hand_computed_and_guarded():
+    import numpy as np
+
+    from feature_generation_benchmark_spark.operators.imagecodec import (
+        resize_area,
+    )
+
+    img = np.arange(2 * 4 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    out = resize_area(img, 2, 2)
+    assert out.shape == (1, 2, 3)
+    for c in range(2):
+        for ch in range(3):
+            blk = img[0:2, 2 * c : 2 * c + 2, ch].astype(int)
+            assert out[0, c, ch] == blk.sum() // 4
+    with pytest.raises(ValueError, match="divisible"):
+        resize_area(np.zeros((3, 4, 3), np.uint8), 2, 2)
+
+
+def test_resize_bilinear_hand_computed():
+    import numpy as np
+
+    from feature_generation_benchmark_spark.operators.imagecodec import (
+        resize_bilinear,
+    )
+
+    # identity at the same size
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    assert np.array_equal(resize_bilinear(img, 7, 5), img)
+    # 1-D lerp: [0, 100] -> 4 wide gives the pixel-center weights
+    line = np.zeros((1, 2, 3), np.uint8)
+    line[0, 1] = 100
+    assert list(resize_bilinear(line, 4, 1)[0, :, 0]) == [0, 25, 75, 100]
+    # constant image stays constant at any ratio (no edge bleed)
+    const = np.full((4, 4, 3), 77, np.uint8)
+    assert (resize_bilinear(const, 9, 7) == 77).all()
