@@ -186,18 +186,22 @@ def _huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int
     return out
 
 
-def _huffman_decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) → value, for the sequential bit-reader."""
-    out: dict[tuple[int, int], int] = {}
+def _huffman_decode_lut(bits: list[int], vals: list[int]) -> np.ndarray:
+    """16-bit-peek lookup table: lut[next16bits] = (length << 8) | value,
+    0xFFFF for invalid prefixes. One array index replaces the
+    bit-by-bit tree walk — the classic libjpeg-style fast path (codes
+    are ≤ 16 bits, so a full-width table needs no slow path)."""
+    lut = np.full(1 << 16, 0xFFFF, dtype=np.uint16)
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            out[(length, code)] = vals[k]
+            base = code << (16 - length)
+            lut[base : base + (1 << (16 - length))] = (length << 8) | vals[k]
             code += 1
             k += 1
         code <<= 1
-    return out
+    return lut
 
 
 class _BitWriter:
@@ -418,8 +422,10 @@ def encode_jpeg(
 
 
 class _BitReader:
-    """Sequential reader over entropy-coded data with 0xFF00
-    unstuffing; stops at any real marker (returned via ``marker``)."""
+    """Windowed reader over entropy-coded data with 0xFF00 unstuffing;
+    stops at any real marker (recorded in ``marker``; -1 = hard end of
+    data). ``acc`` holds at most nbits ≤ 24 live bits — refills are
+    byte-wise, reads are masked slices, no per-bit Python loop."""
 
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
@@ -428,42 +434,61 @@ class _BitReader:
         self.nbits = 0
         self.marker: int | None = None
 
-    def _fill(self) -> None:
+    def _try_fill(self) -> bool:
+        """Append 8 more bits; False at a marker or end of data."""
         if self.marker is not None:
-            raise ValueError("JPEG entropy data exhausted mid-block")
+            return False
         d, p = self.data, self.pos
         if p >= len(d):
-            raise ValueError("JPEG truncated inside entropy-coded data")
+            self.marker = -1
+            return False
         byte = d[p]
         if byte == 0xFF:
             nxt = d[p + 1] if p + 1 < len(d) else None
             if nxt == 0x00:  # stuffed 0xFF data byte
                 self.pos = p + 2
             else:  # a real marker terminates the segment
-                self.marker = nxt
-                raise ValueError("JPEG entropy data exhausted mid-block")
+                self.marker = nxt if nxt is not None else -1
+                return False
         else:
             self.pos = p + 1
         self.acc = (self.acc << 8) | byte
         self.nbits += 8
+        return True
 
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+    def peek16(self) -> int:
+        """Next 16 bits, zero-padded past a marker/end (a valid final
+        code still resolves; advance() then rejects phantom bits)."""
+        while self.nbits < 16 and self._try_fill():
+            pass
+        if self.nbits >= 16:
+            return (self.acc >> (self.nbits - 16)) & 0xFFFF
+        return (self.acc << (16 - self.nbits)) & 0xFFFF
+
+    def advance(self, n: int) -> None:
+        if n > self.nbits:
+            raise ValueError("JPEG truncated inside entropy-coded data")
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        while self.nbits < n and self._try_fill():
+            pass
+        if self.nbits < n:
+            raise ValueError("JPEG truncated inside entropy-coded data")
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
         return v
 
     def peek_marker(self) -> int | None:
-        """At an MCU boundary: is the next thing a marker? (used for
-        restart-interval handling)."""
-        if self.nbits:
-            return None
+        """At a byte-aligned MCU boundary: is the next thing a marker?
+        (restart-interval handling). The marker may already have been
+        recorded by an over-eager peek16 refill."""
+        if self.marker is not None and self.marker != -1:
+            return self.marker
         d, p = self.data, self.pos
         if p + 1 < len(d) and d[p] == 0xFF and d[p + 1] != 0x00:
             return d[p + 1]
@@ -476,13 +501,12 @@ class _BitReader:
         self.marker = None
 
 
-def _decode_huffval(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.read_bit()
-        if (length, code) in table:
-            return table[(length, code)]
-    raise ValueError("invalid JPEG Huffman code")
+def _decode_huffval(br: _BitReader, lut: np.ndarray) -> int:
+    packed = int(lut[br.peek16()])
+    if packed == 0xFFFF:
+        raise ValueError("invalid JPEG Huffman code")
+    br.advance(packed >> 8)
+    return packed & 0xFF
 
 
 def _extend(amp: int, size: int) -> int:
@@ -499,7 +523,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError("not a JPEG stream")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
-    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    htables: dict[tuple[int, int], np.ndarray] = {}
     frame = None  # (h, w, [(cid, hs, vs, tq)])
     restart_interval = 0
     scan = None
@@ -529,7 +553,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bits = list(body[bp + 1 : bp + 17])
                 n = sum(bits)
                 vals = list(body[bp + 17 : bp + 17 + n])
-                htables[(tc, th)] = _huffman_decode_map(bits, vals)
+                htables[(tc, th)] = _huffman_decode_lut(bits, vals)
                 bp += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline+ext seq
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
