@@ -35,6 +35,11 @@ import struct
 
 import numpy as np
 
+from feature_generation_benchmark_spark.operators.imagecodec import (
+    check_dims,
+    strict_decoder,
+)
+
 
 def sniff_avi(data: bytes) -> bool:
     return data[:4] == b"RIFF" and data[8:12] == b"AVI "
@@ -123,6 +128,7 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
+@strict_decoder("AVI")
 def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
     """Uncompressed AVI bytes → ((N, H, W, 3) uint8 RGB stack, fps)."""
     if not sniff_avi(data):
@@ -161,6 +167,7 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
                         f"compression=0x{compression:08X}); only "
                         "uncompressed 24-bit DIB — plug ffmpeg here"
                     )
+                check_dims("AVI", bw, abs(bh) if bh else 0)
                 w, h, top_down = bw, abs(bh), bh < 0
             elif cid in (b"00db", b"00dc"):
                 if w is None:

@@ -21,6 +21,11 @@ import struct
 
 import numpy as np
 
+from feature_generation_benchmark_spark.operators.imagecodec import (
+    check_dims,
+    strict_decoder,
+)
+
 
 def sniff_gif(data: bytes) -> bool:
     return data[:6] in (b"GIF87a", b"GIF89a")
@@ -161,6 +166,7 @@ def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
     return bytes(out)
 
 
+@strict_decoder("GIF")
 def decode_gif(data: bytes) -> tuple[np.ndarray, np.ndarray]:
     """GIF bytes → ((H, W) uint8 index plane, (n, 3) uint8 palette)."""
     if not sniff_gif(data):
@@ -183,6 +189,7 @@ def decode_gif(data: bytes) -> tuple[np.ndarray, np.ndarray]:
         elif block == 0x2C:  # image descriptor
             _l, _t, iw, ih, ipacked = struct.unpack_from("<HHHHB", data, pos + 1)
             pos += 10
+            check_dims("GIF", iw, ih, channels=1)
             if ipacked & 0x40:
                 raise ValueError("interlaced GIF unsupported")
             if ipacked & 0x80:  # local color table overrides global

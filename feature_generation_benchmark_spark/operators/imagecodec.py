@@ -24,6 +24,7 @@ our encoder emits filter 0, whose decode is a pure memcpy).
 
 from __future__ import annotations
 
+import functools
 import struct
 import zlib
 
@@ -31,6 +32,45 @@ import numpy as np
 
 _BMP_HEADER_FMT = "<2sIHHI"  # magic, file size, res1, res2, pixel offset
 _BMP_INFO_FMT = "<IiiHHIIiiII"  # BITMAPINFOHEADER
+
+#: Decoded images larger than this (bytes) are rejected as malformed —
+#: a corrupt 4-byte dimension field must not OOM a 100 TB worker.
+MAX_DECODE_BYTES = 1 << 26  # 64 MiB
+
+
+def strict_decoder(fmt_name: str):
+    """Wrap a decode function so malformed input ALWAYS surfaces as
+    ``ValueError`` naming the format — never a raw ``struct.error`` /
+    ``IndexError`` / ``zlib.error``. Decoders parse untrusted blobs in
+    Arrow-batched workers; at corpus scale corrupt bytes are routine
+    and a named error is the difference between a filterable row and
+    an opaque worker crash."""
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrap(*args, **kwargs):
+            try:
+                return fn(*args, **kwargs)
+            except (struct.error, IndexError, zlib.error) as e:
+                raise ValueError(f"malformed {fmt_name} stream: {e}") from e
+
+        return wrap
+
+    return deco
+
+
+def check_dims(fmt_name: str, *dims: int, channels: int = 3) -> None:
+    """Reject non-positive or implausibly large header dimensions
+    BEFORE allocating (product capped at MAX_DECODE_BYTES)."""
+    total = channels
+    for d in dims:
+        if d <= 0:
+            raise ValueError(f"malformed {fmt_name} stream: dimension {d}")
+        total *= d
+    if total > MAX_DECODE_BYTES:
+        raise ValueError(
+            f"malformed {fmt_name} stream: implausible dimensions {dims}"
+        )
 
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -52,6 +92,7 @@ def sniff_format(data: bytes) -> str | None:
     return None
 
 
+@strict_decoder("BMP")
 def decode_bmp(data: bytes) -> np.ndarray:
     """Uncompressed 24-bit BI_RGB BMP → (H, W, 3) uint8 RGB array.
 
@@ -82,6 +123,7 @@ def decode_bmp(data: bytes) -> np.ndarray:
         )
     top_down = height < 0
     height = abs(height)
+    check_dims("BMP", width, height)
     row_bytes = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
     end = pix_off + row_bytes * height
     raw = np.frombuffer(data[pix_off:end], dtype=np.uint8)
@@ -107,6 +149,7 @@ def encode_bmp(img: np.ndarray) -> bytes:
     return header + info + pix
 
 
+@strict_decoder("PPM")
 def decode_ppm(data: bytes) -> np.ndarray:
     """Binary PPM (P6, maxval ≤ 255) → (H, W, 3) uint8 RGB array."""
     if data[:2] != b"P6":
@@ -129,6 +172,7 @@ def decode_ppm(data: bytes) -> np.ndarray:
         fields.append(int(data[start:pos]))
     pos += 1  # the single whitespace after maxval
     w, h, maxval = fields
+    check_dims("PPM", w, h)
     if maxval > 255:
         raise ValueError("16-bit PPM unsupported")
     raw = np.frombuffer(data[pos : pos + w * h * 3], dtype=np.uint8)
@@ -170,6 +214,7 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+@strict_decoder("PNG")
 def decode_png(data: bytes) -> np.ndarray:
     """8-bit truecolor PNG (color type 2 RGB or 6 RGBA, non-interlaced)
     → (H, W, 3) uint8 RGB array (alpha, if present, is dropped — this
@@ -195,6 +240,7 @@ def decode_png(data: bytes) -> np.ndarray:
                     " non-interlaced"
                 )
             channels = 3 if color == 2 else 4
+            check_dims("PNG", width, height, channels=channels + 1)
         elif ctype == b"IDAT":
             idat += body
     if width is None or not idat:
@@ -382,6 +428,7 @@ def sniff_wav(data: bytes) -> bool:
     return data[:4] == b"RIFF" and data[8:12] == b"WAVE"
 
 
+@strict_decoder("WAV")
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """RIFF/WAVE PCM (8/16-bit integer) or G.711 companded (format tag
     7 = μ-law, 6 = A-law; ``operators/g711.py``) → ((n_samples,

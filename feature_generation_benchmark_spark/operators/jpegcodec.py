@@ -45,6 +45,11 @@ import struct
 
 import numpy as np
 
+from feature_generation_benchmark_spark.operators.imagecodec import (
+    check_dims,
+    strict_decoder,
+)
+
 # --- constants from the public spec -------------------------------------
 
 # Provable L-inf RGB error bound for a quality-100 encode→decode
@@ -516,6 +521,7 @@ def _extend(amp: int, size: int) -> int:
     return amp if amp >= (1 << (size - 1)) else amp - (1 << size) + 1
 
 
+@strict_decoder("JPEG")
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JFIF bytes → (H, W, 3) uint8 RGB (grayscale scans are
     replicated across channels). See module docstring for scope."""
@@ -559,6 +565,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError("only 8-bit precision JPEG supported")
+            check_dims("JPEG", fw, fh, channels=nc)
             comps = []
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]

@@ -127,3 +127,58 @@ def test_g711_requantization_is_stable(pcm):
     # the documented ±0 collapse, asserted exactly
     assert list(mulaw_encode(np.array([-1, 0], np.int16))) == [0x7F, 0xFF]
     assert list(mulaw_decode(np.array([0x7F, 0xFF], np.uint8))) == [0, 0]
+
+
+_MAGICS = {
+    "bmp": b"BM",
+    "ppm": b"P6",
+    "png": b"\x89PNG\r\n\x1a\n",
+    "jpeg": b"\xff\xd8",
+    "gif": b"GIF89a",
+    "avi": b"RIFF\x20\x00\x00\x00AVI ",
+    "wav": b"RIFF\x20\x00\x00\x00WAVE",
+}
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    fmt=st.sampled_from(sorted(_MAGICS)),
+    junk=st.binary(min_size=0, max_size=300),
+)
+def test_decoders_fail_closed_on_garbage(fmt, junk):
+    """Untrusted-blob contract: a valid magic followed by arbitrary
+    bytes must raise ValueError / NotImplementedError — never a raw
+    struct.error / IndexError / zlib.error, never a giant allocation
+    from a corrupt dimension field (strict_decoder + check_dims,
+    operators/imagecodec.py). At corpus scale corrupt blobs are
+    routine; named errors are filterable rows, anything else is an
+    opaque worker crash."""
+    from feature_generation_benchmark_spark.operators.avicodec import (
+        decode_avi,
+    )
+    from feature_generation_benchmark_spark.operators.gifcodec import (
+        decode_gif,
+    )
+    from feature_generation_benchmark_spark.operators.imagecodec import (
+        decode_bmp,
+        decode_png,
+        decode_ppm,
+        decode_wav,
+    )
+    from feature_generation_benchmark_spark.operators.jpegcodec import (
+        decode_jpeg,
+    )
+
+    dec = {
+        "bmp": decode_bmp,
+        "ppm": decode_ppm,
+        "png": decode_png,
+        "jpeg": decode_jpeg,
+        "gif": decode_gif,
+        "avi": decode_avi,
+        "wav": decode_wav,
+    }[fmt]
+    try:
+        dec(_MAGICS[fmt] + junk)
+    except (ValueError, NotImplementedError):
+        pass  # named failure — the contract
