@@ -11,14 +11,17 @@ DIB frames reuse exactly the BMP pixel layout (bottom-up rows, BGR,
 
 Scope, honest and named like the other real codecs:
 
-* ``encode_avi``: 'AVI ' RIFF with one video stream ('vids', fourcc
-  'DIB ' = uncompressed), ``00db`` chunk per frame, ``idx1`` index.
-  Deterministic bytes (fixed header fields, no padding heuristics).
+* ``encode_avi``: 'AVI ' RIFF with one video stream ('vids'), ``idx1``
+  index, deterministic bytes (fixed header fields, no padding
+  heuristics). ``codec="DIB "`` (default) writes uncompressed ``00db``
+  frames; ``codec="MJPG"`` writes one baseline JPEG per ``00dc`` chunk
+  (Motion-JPEG, the classic camera format — REAL compressed video,
+  powered by ``operators/jpegcodec.py``).
 * ``decode_avi``: walks the RIFF tree properly (nested LISTs, even-byte
   chunk padding), reads dims/compression from ``strf``
-  (BITMAPINFOHEADER) and fps from ``strh``; accepts only
-  biCompression=0 / 24 bpp — compressed codecs (MJPG, H.264 …) raise
-  ValueError by name, that's what ffmpeg is for.
+  (BITMAPINFOHEADER) and fps from ``strh``; decodes biCompression=0
+  24-bpp DIB frames and fourcc-'MJPG' JPEG frames — other codecs
+  (H.264 …) raise ValueError by name, that's what ffmpeg is for.
 
 Decode of our own encode is pixel-exact (the DIB layout is lossless),
 so the oracle-gated registry entry (workloads/multimodal.py) can gate
@@ -67,12 +70,31 @@ def _frame_from_dib(
     return img[..., ::-1].copy()  # BGR on disk → RGB
 
 
-def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
-    """(N, H, W, 3) uint8 RGB frame stack → uncompressed AVI bytes."""
+def encode_avi(
+    frames: np.ndarray,
+    fps: int = 10,
+    codec: str = "DIB ",
+    quality: int = 90,
+) -> bytes:
+    """(N, H, W, 3) uint8 RGB frame stack → AVI bytes. ``codec``:
+    'DIB ' (uncompressed, lossless) or 'MJPG' (one baseline JPEG per
+    frame at ``quality``; q100 inherits the JPEG codec's provable
+    error bound)."""
     if frames.ndim != 4 or frames.shape[3] != 3:
         raise ValueError("encode_avi needs (N, H, W, 3) RGB frames")
+    if codec not in ("DIB ", "MJPG"):
+        raise ValueError(f"codec must be 'DIB ' or 'MJPG', got {codec!r}")
     n, h, w, _ = frames.shape
-    frame_bytes = _row_bytes(w) * h
+    if codec == "MJPG":
+        from feature_generation_benchmark_spark.operators.jpegcodec import (
+            encode_jpeg,
+        )
+
+        payloads = [encode_jpeg(f, quality=quality) for f in frames]
+        frame_bytes = max(len(p) for p in payloads)
+    else:
+        payloads = None
+        frame_bytes = _row_bytes(w) * h
 
     def chunk(cid: bytes, body: bytes) -> bytes:
         pad = b"\x00" if len(body) & 1 else b""
@@ -96,7 +118,7 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
     )
     # strh: AVIStreamHeader for the video stream
     strh = (
-        b"vids" + b"DIB " + struct.pack(
+        b"vids" + codec.encode("ascii") + struct.pack(
             "<IHHIIIIIIIIhhhh",
             0, 0, 0,               # flags, priority, language
             0,                     # initial frames
@@ -108,22 +130,27 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
             0, 0, int(w), int(h),  # rcFrame
         )
     )
-    # strf: BITMAPINFOHEADER, biCompression=0 (BI_RGB), 24 bpp
+    # strf: BITMAPINFOHEADER — biCompression 0 (BI_RGB) or the fourcc
+    bi_comp = 0 if codec == "DIB " else int.from_bytes(b"MJPG", "little")
     strf = struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 2835, 2835, 0, 0
+        "<IiiHHIIiiII", 40, w, h, 1, 24, bi_comp, frame_bytes, 2835, 2835, 0, 0
     )
     hdrl = lst(
         b"hdrl",
         chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
     )
-    movi_frames = [chunk(b"00db", _dib_from_frame(f)) for f in frames]
+    cid = b"00db" if codec == "DIB " else b"00dc"
+    bodies = (
+        [_dib_from_frame(f) for f in frames] if payloads is None else payloads
+    )
+    movi_frames = [chunk(cid, b) for b in bodies]
     movi = lst(b"movi", b"".join(movi_frames))
     # idx1: one entry per frame (chunk id, flags=KEYFRAME, offset, size)
     idx = bytearray()
     off = 4  # offsets count from the start of the 'movi' list data
-    for _ in range(n):
-        idx += b"00db" + struct.pack("<III", 0x10, off, frame_bytes)
-        off += 8 + frame_bytes + (frame_bytes & 1)
+    for b in bodies:
+        idx += cid + struct.pack("<III", 0x10, off, len(b))
+        off += 8 + len(b) + (len(b) & 1)
     riff_body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
@@ -135,11 +162,12 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("not a RIFF/AVI stream")
     w = h = None
     top_down = False
+    mjpeg = False
     fps = 0
     frames: list[np.ndarray] = []
 
     def walk(pos: int, end: int) -> None:
-        nonlocal w, h, top_down, fps
+        nonlocal w, h, top_down, mjpeg, fps
         while pos + 8 <= end:
             cid = data[pos : pos + 4]
             (size,) = struct.unpack_from("<I", data, pos + 4)
@@ -161,22 +189,36 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
                     bpp,
                     compression,
                 ) = struct.unpack_from("<IiiHHI", data, body_start)
-                if bpp != 24 or compression != 0:
+                mjpg_fourcc = int.from_bytes(b"MJPG", "little")
+                if compression == mjpg_fourcc:
+                    mjpeg = True  # frames are whole baseline JPEGs
+                elif bpp != 24 or compression != 0:
                     raise ValueError(
                         f"unsupported AVI codec (bpp={bpp}, "
                         f"compression=0x{compression:08X}); only "
-                        "uncompressed 24-bit DIB — plug ffmpeg here"
+                        "uncompressed 24-bit DIB and MJPG — plug "
+                        "ffmpeg here"
                     )
                 check_dims("AVI", bw, abs(bh) if bh else 0)
                 w, h, top_down = bw, abs(bh), bh < 0
             elif cid in (b"00db", b"00dc"):
                 if w is None:
                     raise ValueError("AVI frame chunk before strf header")
-                frames.append(
-                    _frame_from_dib(
-                        data[body_start : body_start + size], w, h, top_down
+                body = data[body_start : body_start + size]
+                if mjpeg:
+                    from feature_generation_benchmark_spark.operators import (
+                        jpegcodec,
                     )
-                )
+
+                    frame = jpegcodec.decode_jpeg(body)
+                    if frame.shape[:2] != (h, w):
+                        raise ValueError(
+                            f"MJPG frame dims {frame.shape[:2]} disagree "
+                            f"with strf ({h}, {w})"
+                        )
+                    frames.append(frame)
+                else:
+                    frames.append(_frame_from_dib(body, w, h, top_down))
             pos = body_start + size + (size & 1)  # chunks pad to even
 
     walk(12, 8 + struct.unpack_from("<I", data, 4)[0])

@@ -46,15 +46,45 @@ def test_sample_frames_indices():
         assert np.array_equal(f, frames[i])
 
 
-def test_compressed_codec_raises_by_name():
+def test_unsupported_codec_raises_by_name():
     frames = np.zeros((1, 4, 4, 3), dtype=np.uint8)
     data = bytearray(encode_avi(frames, fps=10))
-    # rewrite biCompression in the strf BITMAPINFOHEADER to 'MJPG'
+    # rewrite biCompression in the strf BITMAPINFOHEADER to 'H264'
     strf = data.find(b"strf")
     assert strf > 0
-    data[strf + 8 + 16 : strf + 8 + 20] = b"MJPG"
+    data[strf + 8 + 16 : strf + 8 + 20] = b"H264"
     with pytest.raises(ValueError, match="compression"):
         decode_avi(bytes(data))
+    # MJPG chunks that are not actually JPEG still fail with a NAMED
+    # error (the frame decoder's, via the container walk)
+    data[strf + 8 + 16 : strf + 8 + 20] = b"MJPG"
+    with pytest.raises(ValueError, match="JPEG"):
+        decode_avi(bytes(data))
+
+
+def test_mjpeg_compressed_video_roundtrip():
+    """Motion-JPEG: REAL compressed video — one baseline JPEG per 00dc
+    chunk. Lossy, so the q100 roundtrip is gated by the JPEG codec's
+    provable bound; the container (per-frame sizes in idx1, fourcc in
+    strf/strh) must carry it faithfully."""
+    from feature_generation_benchmark_spark.operators.jpegcodec import (
+        JPEG_Q100_MAX_ABS_ERR,
+    )
+
+    rng = np.random.default_rng(8)
+    frames = rng.integers(0, 256, (4, 16, 24, 3), dtype=np.uint8)
+    data = encode_avi(frames, fps=15, codec="MJPG", quality=100)
+    assert b"MJPG" in data and b"00dc" in data
+    back, fps = decode_avi(data)
+    assert fps == 15 and back.shape == frames.shape
+    err = np.abs(back.astype(int) - frames.astype(int)).max()
+    assert err <= JPEG_Q100_MAX_ABS_ERR
+    # compressed stream is genuinely smaller than raw on smooth frames
+    smooth = np.tile(np.arange(24, dtype=np.uint8) * 10, (4, 16, 1))
+    smooth = np.stack([smooth] * 3, axis=-1)
+    assert len(encode_avi(smooth, 15, "MJPG", 90)) < len(encode_avi(smooth, 15))
+    with pytest.raises(ValueError, match="codec"):
+        encode_avi(frames, 15, codec="H264")
 
 
 def test_malformed_streams_raise():
