@@ -140,7 +140,6 @@ def ngram_jaccard_pairs(
         .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
         .cache()
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
 
     if prefix_filter:
         model = (
@@ -276,20 +275,29 @@ def ngram_jaccard_pairs(
                 F.size(F.array_intersect("__arr_a", "__arr_b")).alias(
                     "common"
                 ),
+                # the arrays ARE the per-doc distinct shingle sets, so
+                # their sizes ARE n_shingles — read them here instead of
+                # aggregating a separate `sizes` frame and joining it
+                # twice in the finalize (r7 optimization: −1 corpus agg,
+                # −2 pair-table joins; guide §2.4 "remove shuffles
+                # outright")
+                F.size("__arr_a").alias("na"),
+                F.size("__arr_b").alias("nb"),
             )
             .filter(F.col("common") > 0)
         )
-    else:
-        # without the prefix: count intersections straight off the
-        # inverted-index self-join (one pass, no candidate materialization)
-        a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-        b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-        common = (
-            a.join(b, on="shingle")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("common"))
-        )
+        return _jaccard_threshold(common, threshold)
+    # without the prefix: count intersections straight off the
+    # inverted-index self-join (one pass, no candidate materialization)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
     return _jaccard_finalize(common, sizes, id_col, threshold)
 
 
@@ -303,10 +311,16 @@ def _jaccard_finalize(
     (corpus-sized): no broadcast hint — AQE decides from runtime stats."""
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("na"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("nb"))
+    return _jaccard_threshold(common.join(na, "id_a").join(nb, "id_b"), threshold)
+
+
+def _jaccard_threshold(pairs: DataFrame, threshold: float) -> DataFrame:
+    """(id_a, id_b, common, na, nb) → thresholded
+    ``(id_a, id_b, common, jaccard)`` — the shared arithmetic tail; the
+    prefix path arrives here with na/nb read off its verification arrays
+    (no sizes join), the other paths via :func:`_jaccard_finalize`."""
     return (
-        common.join(na, "id_a")
-        .join(nb, "id_b")
-        .select(
+        pairs.select(
             "id_a",
             "id_b",
             F.col("common").cast("long").alias("common"),

@@ -75,10 +75,15 @@ def pagerank(
     )
     d = damping_pct
     for _ in range(iterations):
-        contrib = (
-            e.join(bc(scores.withColumnRenamed("node", "src")), "src")
-            .join(bc(deg), "src")
-            .selectExpr("dst", "score_e9 div out_deg AS c")
+        # pre-join the node-sized (score, out_deg) state BEFORE the
+        # fact-sized edge join: one broadcast build + one hash-table
+        # probe per edge row per iteration instead of two (r7
+        # optimization, guide §3.1 — the join result is identical: both
+        # joins are inner on the same key, so composing them node-side
+        # first changes no rows)
+        state = scores.withColumnRenamed("node", "src").join(deg, "src")
+        contrib = e.join(bc(state), "src").selectExpr(
+            "dst", "score_e9 div out_deg AS c"
         )
         sums = contrib.groupBy("dst").agg(F.sum("c").alias("in_mass"))
         scores = (

@@ -361,6 +361,13 @@ def graph_feature_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_suppkey").alias("suppkey"),
         )
         .distinct()
+        # cache: the distinct edge list feeds THREE aggregations (h1,
+        # cust_totals, h2) — uncached, the plan re-ran the fact-sized
+        # join + distinct (scan, broadcast join, 2-level agg + exchange)
+        # three times over (r7 plan audit: 26 Exchanges → 8; the sibling
+        # pagerank/BFS/triangle queries already cache their edge lists,
+        # and the bench clears caches between queries)
+        .cache()
     )
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("custkey"),

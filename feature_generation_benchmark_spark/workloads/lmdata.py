@@ -114,7 +114,10 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "p.w1", "p.w2"
     ).localCheckpoint(eager=False)
     big = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    ctx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # context counts derive from the bigram counts (c1(w1) = Σ_w2
+    # c2(w1, w2), exactly equal): aggregate the KB-sized model frame
+    # instead of a second corpus-sized pass (r7, same as bigram_logprob)
+    ctx = big.groupBy("w1").agg(F.sum("c2").alias("c1"))
     ml = (
         F.round((F.log("c2") - F.log("c1")) * F.lit(1e6), 0)
         .cast("long")

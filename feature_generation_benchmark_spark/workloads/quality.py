@@ -283,18 +283,29 @@ _PROFILE_COLS = (
 
 def schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    # The distinct counts and the plain stats are SEPARATE aggregates
+    # (crossJoin of two 1-row results), not one wide agg (r7 optimization,
+    # guide §2.4/§7.2): mixing countDistinct with min/max over STRING
+    # columns forces the multi-distinct rewrite's first-level aggregate
+    # into SortAggregate (string min/max buffers are not
+    # HashAggregate-mutable), i.e. a full Sort of the 6x-Expanded fact
+    # table by 6 keys. Split, the distinct side plans Expand →
+    # HashAggregate (no Sort anywhere) and the stats side is a zero-key
+    # single-pass fold; the second scan is orders cheaper than sorting
+    # 6x the table. Measured sf0.1: 8.3 s → 1.7 s (noop sink, warm).
+    base_aggs = [F.count(F.lit(1)).alias("n_rows")]
+    dist_aggs = []
     for c in _PROFILE_COLS:
-        aggs += [
+        base_aggs += [
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
-            F.countDistinct(c).alias(f"{c}__distinct"),
             # min/max on the NATIVE column (true extremes), stringified
             # once at the end for the uniform schema — lexicographic
             # min/max of stringified numerics would report '10.0' < '9.0'
             F.min(c).cast("string").alias(f"{c}__min"),
             F.max(c).cast("string").alias(f"{c}__max"),
         ]
-    wide = li.agg(*aggs)
+        dist_aggs.append(F.countDistinct(c).alias(f"{c}__distinct"))
+    wide = li.agg(*base_aggs).crossJoin(li.agg(*dist_aggs))
     rows = [
         f"named_struct('col_name', '{c}', 'n_rows', n_rows, "
         f"'n_nulls', {c}__nulls, 'n_distinct', {c}__distinct, "

@@ -424,7 +424,12 @@ def top_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     The reference has no repetition surface at all (its text model stops
     at the bank-transaction schema, `docs/index.md`)."""
     docs = load_table(spark, sf_dir, "documents")
-    toked = docs.select("doc_id", tokens("text").alias("toks"))
+    # lazy localCheckpoint: the token-array frame feeds BOTH gram
+    # explosions and the n_tokens base — without the cut the corpus
+    # tokenize runs three times (r7; the ccnet precedent)
+    toked = docs.select("doc_id", tokens("text").alias("toks")).localCheckpoint(
+        eager=False
+    )
     grams = _gram_rows(toked, 2).unionByName(_gram_rows(toked, 3))
     top = (
         grams.groupBy("doc_id", "g", "gram")
@@ -788,11 +793,18 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice("t", 2, F.size("t") - 1),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
+    # lazy localCheckpoint: the exploded bigram frame feeds the bigram
+    # model AND the scoring join — without the cut the corpus
+    # tokenize+explode runs twice (r7 optimization; the ccnet precedent)
     bg = toks.select("doc_id", F.explode(pairs).alias("p")).select(
         "doc_id", "p.w1", "p.w2"
-    )
+    ).localCheckpoint(eager=False)
     big = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    ctx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # context counts DERIVE from the bigram counts (c1(w1) = Σ_w2
+    # c2(w1, w2) — exactly equal by definition): aggregate the KB-sized
+    # model frame instead of a third corpus-sized pass (r7 optimization,
+    # guide §2.4 "don't compute things twice")
+    ctx = big.groupBy("w1").agg(F.sum("c2").alias("c1"))
     micro = (
         F.round((F.log("c2") - F.log("c1")) * F.lit(1e6), 0)
         .cast("long")
