@@ -54,13 +54,16 @@ def main() -> None:
     # into the JSON artifact so every BENCH_r{N} reading carries its own
     # host-capacity calibration
     from feature_generation_benchmark_spark.hostprobe import (
+        cpu_steal_ticks,
         io_cache_probe,
         single_core_probe_sec,
+        steal_pct,
     )
 
     io_probe = io_cache_probe(sf_dir)  # BEFORE queries touch the data:
     # a cold reading here labels the whole run cold-IO
     probe_before = single_core_probe_sec()
+    steal0, steal_t0 = cpu_steal_ticks(), time.time()
 
     # committed per-query baseline (the repo's BENCH_DETAIL.json from the
     # previous run) — consulted AFTER the loop to re-measure suspicious
@@ -120,9 +123,15 @@ def main() -> None:
         }
 
     shutil.rmtree(out_root, ignore_errors=True)
+    import os as _os
+
+    steal = steal_pct(
+        steal0, cpu_steal_ticks(), time.time() - steal_t0,
+        _os.cpu_count() or 1,
+    )
     detail_line, summary_line = format_output(
         timings, sf, probe_before, single_core_probe_sec(), io_probe,
-        noise_flagged,
+        noise_flagged, steal,
     )
     try:
         with open(
@@ -145,6 +154,7 @@ def format_output(
     probe_after: float,
     io_probe: dict | None = None,
     noise_flagged: dict[str, dict] | None = None,
+    steal_pct: float = -1.0,
 ) -> tuple[str, str]:
     """Build the (detail, summary) stdout lines.
 
@@ -199,6 +209,13 @@ def format_output(
             # 155-206 s on identical CPU probes was exactly this)
             "io_probe_mbps": (io_probe or {}).get("io_mbps", -1.0),
             "page_cache_mb": (io_probe or {}).get("cached_mb", -1),
+            # hypervisor steal across the whole run as % of cpu-time
+            # (hostprobe.cpu_steal_ticks): this VM has noisy-neighbor
+            # steal storms that slow every query ~uniformly while the
+            # single-core probes stay near-healthy (r7: 632 s vs 264 s
+            # same-code runs); >1-2% here means the reading overstates
+            # every query and the run is not round-comparable
+            "steal_pct": steal_pct,
         }
     )
     return detail_line, summary_line

@@ -89,3 +89,32 @@ def io_cache_probe(sf_dir: str) -> dict:
     except OSError:
         pass
     return out
+
+
+def cpu_steal_ticks() -> int:
+    """Cumulative hypervisor steal ticks from /proc/stat (field 8 of the
+    aggregate cpu line), or -1 when unavailable. Callers take a delta
+    across a timed region: this VM sees intermittent steal storms from
+    noisy neighbors (r7: one bench run read 632 s vs 264-281 s for the
+    same code while the single-core probe moved only 1.16 → 1.5 s —
+    steal under full 32-thread load is invisible to a one-core probe),
+    so the artifact must carry its own steal reading to be judgeable."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8])  # cpu user nice system idle iowait irq softirq steal
+    except (OSError, IndexError, ValueError):
+        return -1
+
+
+def steal_pct(ticks_before: int, ticks_after: int, wall_sec: float,
+              n_cpus: int) -> float:
+    """Steal as a percentage of total cpu-time across the window; -1.0
+    when either reading was unavailable."""
+    if ticks_before < 0 or ticks_after < 0 or wall_sec <= 0 or n_cpus <= 0:
+        return -1.0
+    tick_hz = 100.0  # USER_HZ is 100 on linux
+    return round(
+        100.0 * (ticks_after - ticks_before) / tick_hz / (wall_sec * n_cpus),
+        2,
+    )

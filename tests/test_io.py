@@ -362,3 +362,30 @@ def test_zorder_all_null_column_warns_by_name(spark, tmp_path):
     msgs = [str(r.message) for r in rec]
     assert any("'y'" in m and "constant bit-plane" in m for m in msgs), msgs
     assert spark.read.parquet(out).count() == 1000
+
+
+def test_load_table_memoizes_handle_and_sees_overwrites(spark, tmp_path):
+    """r7: load_table memoizes the ANALYZED DataFrame handle per
+    (session, path, mtime) — pure plan/metadata reuse, no data caching —
+    and an overwritten dataset (new mtime) is re-listed, not served
+    stale."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from feature_generation_benchmark_spark.sources.testdata import load_table
+
+    d = str(tmp_path)
+    spark.range(5).select(F.col("id").alias("k")).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/tbl.parquet")
+    a = load_table(spark, d, "tbl")
+    assert a is load_table(spark, d, "tbl")  # same handle, no re-list
+    assert a.count() == 5
+    _time.sleep(0.01)  # ensure a distinct mtime_ns on coarse filesystems
+    spark.range(9).select(F.col("id").alias("k")).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/tbl.parquet")
+    b = load_table(spark, d, "tbl")
+    assert b is not a
+    assert b.count() == 9
