@@ -70,7 +70,12 @@ def pagerank(
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).cache()
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
-    scores = nodes.crossJoin(F.broadcast(nn)).selectExpr(
+    # (node, n) hoisted out of the loop: each iteration's rank update
+    # needs every node with the node count, but the crossJoin-with-agg
+    # subtree is loop-invariant — cache it once instead of re-deriving
+    # (and re-broadcasting nn) every round (r7, guide §2.4)
+    base = nodes.crossJoin(F.broadcast(nn)).selectExpr("node", "n").cache()
+    scores = base.selectExpr(
         "node", f"CAST({SCALE}L div n AS LONG) AS score_e9"
     )
     d = damping_pct
@@ -87,8 +92,8 @@ def pagerank(
         )
         sums = contrib.groupBy("dst").agg(F.sum("c").alias("in_mass"))
         scores = (
-            nodes.crossJoin(F.broadcast(nn))
-            .join(bc(sums), nodes.node == sums.dst, "left")
+            base
+            .join(bc(sums), base.node == sums.dst, "left")
             .selectExpr(
                 "node",
                 f"CAST(({100 - d}L * {SCALE}L) div (100L * n)"

@@ -33,16 +33,21 @@ def funnel_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.expr("ts div 1000").alias("ts_us"),
     )
+    # each stage frame feeds BOTH the next stage's sequencing join and
+    # the final 3-way left join: cache them so s1 is computed once, not
+    # 3x, and s2 once, not 2x (r7 plan audit: the uncached form scanned
+    # events 6x and ran 22 exchanges; caches are user-sized aggregates
+    # and the session owner clears them between queries)
     s1 = ev.filter(F.col("event_type") == _STAGES[0]).groupBy("user_id").agg(
         F.min("ts_us").alias("t_view")
-    )
+    ).cache()
     s2 = (
         ev.filter(F.col("event_type") == _STAGES[1])
         .join(s1, "user_id")
         .filter(F.col("ts_us") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts_us").alias("t_click"))
-    )
+    ).cache()
     s3 = (
         ev.filter(F.col("event_type") == _STAGES[2])
         .join(s2, "user_id")

@@ -80,6 +80,10 @@ def psi_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("in_a").alias("ca"),
             F.sum(F.lit(1) - F.col("in_a")).alias("cb"),
         )
+        # KB-sized (types x bins) but read through 4 downstream paths
+        # (grid distinct, fill join, totals, final join): cache so the
+        # events-sized binning agg runs once (r7 plan audit: events x4)
+        .cache()
     )
     # Full fixed bin grid so empty bins contribute their smoothed mass on
     # both engines identically (types table is an aggregate — KB-sized).
@@ -417,8 +421,11 @@ def audience_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .select("user_id", "event_type")
         .distinct()
+        # feeds the audience sizes AND the basket build: cache so the
+        # events-sized distinct runs once (r7 plan audit: events x3)
+        .cache()
     )
-    sizes = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    sizes = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).cache()
     pairs = (
         ut.groupBy("user_id")
         .agg(F.sort_array(F.collect_set("event_type")).alias("types"))
@@ -490,9 +497,14 @@ def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
     )
+    # 5-row medians, read by BOTH passes' dev subtrees: cache so each
+    # pass re-derives dev from one events scan + this tiny frame instead
+    # of nesting a second full median aggregation (r7 plan audit: the
+    # uncached form scanned events 4x; deliberately NOT caching dev
+    # itself — input-sized caches are the wrong trade at 100 TB)
     med = ev.groupBy("event_type").agg(
         F.percentile("cents", 0.5).alias("med_cents")
-    )
+    ).cache()
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type",
         "med_cents",

@@ -200,12 +200,52 @@ def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(name).alias("edge"), "n_rows", "n_orphans")
         )
 
+    # the three lineitem edges share ONE fact scan (r7, guide §6.1: the
+    # uncombined form read the biggest table three times — 3 fact passes
+    # -> 1 at 100 TB): project the three FK columns once, left-join the
+    # three key sets, count all three orphan tallies in one agg, then
+    # explode the 1-row result into the same three edge rows
+    def keyset(dim, pk, fk, tag, broadcast_dim):
+        k = dim.select(F.col(pk).alias(fk)).distinct().withColumn(
+            f"__hit_{tag}", F.lit(1)
+        )
+        return F.broadcast(k) if broadcast_dim else k
+
+    li3 = (
+        li.select("l_orderkey", "l_partkey", "l_suppkey")
+        .join(keyset(orders, "o_orderkey", "l_orderkey", "o", False),
+              "l_orderkey", "left")
+        .join(keyset(part, "p_partkey", "l_partkey", "p", True),
+              "l_partkey", "left")
+        .join(keyset(supplier, "s_suppkey", "l_suppkey", "s", True),
+              "l_suppkey", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                F.coalesce(
+                    F.sum(F.col(f"__hit_{t}").isNull().cast("long")),
+                    F.lit(0),
+                ).alias(f"orph_{t}")
+                for t in ("o", "p", "s")
+            ],
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "array("
+                    "named_struct('edge', 'lineitem->orders',"
+                    " 'n_rows', n_rows, 'n_orphans', orph_o),"
+                    "named_struct('edge', 'lineitem->part',"
+                    " 'n_rows', n_rows, 'n_orphans', orph_p),"
+                    "named_struct('edge', 'lineitem->supplier',"
+                    " 'n_rows', n_rows, 'n_orphans', orph_s))"
+                )
+            ).alias("e")
+        )
+        .select("e.edge", "e.n_rows", "e.n_orphans")
+    )
     edges = [
-        edge("lineitem->orders", li, "l_orderkey", orders, "o_orderkey",
-             False),
-        edge("lineitem->part", li, "l_partkey", part, "p_partkey", True),
-        edge("lineitem->supplier", li, "l_suppkey", supplier, "s_suppkey",
-             True),
+        li3,
         edge("orders->customer", orders, "o_custkey", customer,
              "c_custkey", True),
         edge("customer->nation", customer, "c_nationkey", nation,

@@ -1117,7 +1117,10 @@ def skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     to e6 (unigram_logprob residual-risk contract)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens("text")).alias("tok"))
-    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # vocab-sized and read 3x (both join sides + the total): cache so
+    # the corpus explode+agg runs once, not three times (r7 plan audit:
+    # the uncached form scanned documents 5x)
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).cache()
     t_total = uni.agg(F.sum("c").alias("t_tok"))
 
     arr = docs.select(tokens("text").alias("t"))
@@ -1141,7 +1144,7 @@ def skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ta", "tb")
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .filter(F.col("c_ab") >= _PMI_MIN_COUNT)
-    )
+    ).cache()  # feeds the normalizer AND the scoring join (2 reads)
     n_pairs = pairs.agg(F.sum("c_ab").alias("n_pair"))
     ua = uni.select(F.col("tok").alias("ta"), F.col("c").alias("c_a"))
     ub = uni.select(F.col("tok").alias("tb"), F.col("c").alias("c_b"))
