@@ -588,19 +588,43 @@ def minhash_dedup_pairs(
     sig = minhash_signatures(sh, id_col, num_perm, hash_fn=hash_fn)
     cand = lsh_candidate_pairs(sig, id_col, num_perm, bands, hash_fn=hash_fn)
 
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    common = (
-        # candidate pairs are few relative to the corpus by LSH design,
-        # but still corpus-growing — no broadcast hint, AQE decides
-        cand
-        .join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("common"))
+    # verify against the FULL sets as per-doc shingle ARRAYS (the same
+    # r7 rewrite the prefix path carries): the exploded form shuffled the
+    # whole shingle index twice (join on id_a, then on (id_b, shingle))
+    # plus a separate per-doc sizes aggregate + two pair-table joins;
+    # here ONE collect_list agg builds the doc-side array table, the
+    # candidate list joins it twice (AQE broadcasts it when small), and
+    # common/na/nb all read off the arrays JVM-side. Identical output:
+    # doc_shingles is distinct per doc, so |array_intersect| == the
+    # exploded join's per-pair count, and a zero-common candidate is
+    # dropped by the same jaccard >= threshold filter that dropped its
+    # absent row before (threshold > 0 by contract).
+    arrs = sh.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("shingle")).alias("__arr")
     )
-    return _jaccard_finalize(common, sizes, id_col, threshold)
+    common = (
+        cand.join(
+            arrs.select(
+                F.col(id_col).alias("id_a"), F.col("__arr").alias("__arr_a")
+            ),
+            "id_a",
+        )
+        .join(
+            arrs.select(
+                F.col(id_col).alias("id_b"), F.col("__arr").alias("__arr_b")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("__arr_a", "__arr_b")).alias("common"),
+            F.size("__arr_a").alias("na"),
+            F.size("__arr_b").alias("nb"),
+        )
+        .filter(F.col("common") > 0)
+    )
+    return _jaccard_threshold(common, threshold)
 
 
 # ---------------------------------------------------------------------------
