@@ -43,12 +43,88 @@ def gram_suffstat_cells(
     moment pseudo-cells when ``with_moments``. Callers aggregate with
     ``groupBy("i", "j").agg(F.sum("p"))``.
 
-    Always the nested O(d)-intermediate form — measured faster than the
-    flat single-explode at every dimension tried AND allocation-safe at
-    high d (module docstring; tools/gram_crossover.py re-measures if a
-    future dimension regime needs re-tuning).
+    Production form since r7: the partition-GEMM ``_gemm_cells`` — one
+    vectorized int64 ``Vᵀ·V`` per Arrow batch inside ``mapInPandas``
+    (guide §4.2), emitting the d(d+1)/2 cells once per PARTITION instead
+    of once per ROW. The JVM-exploded ``_nested_cells``/``_flat_cells``
+    forms stay for the A/B tool and the equality property tests
+    (``tests/test_gram.py`` pins gemm == nested == numpy).
     """
-    return _nested_cells(rows, qcol, with_moments)
+    return _gemm_cells(rows, qcol, with_moments)
+
+
+def _gemm_cells(rows: DataFrame, qcol: str, with_moments: bool) -> DataFrame:
+    """Partition-level sufficient statistics: each task folds its whole
+    partition into one d×d int64 Gram accumulator with numpy matmuls
+    (exact — int64 arithmetic end to end, same overflow envelope as the
+    long sums the downstream aggregate already performs) and emits the
+    upper triangle once. The shuffle then carries ≤ P × (d(d+1)/2 + d +
+    1) cells — the same bound as before, but the pre-shuffle work drops
+    from n·d²/2 codegen'd cell evaluations to n·d²/2 fused MACs plus a
+    d²-sized emit per task. Ragged inputs accumulate per-length into the
+    top-left block, reproducing the per-row triangle cells of the
+    exploded forms exactly."""
+    import numpy as np
+    import pandas as pd
+
+    def fold(batches):
+        G = np.zeros((0, 0), dtype=np.int64)
+        s = np.zeros(0, dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            arrs = pdf[qcol].to_numpy()
+            if len(arrs) == 0:
+                continue
+            lens = np.fromiter(
+                (len(a) for a in arrs), dtype=np.int64, count=len(arrs)
+            )
+            for ln in np.unique(lens):
+                if ln == 0:
+                    continue
+                V = np.stack(arrs[lens == ln]).astype(np.int64)
+                if ln > G.shape[0]:
+                    G2 = np.zeros((ln, ln), dtype=np.int64)
+                    G2[: G.shape[0], : G.shape[0]] = G
+                    G = G2
+                    s2 = np.zeros(ln, dtype=np.int64)
+                    s2[: s.shape[0]] = s
+                    s = s2
+                G[:ln, :ln] += V.T @ V
+                s[:ln] += V.sum(axis=0)
+                n += V.shape[0]
+        if n == 0:
+            return
+        d = G.shape[0]
+        iu, ju = np.triu_indices(d)
+        out = pd.DataFrame(
+            {
+                "i": iu.astype("int32"),
+                "j": ju.astype("int32"),
+                "p": G[iu, ju],
+            }
+        )
+        if with_moments:
+            out = pd.concat(
+                [
+                    out,
+                    pd.DataFrame(
+                        {
+                            "i": np.arange(d, dtype="int32"),
+                            "j": np.full(d, -1, dtype="int32"),
+                            "p": s,
+                        }
+                    ),
+                    pd.DataFrame({"i": [-1], "j": [-1], "p": [n]}),
+                ],
+                ignore_index=True,
+            )
+        yield out
+
+    return (
+        rows.filter(F.size(qcol) > 0)
+        .select(qcol)  # only the vector crosses the Arrow boundary
+        .mapInPandas(fold, "i int, j int, p long")
+    )
 
 
 def _cell(i, j, p):

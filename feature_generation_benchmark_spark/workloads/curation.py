@@ -20,8 +20,9 @@ operators a 100 TB training-data pipeline needs beyond dedup/similarity):
   ``w`` consecutive shingle hashes, select each window's minimum; the
   distinct selected hashes are the document's fingerprint set. Guarantees
   any shared run of ``w + k - 1`` tokens contributes at least one common
-  fingerprint. Windowed ``min`` over a per-doc sort — one shuffle; the
-  md5-derived shingle hash makes the whole selection cross-engine exact.
+  fingerprint. The selection is per-document state, so it runs entirely
+  as array expressions inside the scan (zero shuffles); the md5-derived
+  shingle hash makes the whole selection cross-engine exact.
 - ``mixture_sampling`` — deterministic source-mixture sampling: given
   target mixture weights per source and a global token budget, derive
   per-source acceptance rates from the corpus's own per-source token
@@ -191,18 +192,33 @@ def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ng")
     )
     hits = ngs.join(dup, "ng")  # at 100 TB: key on xxhash64(ng)
+    # coverage via ONE plain groupBy + array expressions (r7, guide
+    # §2.4): the previous form exploded every hit into its _DUP_N
+    # covered positions (3x rows) and then aggregated TWO
+    # count_distincts, whose multi-distinct rewrite Expands the exploded
+    # frame 2x more — a 6x row multiplier into the shuffle. (doc_id,
+    # pos) is unique in ngs (posexplode emits each position once), so
+    # n_dup_ngrams is a plain size(collect_list) and the covered-token
+    # count is the size of the deduped union of per-hit [pos, pos+N-1]
+    # windows, computed per doc from the (small) position array.
     cov = (
-        hits.select(
+        hits.groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("__ps"))
+        .select(
             "doc_id",
-            "pos",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.lit(_DUP_N - 1))
-            ).alias("cp"),
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.count_distinct(F.col("pos")).alias("n_dup_ngrams"),
-            F.count_distinct(F.col("cp")).alias("n_covered_tokens"),
+            F.size("__ps").cast("long").alias("n_dup_ngrams"),
+            F.size(
+                F.array_distinct(
+                    F.flatten(
+                        F.transform(
+                            "__ps",
+                            lambda p: F.sequence(
+                                p, p + F.lit(_DUP_N - 1)
+                            ),
+                        )
+                    )
+                )
+            ).cast("long").alias("n_covered_tokens"),
         )
     )
     return (
@@ -270,44 +286,49 @@ def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     still fingerprint off their single clipped window). md5-hex-prefix
     hashes are unique per doc in practice, so ``min`` needs no positional
     tie-break and the SQL twin replays the selection exactly."""
+    # The winnowing selection is strictly PER-DOCUMENT, so the whole
+    # program runs as array expressions inside one scan (r7, guide
+    # §2.4): the previous form posexploded every k-gram, shuffled the
+    # exploded corpus into a per-doc window sort, then paid a distinct
+    # shuffle, a groupBy shuffle and a join back to the doc frame — four
+    # exchanges of corpus-derived rows for a computation whose state
+    # never leaves the document. Equivalences: array_min(slice(hs,
+    # p+1, w)) over strings is the same lexicographic min the rowsBetween
+    # window computed (slice clips at the array end exactly like the
+    # window frame at partition end); array_distinct replaces the
+    # (doc_id, winmin) DISTINCT; docs with 0 < tokens < _WIN_K have an
+    # empty hash array and fall out as n_fingerprints=0 with
+    # md5('') == _EMPTY_MD5 — the rows the old left join coalesced.
     docs = load_table(spark, sf_dir, "documents")
     toked = docs.select(
         "doc_id", tokens(F.col("text")).alias("toks")
     ).filter(F.size("toks") > 0)
-    base = toked.select(
-        "doc_id", F.size("toks").cast("long").alias("n_tokens")
-    )
-    kg = toked.select(
+    hashed = toked.select(
         "doc_id",
-        (F.size("toks") - F.lit(_WIN_K - 1)).alias("nkg"),
-        F.posexplode(word_ngrams(F.col("toks"), _WIN_K)).alias("pos", "ng"),
-    ).select(
-        "doc_id", "nkg", "pos", F.substring(F.md5("ng"), 1, 8).alias("h")
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.transform(
+            word_ngrams(F.col("toks"), _WIN_K),
+            lambda ng: F.substring(F.md5(ng), 1, 8),
+        ).alias("__hs"),
     )
-    win = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, _WIN_W - 1)
-    )
-    sel = (
-        kg.withColumn("winmin", F.min("h").over(win))
-        .filter((F.col("pos") == 0) | (F.col("pos") <= F.col("nkg") - _WIN_W))
-        .select("doc_id", "winmin")
-        .distinct()
-    )
-    agg = sel.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_fingerprints"),
-        F.md5(F.array_join(F.array_sort(F.collect_list("winmin")), "")).alias(
-            "fp_digest"
-        ),
-    )
-    return base.join(agg, "doc_id", "left").select(
+    sel = hashed.select(
         "doc_id",
         "n_tokens",
-        F.coalesce(F.col("n_fingerprints"), F.lit(0)).cast("long").alias(
-            "n_fingerprints"
-        ),
-        F.coalesce(F.col("fp_digest"), F.lit(_EMPTY_MD5)).alias("fp_digest"),
+        # CASE guard: sequence(0, -1) would descend — short docs skip
+        # straight to the empty selection
+        F.expr(
+            "CASE WHEN size(__hs) >= 1 THEN array_distinct(transform("
+            "filter(sequence(0, size(__hs) - 1), "
+            f"p -> p = 0 OR p <= size(__hs) - {_WIN_W}), "
+            f"p -> array_min(slice(__hs, p + 1, {_WIN_W}))))"
+            " ELSE cast(array() as array<string>) END"
+        ).alias("__sel"),
+    )
+    return sel.select(
+        "doc_id",
+        "n_tokens",
+        F.size("__sel").cast("long").alias("n_fingerprints"),
+        F.md5(F.array_join(F.array_sort("__sel"), "")).alias("fp_digest"),
     )
 
 

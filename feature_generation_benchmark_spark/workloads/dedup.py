@@ -525,13 +525,28 @@ def _exact_dup_pairs(corpus: DataFrame, min_toks: int) -> DataFrame:
     fp = corpus.filter(
         F.size(tokens("text")) >= min_toks
     ).select("doc_id", F.md5("text").alias("__f"))
-    a = fp.select(F.col("doc_id").alias("id_a"), "__f")
-    b = fp.select(F.col("doc_id").alias("id_b"), "__f")
-    return (
-        a.join(b, "__f")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+    # pair generation via ONE groupBy(fingerprint) instead of the fp⋈fp
+    # self-join: the join referenced the fp subtree twice, so the corpus
+    # (itself a 2-leg union) was scanned and regex-tokenized FOUR times
+    # per wrapper; grouping scans it once and emits each group's (i<j)
+    # pairs from the sorted id array (doc_ids are unique, so ascending
+    # order ⟺ the old id_a < id_b predicate; dup groups are tiny — the
+    # planted-clone corpus has pairs, not giant components) (r7, guide
+    # §2.4 "remove shuffles outright" / duplicated subtrees)
+    groups = (
+        fp.groupBy("__f")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("__ids"))
+        .filter(F.size("__ids") >= 2)
     )
+    return groups.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(__ids, (x, i) -> "
+                "transform(slice(__ids, i + 2, size(__ids) - i - 1), "
+                "y -> struct(x AS id_a, y AS id_b))))"
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
 
 
 def _exact_dup_cte(min_toks: int) -> str:

@@ -40,9 +40,25 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    fwd = pairs.select(F.col("cnode").alias("src"), F.col("snode").alias("dst"))
-    bwd = pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
-    return fwd.union(bwd)
+    # both directions from ONE pass: the former fwd/bwd UNION referenced
+    # the pairs subtree twice, so the lineitem⋈orders join AND its
+    # distinct executed twice on every (re)materialization (Catalyst
+    # does not CSE across union legs) — exploding each distinct pair
+    # into its two directed edges emits identical rows from one join
+    # (r7, guide §2.4); row order within a partition differs but every
+    # consumer aggregates
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("cnode").alias("src"), F.col("snode").alias("dst")
+                ),
+                F.struct(
+                    F.col("snode").alias("src"), F.col("cnode").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
 
 
 def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:

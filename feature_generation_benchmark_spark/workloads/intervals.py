@@ -60,18 +60,31 @@ def open_orders_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         close, orders["o_orderkey"] == close["l_orderkey"]
     ).select("o_orderpriority", "open_d", "close_d")
     epoch = F.lit(_EPOCH).cast("date")
-    opens = iv.select(
-        "o_orderpriority",
-        F.datediff("open_d", epoch).alias("day"),
-        F.lit(1).alias("delta"),
-    )
-    closes = iv.select(
-        "o_orderpriority",
-        (F.datediff("close_d", epoch) + F.lit(1)).alias("day"),
-        F.lit(-1).alias("delta"),
-    )
+    # both endpoints in ONE pass: the former opens/closes UNION
+    # referenced the iv subtree twice, so the lineitem close-date agg
+    # and the orderkey join executed twice per run (Catalyst does not
+    # CSE across union legs) — exploding each interval row into its
+    # (+1 at open, -1 at close+1) endpoint structs emits the identical
+    # delta rows from a single join (r7, guide §2.4)
     deltas = (
-        opens.unionByName(closes)
+        iv.select(
+            "o_orderpriority",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.datediff("open_d", epoch).alias("day"),
+                        F.lit(1).alias("delta"),
+                    ),
+                    F.struct(
+                        (F.datediff("close_d", epoch) + F.lit(1)).alias(
+                            "day"
+                        ),
+                        F.lit(-1).alias("delta"),
+                    ),
+                )
+            ).alias("e"),
+        )
+        .select("o_orderpriority", "e.day", "e.delta")
         .groupBy("o_orderpriority", "day")
         .agg(F.sum("delta").cast("long").alias("net_change"))
     )

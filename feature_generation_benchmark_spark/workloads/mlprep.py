@@ -1349,31 +1349,38 @@ def bootstrap_se_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         # instead of re-hashing per replicate
         F.md5(F.col("event_id").cast("string")).alias("h"),
     )
-    u = "CAST(conv(substring(h, 1 + 3 * b, 3), 16, 10) AS BIGINT)"
-    reps = ev.select(
-        "event_type",
-        "cents",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {_BOOT_B - 1}), b -> "
-                f"named_struct('b', b, 'w', {_boot_weight_sql(u)}))"
-            )
-        ).alias("r"),
-    )
-    sums = reps.groupBy(
-        "event_type", F.col("r.b").alias("b")
-    ).agg(F.sum(F.col("r.w") * F.col("cents")).alias("s"))
+    # all B replicate sums in ONE wide aggregate over the un-exploded
+    # frame (r7, guide §2.3 "aggregate before you shuffle"): the former
+    # shape exploded every event into B (b, w) replicate rows — a Bx row
+    # multiplier pushed through the hash aggregate — then re-aggregated
+    # the (type, b) sums per type. One sum column per replicate computes
+    # the identical exact-integer sums with zero row inflation, and the
+    # variance folds over the B columns in a fixed b order (replicate
+    # sums are exact longs; only the final double fold touches floats,
+    # as before).
+    aggs = []
+    for b in range(_BOOT_B):
+        u = f"CAST(conv(substring(h, {1 + 3 * b}, 3), 16, 10) AS BIGINT)"
+        aggs.append(
+            F.sum(F.expr(f"({_boot_weight_sql(u)}) * cents")).alias(f"s{b}")
+        )
+    wide = ev.groupBy("event_type").agg(*aggs)
+    s_cols = [F.col(f"s{b}") for b in range(_BOOT_B)]
+    rep_sum = s_cols[0]
+    for c in s_cols[1:]:
+        rep_sum = rep_sum + c
+    sum_sq = s_cols[0].cast("double") * s_cols[0]
+    for c in s_cols[1:]:
+        sum_sq = sum_sq + c.cast("double") * c
     big_b = F.lit(_BOOT_B)
-    return sums.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_reps"),
-        F.sum("s").alias("rep_sum_cents"),
-        # replicate variance from exact integer sums; the double products
-        # are the same expression tree on both engines
+    return wide.select(
+        "event_type",
+        # every replicate b exists for every present type (b is a
+        # compile-time 0..B-1 range), so the old count(*) per type == B
+        F.lit(_BOOT_B).cast("long").alias("n_reps"),
+        rep_sum.alias("rep_sum_cents"),
         F.round(
-            (
-                big_b * F.sum(F.col("s").cast("double") * F.col("s"))
-                - F.sum("s").cast("double") * F.sum("s")
-            )
+            (big_b * sum_sq - rep_sum.cast("double") * rep_sum)
             / (big_b * (big_b - 1)),
             0,
         )

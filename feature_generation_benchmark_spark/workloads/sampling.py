@@ -271,41 +271,59 @@ def cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     id needs no iterative pass — the prefix sum IS the assignment."""
     from feature_generation_benchmark_spark.functions.textfns import tokens
 
+    # chunk assignment is strictly PER-DOCUMENT state (an exclusive
+    # prefix sum over the doc's own boundary flags), so the whole
+    # program runs as array expressions inside the scan with a final
+    # shuffle-free explode of the finished chunks (r7, guide §2.4): the
+    # previous form posexploded every token, paid a doc-keyed window
+    # shuffle for the prefix sum and a second doc-keyed groupBy shuffle
+    # (collect_list + re-sort) to fold the chunks back together — two
+    # exchanges of the exploded corpus for zero cross-document state.
+    # Equivalence: a boundary token at position p starts a new chunk at
+    # p+1 (the old [unboundedPreceding, -1] frame), so chunk starts are
+    # 0 plus every p+1 <= n-1 with flag(p)=1; each chunk's tokens are
+    # the slice [start, next_start) and the md5 joins them with ' '
+    # exactly as the old pos-sorted collect_list did. Empty-token docs
+    # emitted no rows before and are filtered the same way here.
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
+    toked = docs.select(
+        "doc_id", tokens("text").alias("__toks")
+    ).filter(F.size("__toks") > 0)
+    # same hash-to-integer idiom as md5_prefix_long, inlined as SQL text
+    # for the array lambda
+    flag = (
+        "CAST(conv(substring(md5(element_at(__toks, p + 1)), 1, 8), "
+        f"16, 10) AS BIGINT) % {_CDC_DIVISOR} = 0"
+    )
+    started = toked.select(
         "doc_id",
-        F.posexplode(tokens("text")).alias("pos", "token"),
+        "__toks",
+        # CASE guard: sequence(0, -1) would descend for 1-token docs
+        F.expr(
+            "CASE WHEN size(__toks) >= 2 THEN "
+            "concat(array(0), transform("
+            f"filter(sequence(0, size(__toks) - 2), p -> {flag}), "
+            "p -> p + 1)) "
+            "ELSE array(0) END"
+        ).alias("__starts"),
     )
-    boundary = (
-        md5_prefix_long(F.col("token")) % _CDC_DIVISOR == 0
-    ).cast("long")
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    chunked = tok.select(
+    chunks = started.select(
         "doc_id",
-        "pos",
-        "token",
-        F.coalesce(F.sum(boundary).over(w), F.lit(0)).alias("chunk_idx"),
+        F.explode(
+            F.expr(
+                "transform(__starts, (s, i) -> named_struct("
+                "'chunk_idx', CAST(i AS BIGINT), "
+                "'n_chunk_tokens', "
+                "CAST(coalesce(get(__starts, i + 1), size(__toks)) - s"
+                " AS BIGINT), "
+                "'chunk_md5', md5(array_join(slice(__toks, s + 1, "
+                "coalesce(get(__starts, i + 1), size(__toks)) - s), ' '))"
+                "))"
+            )
+        ).alias("c"),
     )
-    return (
-        chunked.groupBy("doc_id", "chunk_idx")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_chunk_tokens"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("pos", "token"))
-                        ),
-                        lambda s: s["token"],
-                    ),
-                    " ",
-                )
-            ).alias("chunk_md5"),
-        )
+    return chunks.select(
+        "doc_id", "c.chunk_idx", "c.n_chunk_tokens", "c.chunk_md5"
     )
 
 

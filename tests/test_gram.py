@@ -50,16 +50,44 @@ def test_both_forms_match_numpy(spark, d):
             assert cells[(i, j)] == expect_gram[i, j], (i, j)
 
 
-def test_production_form_is_nested(spark):
-    """No crossover exists (tools/gram_crossover.py: nested wins at every
-    measured d), so the helper must always emit the O(d)-intermediate
-    two-Generate form."""
+def test_production_form_is_partition_gemm(spark):
+    """r7: the production form folds each partition with one vectorized
+    int64 GEMM inside mapInPandas (cells emitted per partition, not per
+    row) — the plan must carry the Python map node and no Generate."""
     df, _ = _mk_rows(spark, 4, 6)
     plan = (
         gram_suffstat_cells(df)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert plan.count("Generate") == 2, plan
+    assert "MapInPandas" in plan or "mapInPandas" in plan, plan
+    assert "Generate" not in plan, plan
+
+
+@pytest.mark.parametrize("with_moments", [False, True])
+def test_gemm_form_matches_nested(spark, with_moments):
+    """The partition-GEMM production form reproduces the exploded
+    nested form's integer sufficient statistics exactly — including
+    moment pseudo-cells, empty vectors, and RAGGED vector lengths
+    (per-length accumulation into the top-left block)."""
+    df, _ = _mk_rows(spark, 40, 64)
+    ragged = spark.createDataFrame(
+        [([1, 2, 3],), ([],), ([4, -5],), ([7],), ([2, 0, -9],)],
+        "__q array<long>",
+    )
+    for frame in (df, ragged):
+        results = {}
+        for label, form in (
+            ("gemm", gram_suffstat_cells),
+            ("nested", _nested_cells),
+        ):
+            agg = (
+                form(frame, "__q", with_moments)
+                .groupBy("i", "j")
+                .agg(F.sum("p").alias("v"))
+                .collect()
+            )
+            results[label] = {(r["i"], r["j"]): r["v"] for r in agg}
+        assert results["gemm"] == results["nested"]
 
 
 def test_flat_form_drops_empty_vectors_like_nested(spark):
