@@ -505,6 +505,12 @@ def minhash_signatures(
     one-hash-function-per-band trick); the signature is a single group-by
     with ``num_perm`` min-aggregates — one shuffle, map-side combined.
 
+    (r7 A/B note: a universal-hash family ``(a_i·h + b_i) mod 2³¹−1``
+    over one shared base hash was tried to shrink the aggregate's
+    per-row work; a 20M-row warm microbench read it NO faster — the
+    min-buffer update, not the 8-byte xxhash64, dominates — so the
+    simpler per-perm seeded hash stays.)
+
     ``hash_fn="md5"`` swaps every hash for ``md5(i || ':' || shingle)`` with
     lexicographic string min — slower (hex strings beat 64-bit ints at
     nothing) but bit-identical in DuckDB, so the WHOLE pipeline including
@@ -585,7 +591,14 @@ def minhash_dedup_pairs(
     if hash_fn != "md5":
         sh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
     sh = sh.cache()
-    sig = minhash_signatures(sh, id_col, num_perm, hash_fn=hash_fn)
+    # cache the DOC-sized signature table: the banding self-join below
+    # references the signature subtree on both sides and ReuseExchange
+    # does not fire across the BroadcastExchange side, so without the
+    # cache the corpus-sized 64-min aggregation executes TWICE per run
+    # (seen in the captured plan: two HashAggregate[64 mins] pairs over
+    # the same InMemoryTableScan). One row of 65 longs per doc — smaller
+    # than the sh cache that already anchors this pipeline (r7).
+    sig = minhash_signatures(sh, id_col, num_perm, hash_fn=hash_fn).cache()
     cand = lsh_candidate_pairs(sig, id_col, num_perm, bands, hash_fn=hash_fn)
 
     # verify against the FULL sets as per-doc shingle ARRAYS (the same
@@ -599,9 +612,13 @@ def minhash_dedup_pairs(
     # exploded join's per-pair count, and a zero-common candidate is
     # dropped by the same jaccard >= threshold filter that dropped its
     # absent row before (threshold > 0 by contract).
+    # cache the DOC-sized array table too: the verify joins reference it
+    # on both pair sides and each side otherwise re-runs the collect_list
+    # aggregation over the cached sh (two ObjectHashAggregate pairs in
+    # the captured plan) (r7).
     arrs = sh.groupBy(id_col).agg(
         F.array_sort(F.collect_list("shingle")).alias("__arr")
-    )
+    ).cache()
     common = (
         cand.join(
             arrs.select(

@@ -750,19 +750,14 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     escape hatch as ``lineitem_corr_matrix``).
 
     Scale posture: the d²/2 products per row exist only PIPELINED inside
-    the scan stage — ``Generate explode → HashAggregate(partial,
-    keys=[i,j])`` combines map-side, so the single exchange carries at
-    most P × d(d+1)/2 partial cells, independent of corpus row count
-    (the kmeans-update pattern, ``operators/kmeans.py``; the
-    per-partition numpy-GEMM ``mapInArrow`` formulation was rejected
-    there by A/B — Arrow-serializing N×d values to Python costs more
-    than the in-JVM explode+combine at every scale tried).
-
-    Cell generation is the shared nested two-level explode
-    (``operators/gram.py``, r5 verdict #6): intermediates are O(d),
-    never O(d²), and the A/B in ``tools/gram_crossover.py`` measured it
-    faster than the old single-flatten at EVERY dimension (0.9× at the
-    testdata d=64, 0.4× at d=1024)."""
+    the scan stage — since the r7 partition-GEMM rewrite the cell source
+    is ``mapInPandas`` (one fused int64 VᵀV per Arrow batch,
+    ``operators/gram.py::_gemm_cells``) emitting the d(d+1)/2 triangle
+    once per PARTITION, followed by ``HashAggregate(partial)`` below the
+    single exchange, which therefore carries at most P × d(d+1)/2
+    partial cells, independent of corpus row count. The JVM two-level
+    explode forms remain in ``operators/gram.py`` for the A/B tool and
+    the gemm == nested == numpy property tests (``tests/test_gram.py``)."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = F.transform(
         as_double_array("embedding"),

@@ -623,10 +623,12 @@ def test_weighted_sample_salted_two_level_topk(spark):
 
 
 def test_gram_matrix_single_mapcombined_exchange(spark):
-    """The Gram matrix's d²/2-per-row products must stay pipelined in
+    """The Gram matrix's per-partition cell fold must stay pipelined in
     the scan stage: ONE hash exchange total, with a partial_sum
     HashAggregate below it — the exchange carries P×d(d+1)/2 cells, not
-    N×d² product rows."""
+    N×d² product rows. Since the r7 partition-GEMM rewrite the cell
+    source is a ``mapInPandas`` numpy fold (one VᵀV per Arrow batch),
+    not the JVM two-level explode — pin that too."""
     from feature_generation_benchmark_spark.workloads.similarity import (
         embedding_gram_matrix,
     )
@@ -635,7 +637,8 @@ def test_gram_matrix_single_mapcombined_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     exch = plan.index("Exchange hashpartitioning")
     assert "partial_sum" in plan[exch:], plan
-    assert "Generate explode" in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert "Generate explode" not in plan, plan
 
 
 def test_ema_one_exchange_jvm_fold(spark):
