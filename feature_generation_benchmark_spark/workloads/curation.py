@@ -401,10 +401,15 @@ def mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hit ANSI DIVIDE_BY_ZERO in the rate division on Spark while the
     # DuckDB twin's NULL silently dropped it (r6 session-3 review) —
     # make the drop explicit and identical on both engines.
+    # cached: the 20-row source table feeds BOTH the total and the rate
+    # projection — uncached, each consumer re-ran the corpus-sized
+    # tokenizing aggregate, so "big side scanned once" held per consumer
+    # but the plan still tokenized the corpus 3× per run (r7 plan sweep)
     src = (
         t.groupBy("source")
         .agg(F.sum("n_tokens").alias("src_tokens"))
         .filter(F.col("src_tokens") > 0)
+        .cache()
     )
     # total from the 20-row src aggregate, NOT a second corpus aggregate:
     # integer sum-of-sums is bit-identical and saves a full tokenizing

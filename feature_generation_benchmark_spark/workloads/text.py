@@ -523,8 +523,15 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable, and the quantization removes the dominant order-of-
     accumulation hazard)."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
-    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    # lazy localCheckpoint: the exploded token frame feeds the unigram
+    # model AND the scoring join, and the vocab-sized model feeds both
+    # the total and the join — without the cuts the corpus
+    # tokenize+explode ran THREE times per run (r7 plan sweep; the
+    # bigram_logprob precedent, guide §2.4)
+    tok = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    ).localCheckpoint(eager=False)
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c")).cache()
     total = freq.agg(F.sum("c").alias("total"))
     micro = (
         F.round((F.log("c") - F.log("total")) * F.lit(1e6), 0)
