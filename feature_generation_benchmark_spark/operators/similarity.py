@@ -456,17 +456,23 @@ def cosine_dup_pairs_blocked(
         nrm = np.linalg.norm(V, axis=1, keepdims=True)
         V = V / np.where(nrm == 0.0, 1.0, nrm)
         S = V @ V.T
-        ia, ib = np.triu_indices(len(ids), k=1)
+        # mask-then-gather (r7): filter ON the similarity matrix and only
+        # gather the qualifying pairs. The former triu_indices form built
+        # two n²/2 int64 index arrays plus full-size id/swap/sims
+        # temporaries (~10 n²-scale allocations — 5 GB at n=8k blocks)
+        # before dropping ~all pairs; the boolean mask costs n² bytes and
+        # everything after it is |survivors|-sized. Survivor order is
+        # row-major either way, so output is byte-identical.
+        M = S >= threshold
+        if bi != bj:  # cross-block group: within-block pairs belong to the
+            M &= blocks[:, None] != blocks[None, :]  # (i,i)/(j,j) groups
+        ia, ib = np.triu(M, k=1).nonzero()
         id_a, id_b = ids[ia], ids[ib]
         swap = id_a > id_b
         id_a2 = np.where(swap, id_b, id_a)
         id_b2 = np.where(swap, id_a, id_b)
-        sims = S[ia, ib]
-        keep = sims >= threshold
-        if bi != bj:  # cross-block group: within-block pairs belong to the
-            keep &= blocks[ia] != blocks[ib]  # (i,i)/(j,j) groups — no dupes
         return pd.DataFrame(
-            {"id_a": id_a2[keep], "id_b": id_b2[keep], "cos_sim": sims[keep]}
+            {"id_a": id_a2, "id_b": id_b2, "cos_sim": S[ia, ib]}
         )
 
     pairs = grouped.groupBy("pair_id").applyInPandas(block_pair, out_schema)

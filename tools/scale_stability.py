@@ -268,7 +268,18 @@ def build_scaled(spark, factor: int) -> str:
     # WITHIN a copy (near-dup structure preserved) but diverge ACROSS
     # copies — without this every doc is a near-dup of its N-1 shifted
     # twins and the dedup OUTPUT itself is O(N²) by construction (the
-    # fixture, not the plan, goes quadratic)
+    # fixture, not the plan, goes quadratic).
+    # The suffix must FUSE with the word under the engine's tokenizer
+    # ([^a-z0-9]+ splits): the former "_{i}" suffix tokenized into a
+    # SEPARATE number token, interleaving every doc's token stream
+    # (word, i, word, i, ...) — 3-gram shingles collapsed to
+    # bigram-arity patterns and the per-copy shingle-frequency skew
+    # exploded ~170× (sf0.1: 1.06M post-bound prefix matches on the
+    # real corpus vs 181M per suffixed copy). Probes on that fixture
+    # measured a hotter DISTRIBUTION, not the plan's scaling (r7).
+    # "qq{i}" stays inside the token (base vocab contains no 'qq'), so
+    # each copy is the 1× corpus under a bijective word rename —
+    # identical shingle arity, identical frequency structure.
     d_parts = [
         docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * d_shift))
         .withColumn(
@@ -276,7 +287,7 @@ def build_scaled(spark, factor: int) -> str:
             F.array_join(
                 F.transform(
                     F.split(F.col("text"), " "),
-                    lambda w: F.concat(w, F.lit(f"_{i}")),
+                    lambda w: F.concat(w, F.lit(f"qq{i}")),
                 ),
                 " ",
             ),
