@@ -144,7 +144,54 @@ def main() -> None:
     sys.stderr.flush()
     print(flush=True)
     print(detail_line, flush=True)
+    # bounded per-query chunks BETWEEN detail and summary: the driver
+    # keeps only the last ~2000 chars of stdout, so the all-in-one detail
+    # line (4.7 KB at 173 queries) loses its head and PERF's per_query
+    # came up empty two rounds running (r7 verdict #2). Each chunk is a
+    # complete parseable JSON line well under the tail window; whatever
+    # the window keeps is usable as-is. BENCH_DETAIL.json (path stable,
+    # written above) stays the canonical whole-run artifact.
+    for line in per_query_chunks(timings, sf):
+        print(line, flush=True)
     print(summary_line, flush=True)
+
+
+def per_query_chunks(
+    timings: dict[str, float], sf: float, max_chars: int = 800
+) -> list[str]:
+    """Split the per-query timings into self-contained JSON lines, each
+    ≤ ``max_chars`` (compact separators), so at least the final chunks
+    survive a ~2000-char stdout tail capture intact. Chunks carry
+    ``i``/``of`` indices and a sorted, disjoint slice of ``queries``;
+    their union is exactly the full timing dict."""
+    items = sorted(timings.items())
+    groups: list[dict[str, float]] = []
+    cur: dict[str, float] = {}
+    cur_len = 0
+    for name, t in items:
+        entry_len = len(name) + len(f"{t}") + 5  # quotes, colon, comma
+        if cur and cur_len + entry_len > max_chars - 120:  # header slack
+            groups.append(cur)
+            cur, cur_len = {}, 0
+        cur[name] = t
+        cur_len += entry_len
+    if cur:
+        groups.append(cur)
+    return [
+        json.dumps(
+            {
+                "metric": "per_query_wall_clock_chunk",
+                "i": i + 1,
+                "of": len(groups),
+                "unit": "sec",
+                "sf": sf,
+                "queries": g,
+            },
+            sort_keys=True,
+            separators=(",", ":"),
+        )
+        for i, g in enumerate(groups)
+    ]
 
 
 def format_output(

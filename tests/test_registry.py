@@ -137,9 +137,28 @@ def test_bench_output_contract():
     assert s["median_query_sec"] > 0
     d = json.loads(detail_line)
     assert d["queries"] == timings
+    # bounded per-query chunk lines (r7 verdict #2): each parses on its
+    # own, fits a tail window with room to spare, and the union is the
+    # exact timing dict — so the driver's 2000-char tail always holds
+    # complete per-query JSON (the last chunk + summary ≤ ~1300 chars)
+    from bench import per_query_chunks
+
+    chunks = per_query_chunks(timings, 0.1)
+    merged = {}
+    for line in chunks:
+        assert len(line) <= 900
+        c = json.loads(line)
+        assert c["metric"] == "per_query_wall_clock_chunk"
+        assert c["of"] == len(chunks)
+        assert not set(c["queries"]) & set(merged)
+        merged.update(c["queries"])
+    assert merged == timings
     # the driver keeps the last ~2000 chars: the summary must survive
-    tail = (detail_line + "\n" + summary_line)[-2000:]
-    assert json.loads(tail.splitlines()[-1]) == s
+    # along with at least the final complete chunk line
+    tail = ("\n".join([detail_line, *chunks, summary_line]))[-2000:]
+    lines = tail.splitlines()
+    assert json.loads(lines[-1]) == s
+    assert json.loads(lines[-2])["metric"] == "per_query_wall_clock_chunk"
 
 
 def test_every_entry_is_oracle_gated(reg):
