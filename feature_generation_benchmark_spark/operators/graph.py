@@ -69,16 +69,28 @@ def pagerank(
         .cache()
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).cache()
-    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
-    # (node, n) hoisted out of the loop: each iteration's rank update
-    # needs every node with the node count, but the crossJoin-with-agg
-    # subtree is loop-invariant — cache it once instead of re-deriving
-    # (and re-broadcasting nn) every round (r7, guide §2.4)
-    base = nodes.crossJoin(F.broadcast(nn)).selectExpr("node", "n").cache()
-    scores = base.selectExpr(
-        "node", f"CAST({SCALE}L div n AS LONG) AS score_e9"
-    )
+    # the node count is ONE scalar consumed by every iteration's rank
+    # arithmetic: read it as a driver literal (a count over the cached
+    # node-dim frame — the same class of tiny driver action as
+    # bfs_hops' isEmpty) so the teleport term is a compile-time constant
+    # instead of a per-row `n` column carried through a crossJoin (r8,
+    # guide §2.4 — the crossJoin base frame and its cache disappear)
+    n = nodes.count()
     d = damping_pct
+    teleport = ((100 - d) * SCALE) // (100 * n)  # == (100−d)·1e9 div 100·n
+    # all-nodes zero-contribution rows: unioned into each iteration's
+    # in-mass aggregation so every node (with in-edges or not) emits a
+    # score row from ONE aggregate — replaces the per-iteration
+    # `base LEFT JOIN broadcast(sums)` (a second broadcast build job per
+    # round). sum semantics are unchanged: the zero row adds 0 to nodes
+    # with in-mass and yields 0 for nodes without (== the old
+    # coalesce(in_mass, 0)) (r8, guide §2.4 "remove shuffles outright")
+    zeros = nodes.select(
+        "node", F.lit(0).cast("long").alias("c")
+    )
+    scores = nodes.select(
+        "node", F.lit(SCALE // n).cast("long").alias("score_e9")
+    )
     for _ in range(iterations):
         # pre-join the node-sized (score, out_deg) state BEFORE the
         # fact-sized edge join: one broadcast build + one hash-table
@@ -88,28 +100,27 @@ def pagerank(
         # first changes no rows)
         state = scores.withColumnRenamed("node", "src").join(deg, "src")
         contrib = e.join(bc(state), "src").selectExpr(
-            "dst", "score_e9 div out_deg AS c"
+            "dst AS node", "score_e9 div out_deg AS c"
         )
-        sums = contrib.groupBy("dst").agg(F.sum("c").alias("in_mass"))
         scores = (
-            base
-            .join(bc(sums), base.node == sums.dst, "left")
+            contrib.unionByName(zeros)
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
             .selectExpr(
                 "node",
-                f"CAST(({100 - d}L * {SCALE}L) div (100L * n)"
-                f" + ({d}L * coalesce(in_mass, 0L)) div 100L AS LONG)"
+                f"CAST({teleport}L + ({d}L * in_mass) div 100L AS LONG)"
                 " AS score_e9",
             )
         )
-        if small_state:
-            # cut lineage each step: iteration i+1 starts from i's few
-            # thousand materialized rows, not its whole replayed plan.
-            # eager=False (the kmeans pattern): plan construction stays
-            # job-free and the checkpoint materializes inside the first
-            # broadcast job that needs it — same-session A/B at sf0.1:
-            # lazy 2.23-2.33 s vs eager 2.32-2.81 s warm, values
-            # identical (integer-quantized scores pin the trajectory)
-            scores = scores.localCheckpoint(eager=False)
+    # NO per-iteration localCheckpoint (r8): every scores_i has exactly
+    # one consumer (iteration i+1's state join), so inside the caller's
+    # single action each broadcast exchange is built once and nothing is
+    # ever recomputed — the whole K-round program is ONE Catalyst
+    # pipeline instead of K+1 (a per-round checkpoint made every round's
+    # broadcast build a separate analyzed/optimized/AQE'd sub-execution;
+    # interleaved A/B at sf0.1: median 7.16 s → 5.56 s, identical
+    # integer trajectory). Plan depth grows with ``iterations`` — for
+    # very long horizons a caller can checkpoint externally.
     return scores
 
 
@@ -121,22 +132,35 @@ def bfs_hops(
     dst: str = "dst",
     small_state: bool = True,
 ) -> DataFrame:
-    """Bounded-depth min-hop BFS from a source node set — the
-    level-synchronous frontier-expansion iteration (the Pregel BFS
-    shape, as a pure DataFrame loop). Returns ``(node, hop)`` with one
-    row per reached node carrying its FIRST (= minimum) hop count; the
-    whole program is integer-only, so a SQL twin (a depth-bounded
-    recursive CTE + ``min(hop)``) replays it exactly.
+    """Bounded-depth min-hop BFS from a source node set — walk-level
+    frontier expansion with a FINAL min-hop fold (exactly the
+    depth-bounded recursive-CTE + ``min(hop)`` shape of its SQL twin).
+    Returns ``(node, hop)`` with one row per reached node carrying its
+    minimum hop count; the whole program is integer-only, so the twin
+    replays it exactly.
 
-    Per hop: frontier ⋈ edges on ``src`` (the only fact-sized op) →
-    project ``dst`` → dedup → anti-join the visited set → stamp the hop.
-    Frontier and visited are NODE-sized; with ``small_state=True`` both
-    broadcast into the edge-side joins, leaving one shuffle per hop (the
-    post-join dedup agg), and each level is ``localCheckpoint``ed so
-    lineage depth stays at one step. The loop exits early on an empty
-    frontier (an ``isEmpty`` action on a node-sized frame — cheap, and
-    it never changes the result, only skips provably-empty levels). For
-    web-scale node spaces set ``small_state=False``: state then stays
+    Per hop ONE fact-sized op: frontier ⋈ edges on ``src`` → project
+    ``dst`` → dedup. Levels are stamped and unioned; ``min(hop)`` per
+    node at the end picks the BFS distance. The classic per-level
+    visited anti-join is deliberately absent (r8): it never changes the
+    min-hop result — it only shrinks later frontiers — and it cost a
+    second node-sized broadcast build + an anti-join probe EVERY level.
+    Each level's frontier is still ``distinct`` and therefore bounded by
+    the node dim, so a level never exceeds one |edges| probe + one
+    node-bounded dedup regardless of revisits; for small bounded depths
+    (this engine's use) the dropped per-level pruning is strictly
+    cheaper. Frontiers are NODE-sized; with ``small_state=True`` they
+    broadcast into the edge-side join, leaving one shuffle per hop (the
+    dedup agg). Each level is LAZILY ``localCheckpoint``ed: a level
+    feeds two consumers (the next level's broadcast build and the final
+    fold), so the pin makes the level's edge probe run once — but with
+    ``eager=False`` no per-level ACTION runs; the whole K-level program
+    is ONE Catalyst pipeline executed by the caller's single action (r8
+    — the old per-level ``isEmpty`` early-exit forced K driver actions;
+    on a dead-end graph the redundant tail levels it skipped are now
+    empty-frontier joins that AQE collapses via empty-relation
+    propagation, and the fold is unchanged either way). For web-scale
+    node spaces set ``small_state=False``: state then stays
     hash-partitioned on the node key and every join/dedup shuffles —
     the horizontally-scaling posture.
     """
@@ -150,32 +174,33 @@ def bfs_hops(
         F.col(src).cast("long").alias("src"),
         F.col(dst).cast("long").alias("dst"),
     )
-    visited = spark.createDataFrame(
-        [(int(s), 0) for s in dict.fromkeys(sources)], "node long, hop int"
+    src_level = spark.createDataFrame(
+        [(int(s),) for s in dict.fromkeys(sources)], "node long"
     ).localCheckpoint(eager=False)
-    frontier = visited.select("node")
+    levels = [src_level.select("node", F.lit(0).cast("int").alias("hop"))]
+    frontier = src_level
     for h in range(1, max_hops + 1):
-        nxt = bfs_level(e, frontier, visited, h, bc).localCheckpoint(
-            eager=False
+        frontier = bfs_level(e, frontier, bc).localCheckpoint(eager=False)
+        levels.append(
+            frontier.select("node", F.lit(h).cast("int").alias("hop"))
         )
-        if nxt.isEmpty():
-            break
-        visited = visited.union(nxt).localCheckpoint(eager=False)
-        frontier = nxt.select("node")
-    return visited
+    stacked = levels[0]
+    for lv in levels[1:]:
+        stacked = stacked.union(lv)
+    # min over all walk levels == BFS distance; sources keep hop 0
+    return stacked.groupBy("node").agg(F.min("hop").alias("hop"))
 
 
-def bfs_level(e, frontier, visited, h, bc=F.broadcast):
-    """One BFS level: the next frontier with its hop stamp. Split out of
-    :func:`bfs_hops` so plan tests can assert the level's join strategy —
-    the loop consumes each level through a ``localCheckpoint``, which
-    hides the join plan from the returned frame."""
+def bfs_level(e, frontier, bc=F.broadcast):
+    """One walk level: the distinct successor set of ``frontier``. Split
+    out of :func:`bfs_hops` so plan tests can assert the level's join
+    strategy — the loop consumes each level through a
+    ``localCheckpoint``, which hides the join plan from the returned
+    frame."""
     return (
         e.join(bc(frontier.withColumnRenamed("node", "src")), "src")
         .select(F.col("dst").alias("node"))
         .distinct()
-        .join(bc(visited.select("node")), "node", "left_anti")
-        .select("node", F.lit(h).cast("int").alias("hop"))
     )
 
 

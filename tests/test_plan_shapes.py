@@ -569,10 +569,13 @@ def test_corr_matrix_is_one_pass_no_keyed_shuffle(spark):
 
 
 def test_bfs_levels_broadcast_node_state(spark):
-    """Every per-level join (frontier into edges, visited anti-join) must
-    broadcast the node-sized state — a SortMergeJoin means a fact-sized
-    shuffle crept into the level loop. (The loop consumes each level via
-    localCheckpoint, so the guard inspects the exposed level builder.)"""
+    """The per-level frontier join into edges must broadcast the
+    node-sized frontier — a SortMergeJoin means a fact-sized shuffle
+    crept into the level loop. Exactly ONE join per level: the old
+    per-level visited anti-join is gone by design (r8 — the final
+    min-hop fold subsumes it), so a second join node appearing here is a
+    regression. (The loop consumes each level via localCheckpoint, so
+    the guard inspects the exposed level builder.)"""
     from pyspark.sql import functions as F2
 
     from feature_generation_benchmark_spark.operators.graph import bfs_level
@@ -581,11 +584,10 @@ def test_bfs_levels_broadcast_node_state(spark):
         [(i % 50, (i * 7) % 50) for i in range(2000)], "src long, dst long"
     )
     frontier = spark.createDataFrame([(0,)], "node long")
-    visited = spark.createDataFrame([(0, 0)], "node long, hop int")
-    plan = _physical(bfs_level(edges, frontier, visited, 1, F2.broadcast))
+    plan = _physical(bfs_level(edges, frontier, F2.broadcast))
     assert "SortMergeJoin" not in plan, plan
-    assert plan.count("BroadcastHashJoin") == 2, plan  # frontier + anti
-    assert "LeftAnti" in plan, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan  # frontier only
+    assert "Join" not in plan.replace("BroadcastHashJoin", ""), plan
 
 
 def test_lang_source_mi_single_corpus_shuffle(spark):
