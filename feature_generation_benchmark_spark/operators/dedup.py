@@ -578,6 +578,7 @@ def minhash_dedup_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     hash_fn: str = "xxhash64",
+    internals: dict | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → signature → banded
     candidates → EXACT Jaccard verification of candidates only.
@@ -586,6 +587,12 @@ def minhash_dedup_pairs(
     candidate set (not n²) bounds the verification join. ``hash_fn="md5"``
     keeps raw shingle strings (no xxhash64 pre-hash) so every stage is
     reproducible in DuckDB SQL.
+
+    ``internals`` (optional out-param, r8): receives the pipeline's
+    CACHED doc-sized frames — ``"arrs"``, the per-doc sorted shingle
+    array table (one row per doc with ≥ 1 ``n``-gram, i.e. ≥ ``n``
+    tokens) — so gating wrappers can derive eligibility from the SAME
+    cached corpus pass instead of re-tokenizing the corpus.
     """
     sh = doc_shingles(df, id_col, text_col, n)
     if hash_fn != "md5":
@@ -619,6 +626,8 @@ def minhash_dedup_pairs(
     arrs = sh.groupBy(id_col).agg(
         F.array_sort(F.collect_list("shingle")).alias("__arr")
     ).cache()
+    if internals is not None:
+        internals["arrs"] = arrs
     common = (
         cand.join(
             arrs.select(
@@ -733,10 +742,18 @@ def simhash_dup_pairs(
     text_col: str,
     max_hamming: int = 3,
     hash_fn: str = "xxhash64",
+    internals: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance ≤ ``max_hamming``
-    (≤ 3 with 4×16-bit bands ⇒ candidate recall is exact by pigeonhole)."""
+    (≤ 3 with 4×16-bit bands ⇒ candidate recall is exact by pigeonhole).
+
+    ``internals`` (optional out-param, r8): receives ``"bits"``, the
+    CACHED doc-sized band table (one row per doc with ≥ 1 token), so
+    gating wrappers can derive eligibility from the same cached corpus
+    pass instead of re-tokenizing."""
     sh = simhash_bits(df, id_col, text_col, hash_fn=hash_fn).cache()
+    if internals is not None:
+        internals["bits"] = sh
     n_bands = 4
     cand = _banded_candidate_pairs(
         sh, id_col, [F.col(f"sh_band_{b}") for b in range(n_bands)]

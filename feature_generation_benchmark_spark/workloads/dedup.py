@@ -515,16 +515,32 @@ def _with_planted_clones(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").unionByName(clones)
 
 
-def _exact_dup_pairs(corpus: DataFrame, min_toks: int) -> DataFrame:
+def _exact_dup_pairs(
+    corpus: DataFrame, min_toks: int, eligible_ids: DataFrame | None = None
+) -> DataFrame:
     """(id_a, id_b) pairs of byte-identical documents that are ELIGIBLE
     for the hashed pipeline under test (≥ ``min_toks`` tokens — docs too
     short to shingle/simhash can never appear in its output). Identical
     text ⇒ identical shingle/token multisets ⇒ the pipeline must emit
     the pair deterministically; this is the cheap in-plan recall anchor
-    the gated raw entries hash cross-engine."""
-    fp = corpus.filter(
-        F.size(tokens("text")) >= min_toks
-    ).select("doc_id", F.md5("text").alias("__f"))
+    the gated raw entries hash cross-engine.
+
+    ``eligible_ids`` (r8, guide §2.4 — share the corpus pass between
+    artifact and proof twin): the pipeline's own CACHED doc-dim frame of
+    ids that survived its tokenize/shingle stage. Eligibility there is
+    by construction the same predicate (present ⟺ ≥ ``min_toks``
+    tokens: simhash keeps docs with ≥ 1 token; an ``n``-gram exists ⟺
+    ≥ ``n`` tokens), so a semi-join against it replaces this twin's own
+    corpus-sized regex re-tokenization — the md5 fingerprint pass is
+    the only corpus work the twin still does."""
+    if eligible_ids is not None:
+        fp = corpus.join(
+            eligible_ids.select("doc_id"), "doc_id", "left_semi"
+        ).select("doc_id", F.md5("text").alias("__f"))
+    else:
+        fp = corpus.filter(
+            F.size(tokens("text")) >= min_toks
+        ).select("doc_id", F.md5("text").alias("__f"))
     # pair generation via ONE groupBy(fingerprint) instead of the fp⋈fp
     # self-join: the join referenced the fp subtree twice, so the corpus
     # (itself a 2-leg union) was scanned and regex-tokenized FOUR times
@@ -596,6 +612,7 @@ def dedup_minhash_lsh_raw_gated(
     corpus = _with_planted_clones(docs)
     # lazy localCheckpoint: the pair list feeds two aggregates below —
     # without the cut the whole LSH pipeline would run twice
+    internals: dict = {}
     xx = minhash_dedup_pairs(
         corpus,
         "doc_id",
@@ -604,8 +621,15 @@ def dedup_minhash_lsh_raw_gated(
         num_perm=64,
         bands=16,
         threshold=_JACCARD_T,
+        internals=internals,
     ).localCheckpoint(eager=False)
-    dup = _exact_dup_pairs(corpus, _MIN_SHINGLE_TOKS)
+    # eligibility (≥ _MIN_SHINGLE_TOKS tokens ⟺ ≥ 1 3-gram shingle ⟺
+    # present in the pipeline's cached per-doc array table): read it off
+    # that cache instead of re-tokenizing the corpus (r8, twin ≤30%-
+    # over-artifact goal — the twin's only corpus pass left is the md5)
+    dup = _exact_dup_pairs(
+        corpus, _MIN_SHINGLE_TOKS, eligible_ids=internals["arrs"]
+    )
     z = F.lit(0)
     caught = dup.join(xx, ["id_a", "id_b"], "left").agg(
         F.coalesce(F.count(F.lit(1)), z).alias("n_exact_dup_pairs"),
@@ -769,10 +793,13 @@ def dedup_simhash_raw_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_simhash_md5`` (votes, banding and hamming all pinned)."""
     docs = load_table(spark, sf_dir, "documents")
     corpus = _with_planted_clones(docs)
+    internals: dict = {}
     xx = simhash_dup_pairs(
-        corpus, "doc_id", "text", max_hamming=3
+        corpus, "doc_id", "text", max_hamming=3, internals=internals
     ).localCheckpoint(eager=False)
-    dup = _exact_dup_pairs(corpus, 1)
+    # eligibility (≥ 1 token ⟺ present in the pipeline's cached band
+    # table): read it off that cache instead of re-tokenizing (r8)
+    dup = _exact_dup_pairs(corpus, 1, eligible_ids=internals["bits"])
     z = F.lit(0)
     caught = dup.join(xx, ["id_a", "id_b"], "left").agg(
         F.coalesce(F.count(F.lit(1)), z).alias("n_exact_dup_pairs"),
