@@ -320,6 +320,27 @@ _PROFILE_COLS = (
     "l_extendedprice",
 )
 
+#: Per-column HLL++ precision for the approx profilers (r8, r7 verdict
+#: #5 — the rsd-0.01 sketch buffer was ~5 s of the entry's cost).
+#: Precision is spent where the ERROR REGIME needs it: rsd only governs
+#: the HLL dense-mode estimate, which a column enters once its
+#: cardinality approaches the register count; columns whose domain is
+#: FIXED by the schema (quantity 1–50, two flag enums) stay in the
+#: linear-counting regime at ANY data scale, where the estimate is
+#: near-exact regardless of m — so they carry a cheap rsd-0.04 sketch
+#: (2^10 registers vs 2^14). Columns whose cardinality grows with the
+#: data (keys, prices) keep rsd 0.01. The within-5% contract is pinned
+#: per column by the ``schema_profile_approx`` check twin (which gates
+#: THIS map, not a fixed rsd) and
+#: ``test_schema_profile_approx_close_to_exact``.
+_PROFILE_RSD = {
+    "l_orderkey": 0.01,
+    "l_quantity": 0.04,
+    "l_returnflag": 0.04,
+    "l_linestatus": 0.04,
+    "l_extendedprice": 0.01,
+}
+
 
 def schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -403,7 +424,9 @@ def schema_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in _PROFILE_COLS:
         aggs += [
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
-            F.approx_count_distinct(c, 0.01).alias(f"{c}__distinct"),
+            F.approx_count_distinct(c, _PROFILE_RSD[c]).alias(
+                f"{c}__distinct"
+            ),
             F.min(c).cast("string").alias(f"{c}__min"),
             F.max(c).cast("string").alias(f"{c}__max"),
         ]
@@ -454,7 +477,12 @@ def schema_profile_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(c).cast("string").alias(f"{c}__max"),
         ]
         approx_aggs.append(
-            F.approx_count_distinct(c, 0.01).alias(f"{c}__approx")
+            # gate the PRODUCTION per-column precision map, not a fixed
+            # rsd — the twin exists to bound what the served profiler
+            # actually computes (r8)
+            F.approx_count_distinct(c, _PROFILE_RSD[c]).alias(
+                f"{c}__approx"
+            )
         )
     wide = li.agg(*exact_aggs).crossJoin(li.agg(*approx_aggs))
     rows = [
