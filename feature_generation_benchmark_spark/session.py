@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import glob
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -96,6 +97,42 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
 def default_parallelism() -> int:
     """Cores the driver environment asks us to use (local mode)."""
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+@contextmanager
+def cache_scope(spark: SparkSession):
+    """Release storage pinned INSIDE the scope when it exits (r8, r7
+    verdict #8 — cache hygiene for library consumers).
+
+    Several query functions ``.cache()``/``localCheckpoint`` intra-query
+    frames that are referenced multiple times within one returned plan;
+    the pins must survive until the consumer's action runs, so the query
+    function itself can never release them. A consumer running queries
+    in sequence should therefore wrap each consume:
+
+        with cache_scope(spark):
+            df = queries["funnel_conversions"](spark, sf_dir)
+            df.collect()          # caches materialize here
+        # exit: every RDD pinned inside the scope is unpersisted
+
+    Exit snapshots ``getPersistentRDDs`` against entry and unpersists
+    only the NEW ids — storage cached before the scope is untouched.
+    Do not reuse a scope's DataFrames after exit (their caches and
+    localCheckpoints are gone). ``bench.py`` achieves the same with a
+    whole-session ``spark.catalog.clearCache()`` between queries, which
+    it can because it owns the session.
+    """
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    try:
+        yield spark
+    finally:
+        pinned = jsc.getPersistentRDDs()
+        for rdd_id in pinned.keySet().toArray():
+            if rdd_id not in before:
+                rdd = pinned.get(rdd_id)
+                if rdd is not None:
+                    rdd.unpersist(False)
 
 
 def get_spark(
