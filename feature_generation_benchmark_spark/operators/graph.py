@@ -91,7 +91,7 @@ def pagerank(
     scores = nodes.select(
         "node", F.lit(SCALE // n).cast("long").alias("score_e9")
     )
-    for _ in range(iterations):
+    for i in range(iterations):
         # pre-join the node-sized (score, out_deg) state BEFORE the
         # fact-sized edge join: one broadcast build + one hash-table
         # probe per edge row per iteration instead of two (r7
@@ -112,15 +112,19 @@ def pagerank(
                 " AS score_e9",
             )
         )
-    # NO per-iteration localCheckpoint (r8): every scores_i has exactly
-    # one consumer (iteration i+1's state join), so inside the caller's
-    # single action each broadcast exchange is built once and nothing is
-    # ever recomputed — the whole K-round program is ONE Catalyst
-    # pipeline instead of K+1 (a per-round checkpoint made every round's
-    # broadcast build a separate analyzed/optimized/AQE'd sub-execution;
-    # interleaved A/B at sf0.1: median 7.16 s → 5.56 s, identical
-    # integer trajectory). Plan depth grows with ``iterations`` — for
-    # very long horizons a caller can checkpoint externally.
+        # lazy checkpoint every SECOND round (r8): every scores_i has
+        # exactly one consumer (round i+1's state join), so nothing is
+        # recomputed at any cadence — the cadence only trades the
+        # number of separate analyzed/optimized/AQE'd sub-executions
+        # (one per checkpoint) against plan depth per sub-execution
+        # (checkpoint-free nesting reached 192 textual Exchange nodes
+        # at K=5 and paid it in Catalyst time). Interleaved A/B at
+        # sf0.1, medians of 5: every round 6.03 s, NONE 6.04 s,
+        # every 2nd 5.40 s — adopted; integer trajectory identical by
+        # construction at any cadence. The last round never checkpoints
+        # (the caller's action is its consumer).
+        if small_state and (i + 1) % 2 == 0 and i < iterations - 1:
+            scores = scores.localCheckpoint(eager=False)
     return scores
 
 
