@@ -24,6 +24,8 @@ from feature_generation_benchmark_spark.workloads.curation import (
 from feature_generation_benchmark_spark.workloads.similarity import semdedup
 from tests.conftest import SF_SMOKE
 
+from tests._budget import examples
+
 
 @pytest.fixture(scope="module")
 def crafted_docs_dir(spark, tmp_path_factory):
@@ -321,7 +323,7 @@ def test_doc_repetition_property_net(spark):
     )
 
     @settings(
-        max_examples=int(os.environ.get("SPARK_GRAFT_NET_EXAMPLES", "25")),
+        max_examples=int(os.environ.get("SPARK_GRAFT_NET_EXAMPLES", "0")) or examples(25),
         deadline=None,
     )
     @given(docs=docs_strategy)

@@ -14,6 +14,8 @@ import hashlib
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+
+from tests._budget import examples
 from pyspark.sql import functions as F
 
 from feature_generation_benchmark_spark.workloads.curation import (
@@ -24,7 +26,7 @@ from feature_generation_benchmark_spark.workloads.curation import (
 )
 
 _SETTINGS = dict(
-    max_examples=10,
+    max_examples=examples(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -36,8 +36,10 @@ from hypothesis import strategies as st
 
 from tests.test_r4_ops import _write_events
 
+from tests._budget import examples
+
 _SETTINGS = dict(
-    max_examples=int(os.environ.get("SPARK_GRAFT_NET_EXAMPLES", "10")),
+    max_examples=int(os.environ.get("SPARK_GRAFT_NET_EXAMPLES", "0")) or examples(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -11,12 +11,14 @@ import datetime as dt
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from tests._budget import examples
+
 from feature_generation_benchmark_spark.workloads.intervals import (
     open_orders_daily,
 )
 
 _SETTINGS = dict(
-    max_examples=6,
+    max_examples=examples(6),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -12,6 +12,8 @@ from collections import Counter
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from tests._budget import examples
+
 from feature_generation_benchmark_spark.workloads.mlprep import (
     _HIST_BIN_CENTS,
     _HIST_BINS,
@@ -27,7 +29,7 @@ from feature_generation_benchmark_spark.workloads.mlprep import (
 from tests.test_r4_ops import _write_events
 
 _SETTINGS = dict(
-    max_examples=5,
+    max_examples=examples(5),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

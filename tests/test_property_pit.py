@@ -15,6 +15,8 @@ import datetime as dt
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from tests._budget import examples
+
 from feature_generation_benchmark_spark.workloads.pit import (
     _WINDOWS_US,
     point_in_time_features,
@@ -24,7 +26,7 @@ _US_DAY = 86_400 * 10**6
 _W7, _W30 = _WINDOWS_US["7d"], _WINDOWS_US["30d"]
 
 _SETTINGS = dict(
-    max_examples=8,
+    max_examples=examples(8),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

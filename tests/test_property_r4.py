@@ -10,6 +10,8 @@ from collections import Counter, defaultdict
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from tests._budget import examples
+
 from feature_generation_benchmark_spark.workloads.funnel import (
     markov_transitions,
 )
@@ -24,7 +26,7 @@ from tests.conftest import write_docs_dir
 from tests.test_r4_ops import _US, _write_events
 
 _SETTINGS = dict(
-    max_examples=6,
+    max_examples=examples(6),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -18,6 +18,8 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from tests._budget import examples
+
 from feature_generation_benchmark_spark.plans import (
     compile_bucket_pivot,
     compile_bucket_rollup,
@@ -74,7 +76,7 @@ def spec_and_rows(draw):
 
 
 @settings(
-    max_examples=12,
+    max_examples=examples(12),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

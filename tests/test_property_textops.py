@@ -9,6 +9,8 @@ from collections import Counter
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from tests._budget import examples
+
 from feature_generation_benchmark_spark.workloads.dedup import (
     _DEDUP_CHUNK_TOKENS,
     dedup_chunk_exact,
@@ -20,7 +22,7 @@ from feature_generation_benchmark_spark.workloads.text import (
 )
 
 _SETTINGS = dict(
-    max_examples=6,
+    max_examples=examples(6),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

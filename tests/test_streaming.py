@@ -22,6 +22,42 @@ from feature_generation_benchmark_spark.streaming.features import (
 SF = "/root/testdata/sf0.001"
 
 
+def _drain_available(q, timeout=120, idle_batches=2):
+    """Wait until an availableNow query has consumed all available data,
+    then STOP it (r8, r7 verdict #1 — suite wall clock). A stateful
+    query in ProcessingTime-timeout mode never terminates on its own:
+    after the data batches it loops zero-row "no new data but cleaning
+    up state" batches (~0.9 s each, indefinitely) while timeouts/timers
+    remain registered, so ``awaitTermination(N)`` burned its FULL
+    timeout (2×180 s per suite run) and the un-stopped query kept
+    spinning cleanup batches through every later test. Data-closed
+    emissions are committed with their data batch, so "≥1 data batch
+    seen, then ``idle_batches`` zero-row batches committed" is the
+    correct sink-complete condition for these tests."""
+    import time as _time
+
+    t0 = _time.time()
+    seen_data = False
+    idle = 0
+    last = -1
+    try:
+        while _time.time() - t0 < timeout:
+            if not q.isActive:
+                return
+            p = q.lastProgress
+            if p is not None and p["batchId"] != last:
+                last = p["batchId"]
+                if p["numInputRows"] > 0:
+                    seen_data, idle = True, 0
+                elif seen_data:
+                    idle += 1
+                    if idle >= idle_batches:
+                        return
+            _time.sleep(0.2)
+    finally:
+        q.stop()
+
+
 @pytest.fixture(scope="module")
 def event_dir(spark):
     """Events re-written with a proper timestamp column (streaming needs
@@ -89,7 +125,7 @@ def test_stateful_sessionizer_stream(spark, event_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    _drain_available(q)
     rows = spark.sql("SELECT * FROM sessions").collect()
     # single availableNow pass: only sessions CLOSED by a later event in the
     # same run are emitted (open sessions wait for the timeout — correct
@@ -703,7 +739,7 @@ def test_transform_with_state_map_list_timers(spark, event_dir, tmp_path):
         .start()
     )
     try:
-        q.awaitTermination(180)
+        _drain_available(q)
         got = {}
         for r in spark.table("category_mix").collect():
             cur = got.get(r.user_id)
